@@ -1,0 +1,87 @@
+"""Command-line interface.
+
+Subcommand surface mirrors the reference binary (main.cpp:28-64):
+phase, haplotag, somatic_haplotag, estimate_purity, modcall.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+
+
+def _add_phase_parser(sub):
+    p = sub.add_parser("phase", help="run phasing algorithm")
+    p.add_argument("-s", "--snp-file", required=True)
+    p.add_argument("-b", "--bam-file", action="append", required=True)
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-o", "--out-prefix", default="result")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("--sv-file", default="")
+    p.add_argument("--mod-file", default="")
+    p.add_argument("--ont", action="store_true")
+    p.add_argument("--pb", action="store_true")
+    p.add_argument("--indels", action="store_true")
+    p.add_argument("--indelQuality", type=int, default=0)
+    p.add_argument("-d", "--distance", type=int, default=300000)
+    p.add_argument("-1", "--edgeThreshold", type=float, default=0.7)
+    p.add_argument("-a", "--connectAdjacent", type=int, default=35)
+    p.add_argument("-q", "--mappingQuality", type=int, default=1)
+    p.add_argument("-p", "--baseQuality", type=int, default=12)
+    p.add_argument("-e", "--edgeWeight", type=float, default=0.1)
+    p.add_argument("-n", "--snpConfidence", type=float, default=0.75)
+    p.add_argument("-m", "--readConfidence", type=float, default=0.65)
+    p.add_argument("-L", "--overlapThreshold", type=float, default=0.2)
+    p.add_argument("-w", "--svWindow", type=int, default=20)
+    p.add_argument("--svThreshold", type=float, default=0.1)
+    p.add_argument("--engine", choices=["oracle", "tpu"], default="tpu")
+    return p
+
+
+def _run_phase(args):
+    from .core.phase_algo import PhaseParams
+    from .models.phase import PhaseConfig, run_phase
+
+    if not args.ont and not args.pb:
+        print("phase: missing arguments. --ont or --pb", file=sys.stderr)
+        return 1
+    params = PhaseParams(
+        distance=args.distance, connect_adjacent=args.connectAdjacent,
+        mapping_quality=args.mappingQuality, base_quality=args.baseQuality,
+        edge_weight=args.edgeWeight, snp_confidence=args.snpConfidence,
+        read_confidence=args.readConfidence, edge_threshold=args.edgeThreshold,
+        overlap_threshold=args.overlapThreshold, sv_window=args.svWindow,
+        sv_threshold=args.svThreshold, is_ont=args.ont,
+        phase_indel=args.indels, indel_quality=args.indelQuality)
+    cfg = PhaseConfig(
+        snp_file=args.snp_file, bam_files=args.bam_file,
+        fasta_file=args.reference, result_prefix=args.out_prefix,
+        sv_file=args.sv_file, mod_file=args.mod_file,
+        num_threads=args.threads, is_ont=args.ont, is_pb=args.pb,
+        phase_indel=args.indels, indel_quality=args.indelQuality,
+        command=" ".join(sys.argv), engine=args.engine, params=params)
+    run_phase(cfg)
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="longphase-s-tpu")
+    parser.add_argument("--version", action="version", version=__version__)
+    sub = parser.add_subparsers(dest="command")
+    _add_phase_parser(sub)
+    sub.add_parser("haplotag", help="tag reads by haplotype (coming online)")
+    sub.add_parser("somatic_haplotag", help="somatic haplotagging (coming online)")
+    sub.add_parser("estimate_purity", help="tumor purity estimation (coming online)")
+    sub.add_parser("modcall", help="methylation calling (coming online)")
+
+    args = parser.parse_args(argv)
+    if args.command == "phase":
+        return _run_phase(args)
+    parser.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

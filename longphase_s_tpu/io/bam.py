@@ -1,0 +1,291 @@
+"""BAM codec (reader + writer), implemented from the SAM/BAM spec v1.6.
+
+Replaces htslib's sam_read1/sam_write1 for this framework. Records keep their
+raw on-disk bytes so the haplotag pipeline can append HP/PS/PQ aux tags and
+re-emit otherwise bit-identical records (reference behavior:
+HaplotagProcess.cpp:357-361 appends tags to the htslib record then writes it).
+
+CIGAR/seq decoding yields numpy arrays ready for the host allele-extraction
+walk (core/alleles.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .bgzf import BgzfReader, BgzfWriter
+
+SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+CIGAR_OPS = "MIDNSHP=X"
+
+# cigar op codes
+BAM_CMATCH = 0
+BAM_CINS = 1
+BAM_CDEL = 2
+BAM_CREF_SKIP = 3
+BAM_CSOFT_CLIP = 4
+BAM_CHARD_CLIP = 5
+BAM_CPAD = 6
+BAM_CEQUAL = 7
+BAM_CDIFF = 8
+
+# flags
+FLAG_UNMAP = 0x4
+FLAG_REVERSE = 0x10
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUP = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+_AUX_SIZE = {"A": 1, "c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+_AUX_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I", "f": "<f"}
+
+
+class BamRecord:
+    """Lazy view over one alignment record's raw bytes (without block_size)."""
+
+    __slots__ = ("raw", "_qname", "_cigar", "_extra")
+
+    def __init__(self, raw: bytes):
+        self.raw = raw
+        self._qname = None
+        self._cigar = None
+        self._extra = b""  # appended aux bytes (for tagging)
+
+    # fixed fields -------------------------------------------------------
+    @property
+    def tid(self) -> int:
+        return struct.unpack_from("<i", self.raw, 0)[0]
+
+    @property
+    def pos(self) -> int:
+        return struct.unpack_from("<i", self.raw, 4)[0]
+
+    @property
+    def mapq(self) -> int:
+        return self.raw[9]
+
+    @property
+    def flag(self) -> int:
+        return struct.unpack_from("<H", self.raw, 14)[0]
+
+    @property
+    def n_cigar(self) -> int:
+        return struct.unpack_from("<H", self.raw, 12)[0]
+
+    @property
+    def l_seq(self) -> int:
+        return struct.unpack_from("<i", self.raw, 16)[0]
+
+    @property
+    def qname(self) -> str:
+        if self._qname is None:
+            l_read_name = self.raw[8]
+            self._qname = self.raw[32:32 + l_read_name - 1].decode("ascii")
+        return self._qname
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & FLAG_REVERSE)
+
+    # variable fields ----------------------------------------------------
+    def cigar(self) -> np.ndarray:
+        """uint32 array: (oplen << 4) | op."""
+        if self._cigar is None:
+            off = 32 + self.raw[8]
+            self._cigar = np.frombuffer(self.raw, dtype="<u4", count=self.n_cigar, offset=off)
+        return self._cigar
+
+    def cigar_tuples(self):
+        c = self.cigar()
+        return [(int(x) & 0xF, int(x) >> 4) for x in c]
+
+    def seq_nibbles(self) -> np.ndarray:
+        """4-bit codes per base (nt16), decoded to one uint8 per base."""
+        off = 32 + self.raw[8] + 4 * self.n_cigar
+        n = self.l_seq
+        packed = np.frombuffer(self.raw, dtype=np.uint8, count=(n + 1) // 2, offset=off)
+        out = np.empty(n, dtype=np.uint8)
+        out[0::2] = packed >> 4
+        out[1::2] = packed[: n // 2] & 0xF
+        return out
+
+    def seq(self) -> str:
+        return "".join(SEQ_NT16[b] for b in self.seq_nibbles())
+
+    def qual(self) -> np.ndarray:
+        off = 32 + self.raw[8] + 4 * self.n_cigar + (self.l_seq + 1) // 2
+        return np.frombuffer(self.raw, dtype=np.uint8, count=self.l_seq, offset=off)
+
+    # aux tags -----------------------------------------------------------
+    def _aux_offset(self) -> int:
+        return 32 + self.raw[8] + 4 * self.n_cigar + (self.l_seq + 1) // 2 + self.l_seq
+
+    def iter_aux(self):
+        """Yield (tag, type_char, start_offset, end_offset) over raw bytes."""
+        data = self.raw
+        i = self._aux_offset()
+        end = len(data)
+        while i + 3 <= end:
+            start = i
+            tag = data[i:i + 2].decode("ascii")
+            t = chr(data[i + 2])
+            i += 3
+            if t in _AUX_SIZE:
+                i += _AUX_SIZE[t]
+            elif t in ("Z", "H"):
+                j = data.index(b"\x00", i)
+                i = j + 1
+            elif t == "B":
+                sub = chr(data[i])
+                count = struct.unpack_from("<I", data, i + 1)[0]
+                i += 5 + _AUX_SIZE[sub] * count
+            else:
+                raise ValueError(f"bad aux type {t!r}")
+            yield tag, t, start, i
+
+    def get_tag(self, tag: str):
+        for t, typ, start, end in self.iter_aux():
+            if t == tag:
+                body = self.raw[start + 3:end]
+                if typ in _AUX_FMT:
+                    return struct.unpack(_AUX_FMT[typ], body)[0]
+                if typ == "A":
+                    return chr(body[0])
+                if typ in ("Z", "H"):
+                    return body[:-1].decode("ascii")
+                if typ == "B":
+                    sub = chr(body[0])
+                    count = struct.unpack_from("<I", body, 1)[0]
+                    return list(struct.unpack_from("<" + _AUX_FMT[sub][1] * count, body, 5))
+        return None
+
+    def append_tag_int(self, tag: str, value: int):
+        self._extra += tag.encode("ascii") + b"i" + struct.pack("<i", value)
+
+    def append_tag_str(self, tag: str, value: str):
+        self._extra += tag.encode("ascii") + b"Z" + value.encode("ascii") + b"\x00"
+
+    def strip_tags(self, tags: set[str]):
+        """Remove existing aux tags by name (rewrites raw)."""
+        spans = [(s, e) for t, _ty, s, e in self.iter_aux() if t in tags]
+        if not spans:
+            return
+        raw = bytearray(self.raw)
+        for s, e in reversed(spans):
+            del raw[s:e]
+        self.raw = bytes(raw)
+        self._cigar = None
+
+    def to_bytes(self) -> bytes:
+        return self.raw + self._extra
+
+
+class BamReader:
+    def __init__(self, path: str):
+        self._bgzf = BgzfReader(path)
+        magic = self._bgzf.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack("<i", self._bgzf.read(4))[0]
+        self.header_text = self._bgzf.read(l_text).decode("ascii", "replace")
+        n_ref = struct.unpack("<i", self._bgzf.read(4))[0]
+        self.references: list[str] = []
+        self.lengths: list[int] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", self._bgzf.read(4))[0]
+            name = self._bgzf.read(l_name)[:-1].decode("ascii")
+            l_ref = struct.unpack("<i", self._bgzf.read(4))[0]
+            self.references.append(name)
+            self.lengths.append(l_ref)
+        self.ref_id = {n: i for i, n in enumerate(self.references)}
+
+    def close(self):
+        self._bgzf.close()
+
+    def __iter__(self):
+        while True:
+            head = self._bgzf.read(4)
+            if len(head) < 4:
+                return
+            block_size = struct.unpack("<i", head)[0]
+            raw = self._bgzf.read(block_size)
+            if len(raw) < block_size:
+                raise ValueError("truncated BAM record")
+            yield BamRecord(raw)
+
+    def fetch(self, chrom: str, start: int = 0, end: int | None = None):
+        """Region iteration by linear scan (records overlapping [start, end)).
+
+        Matches htslib region-query semantics used by the reference
+        (ParsingBam.cpp:1273-1279 queries ``chr:1-lastSNPPos``): a record
+        overlaps if ref_start < end and ref_end > start. BAI-based seeking is a
+        planned fast path; correctness does not require it.
+        """
+        tid = self.ref_id[chrom]
+        for rec in self:
+            if rec.tid != tid:
+                if rec.tid > tid >= 0 and rec.tid != -1:
+                    # BAM sorted by tid: once past, stop.
+                    if rec.tid > tid:
+                        return
+                continue
+            if end is not None and rec.pos >= end:
+                return
+            yield rec
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """BAM spec reg2bin."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BamWriter:
+    def __init__(self, path: str, header_text: str, references: list[str], lengths: list[int]):
+        self._bgzf = BgzfWriter(path)
+        text = header_text.encode("ascii")
+        self._bgzf.write(b"BAM\x01" + struct.pack("<i", len(text)) + text)
+        self._bgzf.write(struct.pack("<i", len(references)))
+        for name, length in zip(references, lengths):
+            nb = name.encode("ascii") + b"\x00"
+            self._bgzf.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", length))
+
+    def write(self, rec: BamRecord):
+        body = rec.to_bytes()
+        self._bgzf.write(struct.pack("<i", len(body)) + body)
+
+    def write_sam_fields(self, qname: str, flag: int, tid: int, pos: int, mapq: int,
+                         cigar: list[tuple[int, int]], seq: str, qual: bytes,
+                         next_tid: int = -1, next_pos: int = -1, tlen: int = 0,
+                         tags: bytes = b""):
+        """Build and write a record from parsed fields (used by test fixtures)."""
+        name_b = qname.encode("ascii") + b"\x00"
+        ref_len = sum(ln for op, ln in cigar if op in (0, 2, 3, 7, 8)) or 1
+        bin_ = _reg2bin(pos, pos + ref_len) if pos >= 0 else 4680
+        fixed = struct.pack(
+            "<iiBBHHHiiii", tid, pos, len(name_b), mapq, bin_, len(cigar), flag,
+            len(seq), next_tid, next_pos, tlen,
+        )
+        cig = b"".join(struct.pack("<I", (ln << 4) | op) for op, ln in cigar)
+        nib = [SEQ_NT16.index(c) for c in seq.upper()]
+        if len(nib) % 2:
+            nib.append(0)
+        packed = bytes((nib[i] << 4) | nib[i + 1] for i in range(0, len(nib), 2))
+        body = fixed + name_b + cig + packed + bytes(qual) + tags
+        self._bgzf.write(struct.pack("<i", len(body)) + body)
+
+    def close(self):
+        self._bgzf.close()

@@ -1,0 +1,182 @@
+"""BGZF (Blocked GZip Format) codec.
+
+Implemented from the SAM/BAM specification (section 4.1): a BGZF file is a
+series of gzip members, each carrying a ``BC`` extra subfield whose payload is
+``BSIZE`` (total member length minus one). Replaces the role htslib's bgzf.c
+plays for the reference tool (the reference links htslib 1.16 for all BAM I/O;
+see SURVEY.md L0). Written from the public spec — no htslib code used.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+_BGZF_HEADER = (
+    b"\x1f\x8b\x08\x04"  # gzip magic, deflate, FEXTRA
+    b"\x00\x00\x00\x00"  # mtime
+    b"\x00\xff"          # XFL, OS=unknown
+    b"\x06\x00"          # XLEN = 6
+    b"\x42\x43\x02\x00"  # SI1='B' SI2='C' SLEN=2
+)
+
+# 28-byte EOF marker mandated by the spec.
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+MAX_BLOCK_SIZE = 65536
+
+
+def is_bgzf(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(18)
+    return (
+        len(head) >= 18
+        and head[:4] == b"\x1f\x8b\x08\x04"
+        and head[12:16] == b"\x42\x43\x02\x00"
+    )
+
+
+class BgzfReader(io.RawIOBase):
+    """Sequential BGZF decompressor with virtual-offset support.
+
+    Virtual offsets are ``coffset << 16 | uoffset`` as in the spec, enabling
+    BAI-index seeks later.
+    """
+
+    def __init__(self, path: str):
+        self._fh = open(path, "rb")
+        self._block_data = b""
+        self._block_coffset = 0
+        self._within = 0
+
+    def close(self):
+        self._fh.close()
+
+    # -- block machinery -------------------------------------------------
+    def _load_block(self) -> bool:
+        self._block_coffset = self._fh.tell()
+        header = self._fh.read(12)
+        if len(header) == 0:
+            self._block_data = b""
+            self._within = 0
+            return False
+        if len(header) < 12 or header[:4] != b"\x1f\x8b\x08\x04":
+            raise ValueError("corrupt BGZF block header")
+        xlen = struct.unpack("<H", header[10:12])[0]
+        extra = self._fh.read(xlen)
+        bsize = None
+        off = 0
+        while off + 4 <= xlen:
+            si1, si2, slen = extra[off], extra[off + 1], struct.unpack("<H", extra[off + 2:off + 4])[0]
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = struct.unpack("<H", extra[off + 4:off + 6])[0] + 1
+            off += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block missing BC subfield")
+        cdata_len = bsize - 12 - xlen - 8
+        cdata = self._fh.read(cdata_len)
+        tail = self._fh.read(8)
+        isize = struct.unpack("<I", tail[4:8])[0]
+        self._block_data = zlib.decompress(cdata, -15) if isize else b""
+        self._within = 0
+        return True
+
+    # -- reading ---------------------------------------------------------
+    def read(self, n: int = -1) -> bytes:
+        chunks = []
+        if n < 0:
+            while True:
+                if self._within >= len(self._block_data):
+                    if not self._load_block():
+                        break
+                chunks.append(self._block_data[self._within:])
+                self._within = len(self._block_data)
+            return b"".join(chunks)
+        remaining = n
+        while remaining > 0:
+            if self._within >= len(self._block_data):
+                if not self._load_block():
+                    break
+            take = min(remaining, len(self._block_data) - self._within)
+            chunks.append(self._block_data[self._within:self._within + take])
+            self._within += take
+            remaining -= take
+        return b"".join(chunks)
+
+    def readable(self) -> bool:
+        return True
+
+    # -- virtual offsets -------------------------------------------------
+    def tell_virtual(self) -> int:
+        return (self._block_coffset << 16) | self._within
+
+    def seek_virtual(self, voffset: int):
+        coffset, uoffset = voffset >> 16, voffset & 0xFFFF
+        self._fh.seek(coffset)
+        if not self._load_block():
+            if uoffset:
+                raise ValueError("seek past EOF")
+            return
+        self._within = uoffset
+
+
+class BgzfWriter(io.RawIOBase):
+    def __init__(self, path_or_fh, level: int = 6):
+        if isinstance(path_or_fh, str):
+            self._fh = open(path_or_fh, "wb")
+            self._own = True
+        else:
+            self._fh = path_or_fh
+            self._own = False
+        self._level = level
+        self._buf = bytearray()
+
+    def write(self, data: bytes) -> int:
+        self._buf += data
+        while len(self._buf) >= 65000:
+            self._flush_block(self._buf[:65000])
+            del self._buf[:65000]
+        return len(data)
+
+    def _flush_block(self, payload: bytes):
+        co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+        cdata = co.compress(bytes(payload)) + co.flush()
+        bsize = len(cdata) + 12 + 6 + 8
+        if bsize > MAX_BLOCK_SIZE:
+            # Incompressible data: split payload.
+            half = len(payload) // 2
+            self._flush_block(payload[:half])
+            self._flush_block(payload[half:])
+            return
+        self._fh.write(_BGZF_HEADER)
+        self._fh.write(struct.pack("<H", bsize - 1))
+        self._fh.write(cdata)
+        self._fh.write(struct.pack("<II", zlib.crc32(bytes(payload)) & 0xFFFFFFFF, len(payload)))
+
+    def close(self):
+        if self._fh is None:
+            return
+        if self._buf:
+            self._flush_block(self._buf)
+            self._buf = bytearray()
+        self._fh.write(BGZF_EOF)
+        if self._own:
+            self._fh.close()
+        self._fh = None
+
+    def writable(self) -> bool:
+        return True
+
+
+def open_maybe_bgzf(path: str):
+    """Open a text file that may be plain, gzip, or BGZF compressed."""
+    import gzip
+
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="ascii")
+    return open(path, "rt", encoding="ascii")

@@ -1,0 +1,271 @@
+"""VCF reading/writing with reference-identical semantics.
+
+Read side mirrors SnpParser (ParsingBam.cpp:222-359): heterozygous bi-allelic
+SNPs and (optionally) indels with GT in {0/1, 1/0, 0|1, 1|0}; multi-allelic
+records skipped; low-QUAL indels filtered + logged.
+
+Write side mirrors SnpParser::writeLine (ParsingBam.cpp:460-635): strip any
+existing PS from FORMAT/sample, normalize GT (sort digits, '|'→'/'), then for
+phased sites inject ``a|b`` GT and append ``PS=blockStart(1-based)``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+from .bgzf import open_maybe_bgzf
+
+HET_GTS = {"0/1", "1/0", "0|1", "1|0"}
+
+
+@dataclass
+class VariantInfo:
+    ref: str
+    alt: str
+    is_danger: bool = False
+
+
+@dataclass
+class HetVariantSet:
+    """Per-chromosome heterozygous variant tables (the phasing site universe)."""
+
+    contigs: list[str] = field(default_factory=list)
+    contig_lengths: dict[str, int] = field(default_factory=dict)
+    # chrom -> {pos0: VariantInfo}; dict preserves insertion order but
+    # positions are also kept sorted on demand.
+    by_chrom: dict[str, dict[int, VariantInfo]] = field(default_factory=dict)
+    # chrom -> set of 0-based positions of indels removed by the QUAL filter
+    filtered_indels: dict[str, set[int]] = field(default_factory=dict)
+    removed_indel_log: list[str] = field(default_factory=list)
+
+    def last_snp(self, chrom: str) -> int:
+        """Largest 0-based het-variant position, or -1 (SnpParser::getLastSNP)."""
+        positions = self.by_chrom.get(chrom)
+        if not positions:
+            return -1
+        return max(positions)
+
+    def sorted_positions(self, chrom: str) -> list[int]:
+        return sorted(self.by_chrom.get(chrom, {}))
+
+
+_CONTIG_RE = re.compile(r"##contig=<([^>]*)>")
+
+
+def _parse_contig_line(line: str):
+    m = _CONTIG_RE.match(line)
+    if not m:
+        return None
+    fields = dict(kv.split("=", 1) for kv in m.group(1).split(",") if "=" in kv)
+    name = fields.get("ID")
+    length = int(fields["length"]) if "length" in fields else 0
+    return name, length
+
+
+def _first_sample_gt(format_field: str, sample_field: str) -> str | None:
+    keys = format_field.split(":")
+    vals = sample_field.split(":")
+    try:
+        idx = keys.index("GT")
+    except ValueError:
+        return None
+    if idx >= len(vals):
+        return None
+    return vals[idx]
+
+
+def read_het_variants(path: str, phase_indel: bool = False,
+                      indel_quality: int = 0) -> HetVariantSet:
+    """Load heterozygous bi-allelic variants (ParsingBam.cpp:267-352)."""
+    out = HetVariantSet()
+    with open_maybe_bgzf(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith("##"):
+                parsed = _parse_contig_line(line)
+                if parsed:
+                    out.contigs.append(parsed[0])
+                    out.contig_lengths[parsed[0]] = parsed[1]
+                continue
+            if line.startswith("#"):
+                continue
+            f = line.split("\t")
+            if len(f) < 10:
+                continue
+            chrom, pos1, _id, ref, alt = f[0], f[1], f[2], f[3], f[4]
+            # multi-allelic records skipped (ParsingBam.cpp:294,344)
+            if "," in alt:
+                continue
+            gt = _first_sample_gt(f[8], f[9])
+            if gt not in HET_GTS:
+                continue
+            pos0 = int(pos1) - 1
+            is_snp = len(ref) == 1 and len(alt) == 1 and ref != "*" and alt != "*"
+            if is_snp:
+                out.by_chrom.setdefault(chrom, {})[pos0] = VariantInfo(ref, alt)
+            elif phase_indel:
+                qual = 0.0
+                if f[5] not in (".", ""):
+                    try:
+                        qual = float(f[5])
+                    except ValueError:
+                        qual = 0.0
+                if math.isnan(qual):
+                    qual = 0.0
+                if indel_quality > 0 and qual < indel_quality:
+                    out.removed_indel_log.append(
+                        f"{chrom}\t{pos0 + 1}\t{ref}\t{alt}\t"
+                        f"{f[5] if f[5] != '.' else '.'}"
+                    )
+                    out.filtered_indels.setdefault(chrom, set()).add(pos0)
+                    continue
+                out.by_chrom.setdefault(chrom, {})[pos0] = VariantInfo(ref, alt)
+    return out
+
+
+def mark_danger_indels(variants: dict[int, VariantInfo], ref_string: str):
+    """Tandem-repeat marking (SnpParser::getVariants_markindel ParsingBam.cpp:378-417).
+
+    An indel whose following reference bases are a 2-mer repeated >=5 times is
+    marked ``is_danger``.
+    """
+    n = len(ref_string)
+    for pos, info in variants.items():
+        danger = False
+        if len(info.ref) > 1 or len(info.alt) > 1:
+            if pos + 3 <= n:
+                r0, r1 = ref_string[pos + 1], ref_string[pos + 2]
+                ref_pos = pos
+                i = 0
+                while i < 5:
+                    if (ref_pos + 2 >= n or r0 != ref_string[ref_pos + 1]
+                            or r1 != ref_string[ref_pos + 2]):
+                        break
+                    ref_pos += 2
+                    i += 1
+                danger = i == 5
+        info.is_danger = danger
+
+
+# ---------------------------------------------------------------------------
+# Result VCF writing (SnpParser::writeLine semantics)
+# ---------------------------------------------------------------------------
+
+def _find_subfield_start(format_field: str, key_pos_in_format: int, sample: str) -> int:
+    """Column position in the sample string for the Nth ':'-separated value."""
+    colon_target = format_field[:key_pos_in_format].count(":")
+    current = 0
+    start = 0
+    for ch in sample:
+        if current >= colon_target:
+            break
+        if ch == ":":
+            current += 1
+        start += 1
+    return start
+
+
+def _strip_ps(format_field: str, sample: str) -> tuple[str, str]:
+    ps_pos = format_field.find("PS")
+    if ps_pos < 0:
+        return format_field, sample
+    start = _find_subfield_start(format_field, ps_pos, sample)
+    if format_field.find(":", ps_pos + 1) != -1:
+        format_field = format_field[:ps_pos] + format_field[ps_pos + 3:]
+    else:
+        format_field = format_field[:ps_pos - 1] + format_field[ps_pos + 2:]
+    nxt = sample.find(":", start + 1)
+    if nxt != -1:
+        sample = sample[:start] + sample[nxt + 1:]
+    else:
+        sample = sample[:start - 1]
+    return format_field, sample
+
+
+def _normalize_gt(format_field: str, sample: str) -> str:
+    gt_pos = format_field.find("GT")
+    if gt_pos < 0:
+        return sample
+    start = _find_subfield_start(format_field, gt_pos, sample)
+    s = list(sample)
+    if start + 2 < len(s) and s[start + 1] == "|":
+        if s[start] > s[start + 2]:
+            s[start], s[start + 2] = s[start + 2], s[start]
+        s[start + 1] = "/"
+    return "".join(s)
+
+
+def _apply_phase(format_field: str, sample: str, ra_status: str, block: int) -> tuple[str, str]:
+    format_field = format_field + ":PS"
+    sample = sample + ":" + str(block)
+    gt_pos = format_field.find("GT")
+    start = _find_subfield_start(format_field, gt_pos, sample)
+    s = list(sample)
+    s[start] = ra_status[0]
+    s[start + 1] = "|"
+    s[start + 2] = ra_status[2]
+    return format_field, "".join(s)
+
+
+def rewrite_result_vcf(in_path: str, out_path: str, phasing_result: dict,
+                       het_set: HetVariantSet, version: str, command: str,
+                       phase_indel: bool = False, indel_quality: int = 0):
+    """Annotate the input VCF with phased GT/PS (ParsingBam.cpp:460-635).
+
+    ``phasing_result`` maps ``f"{chrom}_{pos0}"`` -> (ra_status, block).
+    """
+    ps_def = False
+    command_line_written = False
+    with open_maybe_bgzf(in_path) as fin, open(out_path, "w") as fout:
+        for line in fin:
+            line = line.rstrip("\n")
+            if line.startswith("##"):
+                if line.startswith("##FORMAT=<ID=PS,"):
+                    ps_def = True
+                if line.startswith("##FILTER=<ID=PASS"):
+                    fout.write(line + "\n")
+                    if phase_indel and indel_quality > 0:
+                        fout.write(
+                            "##FILTER=<ID=INDEL_QUAL_FILTERED,Description=\"Indel "
+                            f"filtered due to QUAL below threshold ({indel_quality})\">\n"
+                        )
+                else:
+                    fout.write(line + "\n")
+                continue
+            if line.startswith("#CHROM") or line.startswith("#chrom"):
+                if not command_line_written:
+                    if not ps_def:
+                        fout.write(
+                            "##FORMAT=<ID=PS,Number=1,Type=Integer,"
+                            "Description=\"Phase set identifier\">\n"
+                        )
+                        ps_def = True
+                    fout.write(f"##longphaseVersion={version}\n")
+                    fout.write(f"##commandline=\"{command}\"\n")
+                    command_line_written = True
+                fout.write(line + "\n")
+                continue
+            fields = line.split()
+            if not fields:
+                continue
+            pos0 = int(fields[1]) - 1
+            key = f"{fields[0]}_{pos0}"
+            fields[8], fields[9] = _strip_ps(fields[8], fields[9])
+            fields[9] = _normalize_gt(fields[8], fields[9])
+            in_het = pos0 in het_set.by_chrom.get(fields[0], {})
+            filtered = (phase_indel and indel_quality > 0
+                        and pos0 in het_set.filtered_indels.get(fields[0], set()))
+            element = phasing_result.get(key)
+            if element is not None and in_het:
+                ra_status, block = element
+                fields[8], fields[9] = _apply_phase(fields[8], fields[9], ra_status, block)
+            else:
+                fields[8] = fields[8] + ":PS"
+                fields[9] = fields[9] + ":."
+            if filtered:
+                fields[6] = "INDEL_QUAL_FILTERED"
+            fout.write("\t".join(fields) + "\n")

@@ -1,0 +1,124 @@
+"""Germline phasing pipeline (reference: PhasingProcess.cpp:5-208).
+
+Flow: parse SNP (+SV +METH) VCFs -> load reference windows -> per chromosome:
+BAM allele extraction -> ONT SNP filter -> clip/CNV intervals -> graph phasing
+-> merge results -> rewrite annotated VCF(s).
+
+The per-chromosome compute body dispatches to either the host oracle
+(``core.phase_algo``, exact reference semantics) or the TPU engine
+(``ops.engine``) which must produce identical results and is the performance
+path.
+"""
+
+from __future__ import annotations
+
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from .. import REFERENCE_VERSION
+from ..core import phase_algo
+from ..core.alleles import extract_chromosome
+from ..core.clip import get_cnv_intervals
+from ..core.phase_algo import PhaseParams, phase_chromosome
+from ..core.snp_filter import filter_ont_snps
+from ..io import vcf as vcf_io
+from ..io.fasta import FastaFile
+from ..utils import StageTimer
+
+
+@dataclass
+class PhaseConfig:
+    snp_file: str
+    bam_files: list[str]
+    fasta_file: str
+    result_prefix: str = "result"
+    sv_file: str = ""
+    mod_file: str = ""
+    num_threads: int = 1
+    is_ont: bool = False
+    is_pb: bool = False
+    phase_indel: bool = False
+    indel_quality: int = 0
+    dot: bool = False
+    command: str = ""
+    engine: str = "oracle"  # "oracle" (host, exact) | "tpu" (device kernels)
+    params: PhaseParams = field(default_factory=PhaseParams)
+
+
+def run_phase(cfg: PhaseConfig) -> dict:
+    timer = StageTimer()
+    cfg.params.is_ont = cfg.is_ont
+    cfg.params.phase_indel = cfg.phase_indel
+    cfg.params.indel_quality = cfg.indel_quality
+
+    with timer("parsing VCF"):
+        het = vcf_io.read_het_variants(cfg.snp_file, cfg.phase_indel, cfg.indel_quality)
+        if cfg.phase_indel and cfg.indel_quality > 0:
+            with open(cfg.result_prefix + "_removed_indels.log", "w") as f:
+                f.write("#CHROM\tPOS\tREF\tALT\tQUAL\n")
+                for line in het.removed_indel_log:
+                    f.write(line + "\n")
+
+    with timer("reading reference"):
+        fasta = FastaFile(cfg.fasta_file)
+
+    chr_results: dict[str, dict] = {}
+
+    def process_chrom(chrom: str):
+        last_snp = het.last_snp(chrom)
+        if last_snp == -1:
+            return
+        # reference fetches [0, lastSNP+5] (ParsingBam.cpp:47)
+        ref_string = fasta.fetch(chrom, 0, last_snp + 6) if chrom in fasta.index else ""
+        variants = het.by_chrom[chrom]
+        vcf_io.mark_danger_indels(variants, ref_string)
+        positions = sorted(variants)
+        infos = [variants[p] for p in positions]
+
+        alns, clip_count = extract_chromosome(
+            cfg.bam_files, chrom, last_snp, positions, infos, ref_string,
+            mapping_quality=cfg.params.mapping_quality,
+            sv_window=cfg.params.sv_window, sv_threshold=cfg.params.sv_threshold)
+
+        if cfg.is_ont:
+            filter_ont_snps(variants, alns, ref_string)
+
+        if not alns:
+            return
+        # Clip ctor + the explicit second call duplicate every interval
+        # (PhasingProcess.cpp:147-148); downstream ratios are invariant but we
+        # preserve the doubled list for walk parity.
+        intervals = get_cnv_intervals(clip_count)
+        cnv_vec = intervals + intervals
+
+        if cfg.engine == "tpu":
+            from ..ops.engine import phase_chromosome_tpu
+            result, _read_hp, _g = phase_chromosome_tpu(alns, cnv_vec, chrom, cfg.params)
+        else:
+            result, _read_hp, _g = phase_chromosome(alns, cnv_vec, chrom, cfg.params)
+        chr_results[chrom] = result
+        print(f"({chrom})", end="", file=sys.stderr, flush=True)
+
+    with timer("phasing chromosomes"):
+        chroms = [c for c in het.contigs]
+        if cfg.num_threads > 1:
+            with ThreadPoolExecutor(max_workers=cfg.num_threads) as pool:
+                list(pool.map(process_chrom, chroms))
+        else:
+            for c in chroms:
+                process_chrom(c)
+        print("", file=sys.stderr)
+
+    with timer("merge results"):
+        merged: dict[str, tuple[str, int]] = {}
+        for chrom in chr_results:
+            merged.update(chr_results[chrom])
+
+    with timer("writeResult SNP"):
+        vcf_io.rewrite_result_vcf(
+            cfg.snp_file, cfg.result_prefix + ".vcf", merged, het,
+            REFERENCE_VERSION, cfg.command,
+            phase_indel=cfg.phase_indel, indel_quality=cfg.indel_quality)
+
+    return merged

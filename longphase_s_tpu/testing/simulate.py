@@ -1,0 +1,275 @@
+"""Synthetic long-read fixture generator.
+
+Produces FASTA + het-SNP/indel VCF + coordinate-sorted BAM (+BAI) fixtures
+that both this framework and the reference binary can consume, enabling
+golden-output tests (SURVEY.md §4 test plan (a)).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..io.bam import BamWriter, _reg2bin
+from ..io.bgzf import BgzfWriter
+from ..io.fasta import write_fasta
+
+BASES = "ACGT"
+
+
+def _other_base(rng, base):
+    choices = [b for b in BASES if b != base]
+    return choices[rng.integers(0, 3)]
+
+
+def simulate_chromosome(rng, length=200000, snp_rate=0.001, indel_rate=0.0):
+    """Returns (ref_seq, variants) where variants is a sorted list of
+    (pos0, ref_allele, alt_allele, hap_with_alt)."""
+    seq = "".join(BASES[i] for i in rng.integers(0, 4, size=length))
+    variants = []
+    pos = 100
+    while pos < length - 100:
+        gap = max(10, int(rng.exponential(1.0 / snp_rate)))
+        pos += gap
+        if pos >= length - 100:
+            break
+        ref_b = seq[pos]
+        if indel_rate > 0 and rng.random() < indel_rate:
+            if rng.random() < 0.5:
+                ins = "".join(BASES[i] for i in rng.integers(0, 4, size=rng.integers(1, 6)))
+                variants.append((pos, ref_b, ref_b + ins, int(rng.integers(0, 2))))
+            else:
+                del_len = int(rng.integers(1, 6))
+                if pos + del_len + 1 < length:
+                    variants.append((pos, seq[pos:pos + del_len + 1], ref_b,
+                                     int(rng.integers(0, 2))))
+        else:
+            variants.append((pos, ref_b, _other_base(rng, ref_b), int(rng.integers(0, 2))))
+    return seq, variants
+
+
+def simulate_reads(rng, ref_seq, variants, coverage=25, read_len=15000,
+                   error_rate=0.0, qual=40, softclip_prob=0.3,
+                   max_softclip=12):
+    """Sample reads from the two haplotypes. Returns a list of
+    (qname, pos0, cigar, seq, quals) sorted by pos.
+
+    A fraction of reads get soft-clipped ends (the reference binary requires a
+    non-empty clip table: Clip::getCNVInterval dereferences
+    clipCount.rbegin() unconditionally, PhasingGraph.cpp:1134)."""
+    # build the two haplotype sequences with coordinate maps
+    haps = []
+    for h in (0, 1):
+        parts = []
+        coords = []  # (ref_start, ref_end, hap_start) segments of exact match
+        cursor = 0
+        hpos = 0
+        events = []
+        for pos, ref_a, alt_a, hap_alt in variants:
+            if hap_alt == h:
+                events.append((pos, ref_a, alt_a))
+        for pos, ref_a, alt_a in events:
+            parts.append(ref_seq[cursor:pos])
+            hpos += pos - cursor
+            parts.append(alt_a)
+            coords.append((cursor, pos, hpos - (pos - cursor)))
+            hpos += len(alt_a)
+            cursor = pos + len(ref_a)
+        parts.append(ref_seq[cursor:])
+        haps.append(("".join(parts), events))
+
+    n_reads = max(1, int(len(ref_seq) * coverage / read_len))
+    reads = []
+    for i in range(n_reads * 2):
+        h = i % 2
+        start = int(rng.integers(0, max(1, len(ref_seq) - read_len // 2)))
+        end = min(len(ref_seq), start + read_len + int(rng.integers(-read_len // 4, read_len // 4)))
+        if end - start < 200:
+            continue
+        # construct read sequence + cigar directly from ref coordinates
+        seq_parts = []
+        cigar = []  # list[(op, len)]
+        cursor = start
+        _hseq, events = haps[h]
+
+        def push(op, ln):
+            if ln <= 0:
+                return
+            if cigar and cigar[-1][0] == op:
+                cigar[-1] = (op, cigar[-1][1] + ln)
+            else:
+                cigar.append((op, ln))
+
+        for pos, ref_a, alt_a in events:
+            if pos < cursor or pos >= end:
+                continue
+            if len(ref_a) > 1 and pos + len(ref_a) > end:
+                continue
+            seq_parts.append(ref_seq[cursor:pos])
+            push(0, pos - cursor)
+            if len(ref_a) == 1 and len(alt_a) == 1:
+                seq_parts.append(alt_a)
+                push(0, 1)
+                cursor = pos + 1
+            elif len(ref_a) == 1:  # insertion
+                seq_parts.append(alt_a)
+                push(0, 1)
+                push(1, len(alt_a) - 1)
+                cursor = pos + 1
+            else:  # deletion
+                seq_parts.append(alt_a)
+                push(0, 1)
+                push(2, len(ref_a) - 1)
+                cursor = pos + len(ref_a)
+        seq_parts.append(ref_seq[cursor:end])
+        push(0, end - cursor)
+        seq = "".join(seq_parts)
+
+        # soft-clipped ends
+        if rng.random() < softclip_prob:
+            sc = int(rng.integers(1, max_softclip))
+            seq = "".join(BASES[b] for b in rng.integers(0, 4, size=sc)) + seq
+            cigar.insert(0, (4, sc))
+        if rng.random() < softclip_prob:
+            sc = int(rng.integers(1, max_softclip))
+            seq = seq + "".join(BASES[b] for b in rng.integers(0, 4, size=sc))
+            cigar.append((4, sc))
+
+        # sequencing errors (substitutions only, keeps CIGAR)
+        if error_rate > 0:
+            seq_l = list(seq)
+            n_err = rng.binomial(len(seq_l), error_rate)
+            for j in rng.integers(0, len(seq_l), size=n_err):
+                seq_l[j] = _other_base(rng, seq_l[j])
+            seq = "".join(seq_l)
+
+        quals = bytes([qual]) * len(seq)
+        reads.append((f"read_{i:05d}_h{h + 1}", start, cigar, seq, quals))
+    reads.sort(key=lambda r: r[1])
+    return reads
+
+
+def write_vcf(path, chrom, chrom_len, variants, sample="SAMPLE", phased=False,
+              extra_format=False):
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={chrom},length={chrom_len}>\n")
+        f.write('##FILTER=<ID=PASS,Description="All filters passed">\n')
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        if extra_format:
+            f.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">\n')
+        f.write(f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample}\n")
+        for pos, ref_a, alt_a, hap_alt in variants:
+            if phased:
+                gt = "0|1" if hap_alt == 1 else "1|0"
+            else:
+                gt = "0/1"
+            fmt, val = ("GT:DP", gt + ":30") if extra_format else ("GT", gt)
+            f.write(f"{chrom}\t{pos + 1}\t.\t{ref_a}\t{alt_a}\t50\tPASS\t.\t{fmt}\t{val}\n")
+
+
+def write_bam_with_index(path, chrom, chrom_len, reads, sample="SAMPLE"):
+    """Writes a coordinate-sorted BAM, one BGZF block per record so virtual
+    offsets are trivially known, plus a .bai index."""
+    header_text = ("@HD\tVN:1.6\tSO:coordinate\n"
+                   f"@SQ\tSN:{chrom}\tLN:{chrom_len}\n"
+                   f"@RG\tID:rg1\tSM:{sample}\n")
+    fh = open(path, "wb")
+    bgzf = BgzfWriter(fh)
+    text = header_text.encode()
+    bgzf.write(b"BAM\x01" + struct.pack("<i", len(text)) + text)
+    nb = chrom.encode() + b"\x00"
+    bgzf.write(struct.pack("<i", 1))
+    bgzf.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", chrom_len))
+    # flush header into its own block(s)
+    bgzf._flush_block(bytes(bgzf._buf))
+    bgzf._buf = bytearray()
+
+    from ..io.bam import SEQ_NT16
+    records = []  # (pos, end, voffset_beg, voffset_end)
+    for qname, pos, cigar, seq, quals in reads:
+        name_b = qname.encode() + b"\x00"
+        ref_len = sum(ln for op, ln in cigar if op in (0, 2, 3, 7, 8))
+        bin_ = _reg2bin(pos, pos + ref_len)
+        fixed = struct.pack("<iiBBHHHiiii", 0, pos, len(name_b), 60, bin_,
+                            len(cigar), 0, len(seq), -1, -1, 0)
+        cig = b"".join(struct.pack("<I", (ln << 4) | op) for op, ln in cigar)
+        nib = [SEQ_NT16.index(c) for c in seq.upper()]
+        if len(nib) % 2:
+            nib.append(0)
+        packed = bytes((nib[i] << 4) | nib[i + 1] for i in range(0, len(nib), 2))
+        body = fixed + name_b + cig + packed + bytes(quals)
+        voff_beg = fh.tell() << 16
+        bgzf.write(struct.pack("<i", len(body)) + body)
+        bgzf._flush_block(bytes(bgzf._buf))
+        bgzf._buf = bytearray()
+        voff_end = fh.tell() << 16
+        records.append((pos, pos + max(ref_len, 1), voff_beg, voff_end))
+    bgzf.close()
+
+    # ---- BAI ----
+    bins: dict[int, list[tuple[int, int]]] = {}
+    n_windows = (chrom_len >> 14) + 1
+    ioff = [0] * n_windows
+    for pos, end, vb, ve in records:
+        b = _reg2bin(pos, end)
+        bins.setdefault(b, []).append((vb, ve))
+        for w in range(pos >> 14, ((end - 1) >> 14) + 1):
+            if ioff[w] == 0:
+                ioff[w] = vb
+    # merge adjacent chunks per bin
+    merged_bins = {}
+    for b, chunks in bins.items():
+        chunks.sort()
+        out = [list(chunks[0])]
+        for vb, ve in chunks[1:]:
+            if vb == out[-1][1]:
+                out[-1][1] = ve
+            else:
+                out.append([vb, ve])
+        merged_bins[b] = out
+    # fill linear index gaps with previous value
+    prev = 0
+    for w in range(n_windows):
+        if ioff[w] == 0:
+            ioff[w] = prev
+        else:
+            prev = ioff[w]
+
+    with open(path + ".bai", "wb") as f:
+        f.write(b"BAI\x01")
+        f.write(struct.pack("<i", 1))
+        f.write(struct.pack("<i", len(merged_bins)))
+        for b in sorted(merged_bins):
+            chunks = merged_bins[b]
+            f.write(struct.pack("<Ii", b, len(chunks)))
+            for vb, ve in chunks:
+                f.write(struct.pack("<QQ", vb, ve))
+        f.write(struct.pack("<i", n_windows))
+        for v in ioff:
+            f.write(struct.pack("<Q", v))
+
+
+def make_fixture(out_dir: str, seed: int = 7, chrom: str = "chr20",
+                 length: int = 200000, coverage: int = 25,
+                 read_len: int = 15000, snp_rate: float = 0.001,
+                 indel_rate: float = 0.0, error_rate: float = 0.0,
+                 qual: int = 40):
+    """Generate a full fixture set; returns dict of paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ref_seq, variants = simulate_chromosome(rng, length, snp_rate, indel_rate)
+    reads = simulate_reads(rng, ref_seq, variants, coverage, read_len,
+                           error_rate, qual)
+    fa = os.path.join(out_dir, "ref.fa")
+    vcf_path = os.path.join(out_dir, "snp.vcf")
+    bam = os.path.join(out_dir, "reads.bam")
+    write_fasta(fa, {chrom: ref_seq})
+    write_vcf(vcf_path, chrom, length, variants)
+    write_bam_with_index(bam, chrom, length, reads)
+    return {"fasta": fa, "vcf": vcf_path, "bam": bam, "chrom": chrom,
+            "length": length, "variants": variants, "reads": reads,
+            "ref_seq": ref_seq}

@@ -1,0 +1,30 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware (SURVEY.md §4 test plan (c)).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+import pytest  # noqa: E402
+
+
+REFERENCE_BIN = "/root/repo/.refbuild/longphase-s"
+
+
+@pytest.fixture(scope="session")
+def reference_binary():
+    if not os.path.exists(REFERENCE_BIN):
+        pytest.skip("reference binary not built")
+    return REFERENCE_BIN
+
+
+@pytest.fixture(scope="session")
+def small_fixture(tmp_path_factory):
+    from longphase_s_tpu.testing.simulate import make_fixture
+
+    out = tmp_path_factory.mktemp("fix_small")
+    return make_fixture(str(out), seed=7, length=120000, coverage=20,
+                        read_len=12000, snp_rate=0.001)
