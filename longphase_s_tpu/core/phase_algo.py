@@ -331,7 +331,7 @@ def _one_long_case(votes, variant_type):
     return h1, h2
 
 
-def vote_scan(g: PhaseGraph, params: PhaseParams):
+def vote_scan(g: PhaseGraph, params: PhaseParams, debug_target: int | None = None):
     """edgeConnectResult (PhasingGraph.cpp:286-474).
 
     Returns (bk_result, sub_node_hp, hp_result) where bk_result maps
@@ -422,6 +422,10 @@ def vote_scan(g: PhaseGraph, params: PhaseParams):
             if curr_is_danger:
                 weight = F32(0.1)
 
+            if debug_target is not None and target == debug_target:
+                print("ORACLE vote", curr, "->", target, "rr/ra/ar/aa", rr, ra,
+                      ar, aa, "esr", esr, "ref_allele", ref_allele,
+                      "weight", weight, "hp[curr]", curr_hp)
             if ref_allele != -1:
                 if curr_hp == 1:
                     mapped = 1 if ref_allele == 1 else 2

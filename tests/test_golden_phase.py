@@ -48,7 +48,7 @@ def assert_vcfs_match(golden, ours):
     assert g == o
 
 
-@pytest.mark.parametrize("engine", ["oracle"])
+@pytest.mark.parametrize("engine", ["oracle", "tpu"])
 def test_phase_clean_reads(reference_binary, small_fixture, tmp_path, engine):
     golden = _run_reference(reference_binary, small_fixture, str(tmp_path / "golden"))
     ours = _run_ours(small_fixture, str(tmp_path / "ours"), engine=engine)
