@@ -71,7 +71,19 @@ def main(argv=None):
     parser.add_argument("--version", action="version", version=__version__)
     sub = parser.add_subparsers(dest="command")
     _add_phase_parser(sub)
-    sub.add_parser("haplotag", help="tag reads by haplotype (coming online)")
+    hp = sub.add_parser("haplotag", help="tag reads by haplotype")
+    hp.add_argument("-s", "--snp-file", required=True)
+    hp.add_argument("-b", "--bam-file", required=True)
+    hp.add_argument("-r", "--reference", required=True)
+    hp.add_argument("-o", "--out-prefix", default="result")
+    hp.add_argument("-t", "--threads", type=int, default=1)
+    hp.add_argument("--sv-file", default="")
+    hp.add_argument("--mod-file", default="")
+    hp.add_argument("-q", "--qualityThreshold", type=int, default=1)
+    hp.add_argument("-p", "--percentageThreshold", type=float, default=0.6)
+    hp.add_argument("--tagSupplementary", action="store_true")
+    hp.add_argument("--region", default="")
+    hp.add_argument("--log", action="store_true")
     sub.add_parser("somatic_haplotag", help="somatic haplotagging (coming online)")
     sub.add_parser("estimate_purity", help="tumor purity estimation (coming online)")
     sub.add_parser("modcall", help="methylation calling (coming online)")
@@ -79,6 +91,19 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.command == "phase":
         return _run_phase(args)
+    if args.command == "haplotag":
+        from .models.haplotag import HaplotagConfig, run_haplotag
+
+        cfg = HaplotagConfig(
+            snp_file=args.snp_file, bam_file=args.bam_file,
+            fasta_file=args.reference, result_prefix=args.out_prefix,
+            sv_file=args.sv_file, mod_file=args.mod_file,
+            num_threads=args.threads, quality_threshold=args.qualityThreshold,
+            percentage_threshold=args.percentageThreshold,
+            tag_supplementary=args.tagSupplementary, region=args.region,
+            write_read_log=args.log, command=" ".join(sys.argv))
+        run_haplotag(cfg)
+        return 0
     parser.print_help()
     return 1
 

@@ -34,9 +34,8 @@ from ..core.phase_algo import T_DANGER, T_INDEL, T_MOD, T_SNP
 I32 = jnp.int32
 
 
-@partial(jax.jit, static_argnames=("window", "distance", "edge_threshold_x10"))
-def vote_scan_jax(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
-                  window: int, distance: int, edge_threshold_x10: float):
+def vote_scan_core(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
+                   window: int, distance: int, edge_threshold_x10: float):
     """Run the scan.
 
     Args:
@@ -142,6 +141,10 @@ def vote_scan_jax(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
     return assigned, hp, bstart
 
 
+vote_scan_jax = jax.jit(
+    vote_scan_core, static_argnames=("window", "distance", "edge_threshold_x10"))
+
+
 def run_vote_scan(packed, params):
     """Host wrapper: prepare band metadata, run the jitted scan, and apply the
     reference's 'last site never processed' rule + block assembly.
@@ -155,25 +158,37 @@ def run_vote_scan(packed, params):
     if S == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int8)
 
-    gap = np.full(S, np.iinfo(np.int32).max, dtype=np.int32)
+    # pad the site axis to a bucket size so XLA compiles once per bucket, not
+    # once per chromosome; padded steps are inert (huge gap -> distance skip,
+    # no valid targets)
+    Sp = max(256, 1 << int(np.ceil(np.log2(S))))
+    gap = np.full(Sp, np.iinfo(np.int32).max, dtype=np.int32)
     if S > 1:
-        gap[:-1] = np.minimum(np.diff(packed.positions),
-                              np.iinfo(np.int32).max).astype(np.int32)
+        gap[:S - 1] = np.minimum(np.diff(packed.positions),
+                                 np.iinfo(np.int32).max).astype(np.int32)
     # band lookups
     ranks = np.arange(S)
     tgt = ranks[:, None] + np.arange(1, W + 1)[None, :]
-    valid_band = tgt < S
-    vtype_band = np.where(valid_band, packed.vtype[np.minimum(tgt, S - 1)], 0)
+    valid_band = np.zeros((Sp, W), dtype=bool)
+    valid_band[:S] = tgt < S
+    vtype_band = np.zeros((Sp, W), dtype=np.int8)
+    vtype_band[:S] = np.where(tgt < S, packed.vtype[np.minimum(tgt, S - 1)], 0)
+    counts_hi = np.zeros((Sp, W, 4), dtype=np.int32)
+    counts_hi[:S] = packed.counts_hi
+    counts_lo = np.zeros((Sp, W, 4), dtype=np.int32)
+    counts_lo[:S] = packed.counts_lo
+    vtype = np.zeros(Sp, dtype=np.int8)
+    vtype[:S] = packed.vtype
 
     assigned, hp, bstart = vote_scan_jax(
-        jnp.asarray(packed.counts_hi), jnp.asarray(packed.counts_lo),
-        jnp.asarray(gap), jnp.asarray(packed.vtype),
-        jnp.asarray(vtype_band.astype(np.int8)), jnp.asarray(valid_band),
+        jnp.asarray(counts_hi), jnp.asarray(counts_lo),
+        jnp.asarray(gap), jnp.asarray(vtype),
+        jnp.asarray(vtype_band), jnp.asarray(valid_band),
         window=W, distance=params.distance,
         edge_threshold_x10=float(params.edge_threshold) * 10.0)
-    assigned = np.array(assigned)
-    hp = np.array(hp)
-    bstart = np.array(bstart)
+    assigned = np.array(assigned)[:S]
+    hp = np.array(hp)[:S]
+    bstart = np.array(bstart)[:S]
     # the last site is never visited by the reference loop
     assigned[S - 1] = False
 
