@@ -51,6 +51,133 @@ class HetVariantSet:
         return sorted(self.by_chrom.get(chrom, {}))
 
 
+@dataclass
+class SVVariantSet:
+    """SVParser (ParsingBam.cpp:915-1017): het SVs keyed by 1-based start with
+    SVLEN; homozygous, SNP-conflicting and duplicate positions dropped."""
+
+    # chrom -> {start_1based: svlen}
+    by_chrom: dict[str, dict[int, int]] = field(default_factory=dict)
+
+
+@dataclass
+class MethVariantSet:
+    """METHParser (ParsingBam.cpp:1647-1786): per representative position,
+    read -> (is_reverse, is_modify); consecutive positions merge under the
+    first position."""
+
+    # chrom -> {rep_pos0: {read: (is_reverse, is_modify)}}
+    by_chrom: dict[str, dict[int, dict[str, tuple[bool, bool]]]] = field(default_factory=dict)
+    # pos0 -> representative pos0 (global map, like the reference)
+    representative: dict[int, int] = field(default_factory=dict)
+
+
+def read_sv_variants(path: str, het_set: HetVariantSet) -> SVVariantSet:
+    out = SVVariantSet()
+    dup: dict[str, dict[int, bool]] = {}
+    with open_maybe_bgzf(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            f = line.split()
+            if not f:
+                continue
+            pos0 = int(f[1]) - 1
+            chrom = f[0]
+            gs = _subfield_start_generic(f[8], "GT", f[9])
+            filt = False
+            if f[9][gs] == f[9][gs + 2]:
+                filt = True  # homozygous
+            if pos0 in het_set.by_chrom.get(chrom, {}):
+                filt = True  # conflicts with SNP
+            d = dup.setdefault(chrom, {})
+            if pos0 in d:
+                d[pos0] = True
+                filt = True
+            else:
+                d[pos0] = False
+            if filt:
+                continue
+            start = int(f[1])
+            info = f[7]
+            sp = info.find("SVLEN=")
+            if sp != -1:
+                sp += 6
+                semi = info.find(";", sp)
+                svlen = int(info[sp:semi] if semi != -1 else info[sp:])
+                out.by_chrom.setdefault(chrom, {})[start] = svlen
+    # duplicate-position erase pass. Reference quirk (ParsingBam.cpp:931-940):
+    # the duplicate table is 0-based but chrVariant is keyed by the 1-based
+    # start, so the erase looks up pos0 in the 1-based map — it misses the
+    # duplicated entry itself and can instead remove an unrelated SV at the
+    # preceding coordinate. Reproduced faithfully.
+    for chrom, d in dup.items():
+        for pos0, is_dup in d.items():
+            if is_dup:
+                out.by_chrom.get(chrom, {}).pop(pos0, None)
+    return out
+
+
+def read_meth_variants(path: str, het_set: HetVariantSet,
+                       sv_set: SVVariantSet) -> MethVariantSet:
+    out = MethVariantSet()
+    rep = -1
+    up_pos = -1
+    with open_maybe_bgzf(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            f = line.split()
+            if not f:
+                continue
+            pos0 = int(f[1]) - 1
+            chrom = f[0]
+            if up_pos + 1 != pos0:
+                rep = pos0
+            gs = _subfield_start_generic(f[8], "GT", f[9])
+            if f[9][gs] == f[9][gs + 2]:
+                continue
+            # reference quirk: findSV receives the 0-based pos but the SV map
+            # is keyed by 1-based start (ParsingBam.cpp:1730,1194-1206)
+            if pos0 in het_set.by_chrom.get(chrom, {}) or \
+                    pos0 in sv_set.by_chrom.get(chrom, {}):
+                continue
+            info = f[7]
+            if "RS=P" in info:
+                is_reverse = False
+            elif "RS=N" in info:
+                is_reverse = True
+            else:
+                continue
+            table = out.by_chrom.setdefault(chrom, {}).setdefault(rep, {})
+            for key, modify in (("MR=", True), ("NR=", False)):
+                rp = info.find(key)
+                rp = info.find("=", rp) + 1
+                nx = info.find(";", rp)
+                reads = info[rp:nx] if nx != -1 else info[rp:]
+                for read in reads.split(","):
+                    table[read] = (is_reverse, modify)
+            out.representative[pos0] = rep
+            up_pos = pos0
+    return out
+
+
+def _subfield_start_generic(format_field: str, key: str, sample: str) -> int:
+    key_pos = format_field.find(key)
+    colon_target = format_field[:key_pos].count(":") if key_pos >= 0 else 0
+    current = 0
+    start = 0
+    for ch in sample:
+        if current >= colon_target:
+            break
+        if ch == ":":
+            current += 1
+        start += 1
+    return start
+
+
 _CONTIG_RE = re.compile(r"##contig=<([^>]*)>")
 
 
@@ -209,6 +336,72 @@ def _apply_phase(format_field: str, sample: str, ra_status: str, block: int) -> 
     s[start + 1] = "|"
     s[start + 2] = ra_status[2]
     return format_field, "".join(s)
+
+
+def _rewrite_generic(in_path: str, out_path: str, phasing_result: dict,
+                     version: str, command: str, resolve):
+    """Shared body of the SV/METH writeLine variants (ParsingBam.cpp:1042-1193,
+    1788-1942). ``resolve(fields) -> (key, in_set)``."""
+    ps_def = False
+    command_line_written = False
+    with open_maybe_bgzf(in_path) as fin, open(out_path, "w") as fout:
+        for line in fin:
+            line = line.rstrip("\n")
+            if line.startswith("##"):
+                if line.startswith("##FORMAT=<ID=PS,"):
+                    ps_def = True
+                fout.write(line + "\n")
+                continue
+            if line.startswith("#CHROM") or line.startswith("#chrom"):
+                if not command_line_written:
+                    if not ps_def:
+                        fout.write(
+                            "##FORMAT=<ID=PS,Number=1,Type=Integer,"
+                            "Description=\"Phase set identifier\">\n")
+                        ps_def = True
+                    fout.write(f"##longphaseVersion={version}\n")
+                    fout.write(f"##commandline=\"{command}\"\n")
+                    command_line_written = True
+                fout.write(line + "\n")
+                continue
+            fields = line.split()
+            if not fields:
+                continue
+            key, in_set = resolve(fields)
+            fields[8], fields[9] = _strip_ps(fields[8], fields[9])
+            fields[9] = _normalize_gt(fields[8], fields[9])
+            element = phasing_result.get(key)
+            if element is not None and in_set:
+                ra_status, block = element
+                fields[8], fields[9] = _apply_phase(fields[8], fields[9],
+                                                    ra_status, block)
+            else:
+                fields[8] = fields[8] + ":PS"
+                fields[9] = fields[9] + ":."
+            fout.write("\t".join(fields) + "\n")
+
+
+def rewrite_sv_vcf(in_path: str, out_path: str, phasing_result: dict,
+                   sv_set: "SVVariantSet", version: str, command: str):
+    def resolve(fields):
+        pos0 = int(fields[1]) - 1
+        key = f"{fields[0]}_{pos0}"
+        in_set = (pos0 + 1) in sv_set.by_chrom.get(fields[0], {})
+        return key, in_set
+
+    _rewrite_generic(in_path, out_path, phasing_result, version, command, resolve)
+
+
+def rewrite_meth_vcf(in_path: str, out_path: str, phasing_result: dict,
+                     meth_set: "MethVariantSet", version: str, command: str):
+    def resolve(fields):
+        pos0 = int(fields[1]) - 1
+        rep = meth_set.representative.get(pos0, 0)
+        key = f"{fields[0]}_{rep}"
+        in_set = rep in meth_set.by_chrom.get(fields[0], {})
+        return key, in_set
+
+    _rewrite_generic(in_path, out_path, phasing_result, version, command, resolve)
 
 
 def rewrite_result_vcf(in_path: str, out_path: str, phasing_result: dict,

@@ -60,6 +60,16 @@ def run_phase(cfg: PhaseConfig) -> dict:
                 for line in het.removed_indel_log:
                     f.write(line + "\n")
 
+    sv_set = None
+    meth_set = None
+    if cfg.sv_file:
+        with timer("parsing SV VCF"):
+            sv_set = vcf_io.read_sv_variants(cfg.sv_file, het)
+    if cfg.mod_file:
+        with timer("parsing Meth VCF"):
+            meth_set = vcf_io.read_meth_variants(
+                cfg.mod_file, het, sv_set or vcf_io.SVVariantSet())
+
     with timer("reading reference"):
         fasta = FastaFile(cfg.fasta_file)
 
@@ -76,9 +86,17 @@ def run_phase(cfg: PhaseConfig) -> dict:
         positions = sorted(variants)
         infos = [variants[p] for p in positions]
 
+        sv_entries = None
+        if sv_set is not None:
+            sv_entries = sorted(sv_set.by_chrom.get(chrom, {}).items())
+        mod_entries = None
+        if meth_set is not None:
+            mod_entries = sorted(meth_set.by_chrom.get(chrom, {}).items())
+
         alns, clip_count = extract_chromosome(
             cfg.bam_files, chrom, last_snp, positions, infos, ref_string,
             mapping_quality=cfg.params.mapping_quality,
+            sv_entries=sv_entries, mod_entries=mod_entries,
             sv_window=cfg.params.sv_window, sv_threshold=cfg.params.sv_threshold)
 
         if cfg.is_ont:
@@ -120,5 +138,14 @@ def run_phase(cfg: PhaseConfig) -> dict:
             cfg.snp_file, cfg.result_prefix + ".vcf", merged, het,
             REFERENCE_VERSION, cfg.command,
             phase_indel=cfg.phase_indel, indel_quality=cfg.indel_quality)
+
+    if sv_set is not None:
+        with timer("write SV Result"):
+            vcf_io.rewrite_sv_vcf(cfg.sv_file, cfg.result_prefix + "_SV.vcf",
+                                  merged, sv_set, REFERENCE_VERSION, cfg.command)
+    if meth_set is not None:
+        with timer("write mod Result"):
+            vcf_io.rewrite_meth_vcf(cfg.mod_file, cfg.result_prefix + "_mod.vcf",
+                                    merged, meth_set, REFERENCE_VERSION, cfg.command)
 
     return merged

@@ -51,7 +51,7 @@ def simulate_chromosome(rng, length=200000, snp_rate=0.001, indel_rate=0.0):
 
 def simulate_reads(rng, ref_seq, variants, coverage=25, read_len=15000,
                    error_rate=0.0, qual=40, softclip_prob=0.3,
-                   max_softclip=12):
+                   max_softclip=12, svs=None, mods=None):
     """Sample reads from the two haplotypes. Returns a list of
     (qname, pos0, cigar, seq, quals) sorted by pos.
 
@@ -78,6 +78,22 @@ def simulate_reads(rng, ref_seq, variants, coverage=25, read_len=15000,
             cursor = pos + len(ref_a)
         parts.append(ref_seq[cursor:])
         haps.append(("".join(parts), events))
+
+    svs = svs or []
+    mods = mods or []
+    sv_rnames: dict[int, list] = {}
+    mod_mr: dict[int, list] = {}
+    mod_nr: dict[int, list] = {}
+    # merge SV events into per-hap event lists
+    hap_events = []
+    for h in (0, 1):
+        ev = list(haps[h][1])
+        for pos, _svlen, hap, ref_s, alt_s in svs:
+            if hap == h:
+                ev.append((pos, ref_s, alt_s))
+        ev.sort(key=lambda e: e[0])
+        hap_events.append(ev)
+    haps = [(haps[0][0], hap_events[0]), (haps[1][0], hap_events[1])]
 
     n_reads = max(1, int(len(ref_seq) * coverage / read_len))
     reads = []
@@ -145,9 +161,96 @@ def simulate_reads(rng, ref_seq, variants, coverage=25, read_len=15000,
             seq = "".join(seq_l)
 
         quals = bytes([qual]) * len(seq)
-        reads.append((f"read_{i:05d}_h{h + 1}", start, cigar, seq, quals))
+        qname = f"read_{i:05d}_h{h + 1}"
+        for pos, _svlen, hap, _r, _a in svs:
+            if hap == h and start <= pos < end:
+                sv_rnames.setdefault(pos, []).append(qname)
+        for pos, mhap in mods:
+            if start <= pos < end:
+                (mod_mr if mhap == h else mod_nr).setdefault(pos, []).append(qname)
+        reads.append((qname, start, cigar, seq, quals))
     reads.sort(key=lambda r: r[1])
+    if svs or mods:
+        return reads, sv_rnames, mod_mr, mod_nr
     return reads
+
+
+def simulate_svs(rng, ref_seq, variants, n_svs):
+    """Het structural variants: (pos0, svlen, hap, ref_str, alt_str).
+    svlen > 0 insertion, < 0 deletion. Kept >=1kb away from small variants."""
+    taken = sorted(p for p, *_ in variants)
+    out = []
+    tries = 0
+    while len(out) < n_svs and tries < n_svs * 50:
+        tries += 1
+        pos = int(rng.integers(2000, len(ref_seq) - 2000))
+        import bisect
+
+        i = bisect.bisect_left(taken, pos - 1000)
+        if i < len(taken) and taken[i] < pos + 1000:
+            continue
+        svlen = int(rng.integers(50, 200))
+        hap = int(rng.integers(0, 2))
+        if rng.random() < 0.5:
+            ins = "".join(BASES[b] for b in rng.integers(0, 4, size=svlen))
+            out.append((pos, svlen, hap, ref_seq[pos], ref_seq[pos] + ins))
+        else:
+            if pos + svlen + 1 >= len(ref_seq):
+                continue
+            out.append((pos, -svlen, hap, ref_seq[pos:pos + svlen + 1], ref_seq[pos]))
+        taken.insert(bisect.bisect_left(taken, pos), pos)
+    out.sort(key=lambda s: s[0])
+    return out
+
+
+def simulate_mods(rng, ref_seq, variants, svs, n_mods):
+    """Allele-specific methylation sites: (pos0, methylated_hap)."""
+    taken = sorted([p for p, *_ in variants] + [s[0] for s in svs])
+    out = []
+    tries = 0
+    while len(out) < n_mods and tries < n_mods * 50:
+        tries += 1
+        pos = int(rng.integers(1000, len(ref_seq) - 1000))
+        import bisect
+
+        i = bisect.bisect_left(taken, pos - 500)
+        if i < len(taken) and taken[i] < pos + 500:
+            continue
+        out.append((pos, int(rng.integers(0, 2))))
+        taken.insert(bisect.bisect_left(taken, pos), pos)
+    out.sort(key=lambda m: m[0])
+    return out
+
+
+def write_sv_vcf(path, chrom, chrom_len, svs, rnames, sample="SAMPLE"):
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={chrom},length={chrom_len}>\n")
+        f.write('##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="SV length">\n')
+        f.write('##INFO=<ID=RNAMES,Number=.,Type=String,Description="Supporting reads">\n')
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        f.write(f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample}\n")
+        for pos, svlen, hap, ref_s, alt_s in svs:
+            names = ",".join(rnames.get(pos, [])) or "none"
+            svtype = "INS" if svlen > 0 else "DEL"
+            f.write(f"{chrom}\t{pos + 1}\t.\tN\t<{svtype}>\t60\tPASS\t"
+                    f"SVLEN={svlen};RNAMES={names};END={pos + abs(svlen)}\tGT\t0/1\n")
+
+
+def write_mod_vcf(path, chrom, chrom_len, mods, mr, nr, sample="SAMPLE"):
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={chrom},length={chrom_len}>\n")
+        f.write('##INFO=<ID=RS,Number=1,Type=String,Description="Strand">\n')
+        f.write('##INFO=<ID=MR,Number=.,Type=String,Description="Modified reads">\n')
+        f.write('##INFO=<ID=NR,Number=.,Type=String,Description="Unmodified reads">\n')
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        f.write(f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample}\n")
+        for pos, _hap in mods:
+            mr_s = ",".join(mr.get(pos, [])) or "none"
+            nr_s = ",".join(nr.get(pos, [])) or "none"
+            f.write(f"{chrom}\t{pos + 1}\t.\tC\tM\t60\tPASS\t"
+                    f"RS=P;MR={mr_s};NR={nr_s}\tGT\t0/1\n")
 
 
 def write_vcf(path, chrom, chrom_len, variants, sample="SAMPLE", phased=False,
@@ -255,21 +358,35 @@ def make_fixture(out_dir: str, seed: int = 7, chrom: str = "chr20",
                  length: int = 200000, coverage: int = 25,
                  read_len: int = 15000, snp_rate: float = 0.001,
                  indel_rate: float = 0.0, error_rate: float = 0.0,
-                 qual: int = 40):
+                 qual: int = 40, n_svs: int = 0, n_mods: int = 0):
     """Generate a full fixture set; returns dict of paths."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     ref_seq, variants = simulate_chromosome(rng, length, snp_rate, indel_rate)
-    reads = simulate_reads(rng, ref_seq, variants, coverage, read_len,
-                           error_rate, qual)
+    svs = simulate_svs(rng, ref_seq, variants, n_svs) if n_svs else []
+    mods = simulate_mods(rng, ref_seq, variants, svs, n_mods) if n_mods else []
+    result = {"chrom": chrom, "length": length, "variants": variants,
+              "ref_seq": ref_seq, "svs": svs, "mods": mods}
+    if svs or mods:
+        reads, sv_rnames, mod_mr, mod_nr = simulate_reads(
+            rng, ref_seq, variants, coverage, read_len, error_rate, qual,
+            svs=svs, mods=mods)
+        sv_path = os.path.join(out_dir, "sv.vcf")
+        write_sv_vcf(sv_path, chrom, length, svs, sv_rnames)
+        result["sv_vcf"] = sv_path
+        mod_path = os.path.join(out_dir, "mod.vcf")
+        write_mod_vcf(mod_path, chrom, length, mods, mod_mr, mod_nr)
+        result["mod_vcf"] = mod_path
+    else:
+        reads = simulate_reads(rng, ref_seq, variants, coverage, read_len,
+                               error_rate, qual)
     fa = os.path.join(out_dir, "ref.fa")
     vcf_path = os.path.join(out_dir, "snp.vcf")
     bam = os.path.join(out_dir, "reads.bam")
     write_fasta(fa, {chrom: ref_seq})
     write_vcf(vcf_path, chrom, length, variants)
     write_bam_with_index(bam, chrom, length, reads)
-    return {"fasta": fa, "vcf": vcf_path, "bam": bam, "chrom": chrom,
-            "length": length, "variants": variants, "reads": reads,
-            "ref_seq": ref_seq}
+    result.update({"fasta": fa, "vcf": vcf_path, "bam": bam, "reads": reads})
+    return result
