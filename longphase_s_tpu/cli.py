@@ -84,8 +84,32 @@ def main(argv=None):
     hp.add_argument("--tagSupplementary", action="store_true")
     hp.add_argument("--region", default="")
     hp.add_argument("--log", action="store_true")
-    sub.add_parser("somatic_haplotag", help="somatic haplotagging (coming online)")
-    sub.add_parser("estimate_purity", help="tumor purity estimation (coming online)")
+    for name in ("somatic_haplotag", "estimate_purity"):
+        sp = sub.add_parser(name, help=f"{name.replace('_', ' ')}")
+        sp.add_argument("-s", "--snp-file", required=True,
+                        help="phased normal SNP VCF")
+        sp.add_argument("--tumor-snv-file", required=True)
+        sp.add_argument("-b", "--bam-file", required=True, help="normal BAM")
+        sp.add_argument("--tumor-bam-file", required=True)
+        sp.add_argument("-r", "--reference", required=True)
+        sp.add_argument("-o", "--out-prefix", default="result")
+        sp.add_argument("-t", "--threads", type=int, default=1)
+        sp.add_argument("--sv-file", default="")
+        sp.add_argument("--mod-file", default="")
+        sp.add_argument("-q", "--qualityThreshold", type=int,
+                        default=(20 if name == "estimate_purity" else 1))
+        sp.add_argument("-p", "--percentageThreshold", type=float, default=0.6)
+        sp.add_argument("--tagSupplementary", action="store_true",
+                        default=(name == "estimate_purity"))
+        sp.add_argument("--region", default="")
+        sp.add_argument("--log", action="store_true")
+        sp.add_argument("--tumor-purity", type=float, default=None,
+                        help="fixed purity (disables automatic estimation)")
+        sp.add_argument("--disableFilter", action="store_true")
+        sp.add_argument("--output-somatic-vcf", action="store_true")
+        sp.add_argument("--somatic-calling-log", action="store_true")
+        sp.add_argument("--truth-vcf", default="")
+        sp.add_argument("--truth-bed", default="")
     sub.add_parser("modcall", help="methylation calling (coming online)")
 
     args = parser.parse_args(argv)
@@ -103,6 +127,32 @@ def main(argv=None):
             tag_supplementary=args.tagSupplementary, region=args.region,
             write_read_log=args.log, command=" ".join(sys.argv))
         run_haplotag(cfg)
+        return 0
+    if args.command in ("somatic_haplotag", "estimate_purity"):
+        from .models.somatic import (SomaticConfig, run_estimate_purity,
+                                     run_somatic_haplotag)
+
+        cfg = SomaticConfig(
+            snp_file=args.snp_file, tumor_snv_file=args.tumor_snv_file,
+            bam_file=args.bam_file, tumor_bam_file=args.tumor_bam_file,
+            fasta_file=args.reference, result_prefix=args.out_prefix,
+            sv_file=args.sv_file, mod_file=args.mod_file,
+            num_threads=args.threads, quality_threshold=args.qualityThreshold,
+            percentage_threshold=args.percentageThreshold,
+            tag_supplementary=args.tagSupplementary, region=args.region,
+            write_read_log=args.log,
+            tumor_purity=(args.tumor_purity
+                          if args.tumor_purity is not None else 0.2),
+            estimate_tumor_purity=args.tumor_purity is None,
+            enable_filter=not args.disableFilter,
+            write_somatic_vcf=args.output_somatic_vcf,
+            write_calling_log=args.somatic_calling_log,
+            truth_vcf=args.truth_vcf, truth_bed=args.truth_bed,
+            command=" ".join(sys.argv))
+        if args.command == "somatic_haplotag":
+            run_somatic_haplotag(cfg)
+        else:
+            run_estimate_purity(cfg)
         return 0
     parser.print_help()
     return 1

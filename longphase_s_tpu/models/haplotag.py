@@ -80,10 +80,10 @@ def _judge_snp_hap(var, base, at_op_end_with, hp_count, variants_hp, count_ps, p
                       file=sys.stderr)
                 sys.exit(0)
             if base == var.hp1:
-                hp_count[0] += 1
+                hp_count[1] += 1
                 variants_hp[pos] = 0
             if base == var.hp2:
-                hp_count[1] += 1
+                hp_count[2] += 1
                 variants_hp[pos] = 1
             count_ps[var.phased_set] = count_ps.get(var.phased_set, 0) + 1
     elif var.variant_type == VT_INSERTION and at_op_end_with is not None:
@@ -91,17 +91,17 @@ def _judge_snp_hap(var, base, at_op_end_with, hp_count, variants_hp, count_ps, p
         hp2_long = len(var.hp2) != 1
         if at_op_end_with(BAM_CINS):
             if hp1_long and not hp2_long:
-                hp_count[0] += 1
+                hp_count[1] += 1
                 variants_hp[pos] = 0
             elif not hp1_long and hp2_long:
-                hp_count[1] += 1
+                hp_count[2] += 1
                 variants_hp[pos] = 1
         else:
             if hp1_long and not hp2_long:
-                hp_count[1] += 1
+                hp_count[2] += 1
                 variants_hp[pos] = 1
             elif not hp1_long and hp2_long:
-                hp_count[0] += 1
+                hp_count[1] += 1
                 variants_hp[pos] = 0
         count_ps[var.phased_set] = count_ps.get(var.phased_set, 0) + 1
     elif var.variant_type == VT_DELETION and at_op_end_with is not None:
@@ -109,17 +109,17 @@ def _judge_snp_hap(var, base, at_op_end_with, hp_count, variants_hp, count_ps, p
         hp2_long = len(var.hp2) != 1
         if at_op_end_with(BAM_CDEL):
             if hp1_long and not hp2_long:
-                hp_count[0] += 1
+                hp_count[1] += 1
                 variants_hp[pos] = 0
             elif not hp1_long and hp2_long:
-                hp_count[1] += 1
+                hp_count[2] += 1
                 variants_hp[pos] = 1
         else:
             if hp1_long and not hp2_long:
-                hp_count[1] += 1
+                hp_count[2] += 1
                 variants_hp[pos] = 1
             elif not hp1_long and hp2_long:
-                hp_count[0] += 1
+                hp_count[1] += 1
                 variants_hp[pos] = 0
         count_ps[var.phased_set] = count_ps.get(var.phased_set, 0) + 1
 
@@ -138,7 +138,7 @@ class GermlineWalker:
         positions = self.positions
         variants = self.variants
         n = len(positions)
-        hp_count = [0, 0]
+        hp_count = {1: 0, 2: 0}
         variants_hp: dict[int, int] = {}
         count_ps: dict[int, int] = {}
 
@@ -217,20 +217,20 @@ class GermlineWalker:
         if var.variant_type == VT_SNP:
             base = SEQ_NT16[seq[query_pos]]
             if base == var.hp1:
-                hp_count[0] += 1
+                hp_count[1] += 1
                 variants_hp[pos] = 0
             if base == var.hp2:
-                hp_count[1] += 1
+                hp_count[2] += 1
                 variants_hp[pos] = 1
             count_ps[var.phased_set] = count_ps.get(var.phased_set, 0) + 1
         elif var.variant_type == VT_DELETION:
             hp1_long = len(var.hp1) != 1
             hp2_long = len(var.hp2) != 1
             if hp1_long and not hp2_long:
-                hp_count[0] += 1
+                hp_count[1] += 1
                 variants_hp[pos] = 0
             elif not hp1_long and hp2_long:
-                hp_count[1] += 1
+                hp_count[2] += 1
                 variants_hp[pos] = 1
             count_ps[var.phased_set] = count_ps.get(var.phased_set, 0) + 1
 
@@ -240,7 +240,7 @@ def judge_read_hap(hp_count, percentage_threshold, count_ps, stats=None):
 
     Returns (hp_result, pq, ps).
     """
-    h1, h2 = hp_count[0], hp_count[1]
+    h1, h2 = hp_count[1], hp_count[2]
     if h1 > h2:
         mn, mx = float(h2), float(h1)
     else:
@@ -272,7 +272,9 @@ def judge_read_hap(hp_count, percentage_threshold, count_ps, stats=None):
     if len(count_ps) > 1:
         hp_result = UNTAG
     ps = 0
-    if hp_result != UNTAG:
+    if hp_result != UNTAG and count_ps:
+        # reference dereferences countPS.begin() (smallest PS); an empty map
+        # here is UB in C++ (SV-only support) — guard with 0
         ps = min(count_ps)
     return hp_result, pq, ps
 
@@ -363,8 +365,8 @@ def run_haplotag(cfg: HaplotagConfig) -> ReadStatistics:
                     hp_count, variants_hp, count_ps = walker.walk(rec)
                     entry = sv_counts.get(rec.qname)
                     if entry is not None:
-                        hp_count[0] += entry[0]
-                        hp_count[1] += entry[1]
+                        hp_count[1] += entry[0]
+                        hp_count[2] += entry[1]
                     hp, pq, ps = judge_read_hap(
                         hp_count, cfg.percentage_threshold, count_ps, stats)
                     rec.strip_tags({"HP", "PS", "PQ"})

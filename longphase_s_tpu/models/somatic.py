@@ -1,0 +1,464 @@
+"""Somatic haplotagging pipeline (SomaticHaplotagProcess.{h,cpp}) and the
+shared somatic variant calling driver.
+
+Flow: parse normal phased VCF + tumor VCF -> two-BAM extraction ->
+purity estimation -> purity-tiered feature filters -> read-HP calibration ->
+somatic flags -> optional _sc.vcf -> tag tumor BAM with HP:Z/PS:i/PQ:i.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+from .. import REFERENCE_VERSION
+from ..core.cigar_walk import CigarWalk
+from ..core.purity import PurityEstimator
+from ..core.somatic_caller import (FilterParams, calculate_read_set_hp,
+                                   calibrate_read_hp, extract_normal_chromosome,
+                                   extract_tumor_chromosome,
+                                   get_dense_tumor_snp_interval,
+                                   iter_somatic_reads, somatic_feature_filter,
+                                   statistic_somatic_pos_read_hp)
+from ..core.somatic_judge import judge_somatic_read_hap, judge_somatic_snp_hap
+from ..core.somatic_types import (GERMLINE_H1, GERMLINE_H2, NONE_SNP,
+                                  READ_HP_STR, RH_H1, RH_H1_1, RH_H2, RH_H2_1,
+                                  RH_H3, RH_UNTAG, SOMATIC_H3)
+from ..io.bam import BamReader, BamWriter
+from ..io.bgzf import open_maybe_bgzf
+from ..io.fasta import FastaFile
+from ..io.phased_vcf import (NORMAL, PHASED_HETERO, TUMOR, PhasedVcfReader,
+                             VcfInfo, VT_DELETION, VT_INSERTION, VT_SNP,
+                             NONE_PHASED_SET)
+from ..utils import StageTimer
+from .haplotag import ReadStatistics
+
+
+@dataclass
+class SomaticConfig:
+    snp_file: str                 # phased normal VCF
+    tumor_snv_file: str
+    bam_file: str                 # normal BAM
+    tumor_bam_file: str
+    fasta_file: str
+    result_prefix: str = "result"
+    sv_file: str = ""
+    mod_file: str = ""
+    num_threads: int = 1
+    quality_threshold: int = 1
+    percentage_threshold: float = 0.6
+    tag_supplementary: bool = False
+    region: str = ""
+    write_read_log: bool = False
+    tumor_purity: float = 0.2
+    estimate_tumor_purity: bool = True
+    enable_filter: bool = True
+    write_somatic_vcf: bool = False
+    write_calling_log: bool = False
+    truth_vcf: str = ""
+    truth_bed: str = ""
+    command: str = ""
+
+
+def _last_var_pos(variants_sorted, variants, genome_sample):
+    """HaplotagBamParser::getLastVarPos (HaplotagParsingBam.cpp:336-374)."""
+    for pos in reversed(variants_sorted):
+        entry = variants[pos]
+        nor = entry.get(NORMAL)
+        if genome_sample == NORMAL:
+            if nor is not None and nor.has_ps:
+                return pos
+        else:
+            if TUMOR in entry or (nor is not None and nor.has_ps):
+                return pos
+    return 0
+
+
+class SomaticCallState:
+    """Holds per-chromosome caller outputs shared between stages."""
+
+    def __init__(self):
+        self.nor_base = {}        # chr -> {pos: PosBase}
+        self.somatic_info = {}    # chr -> {pos: SomaticData}
+        self.read_hp_sets = {}    # chr -> {read_id: ReadVarHpCount}
+        self.pos_read_corr = {}   # chr -> {pos: {read_id: baseHP}}
+        self.tumor_purity = 0.0
+        self.params = FilterParams()
+
+
+def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
+                        sv_counts, fasta: FastaFile,
+                        timer: StageTimer) -> SomaticCallState:
+    """SomaticVarCaller::variantCalling (SomaticVarCaller.cpp:796-905)."""
+    state = SomaticCallState()
+
+    with timer("extracting data from normal BAM"):
+        for chrom in chr_vec:
+            variants = chr_multi.get(chrom, {})
+            positions = sorted(variants)
+            last = _last_var_pos(positions, variants, NORMAL)
+            ref_string = (fasta.fetch(chrom, 0, last + 6)
+                          if chrom in fasta.index and positions else "")
+            state.nor_base[chrom] = extract_normal_chromosome(
+                cfg.bam_file, chrom, chr_length.get(chrom), positions,
+                variants, ref_string, sv_counts, cfg)
+
+    with timer("extracting data from tumor BAM"):
+        for chrom in chr_vec:
+            variants = chr_multi.get(chrom, {})
+            positions = sorted(variants)
+            last = _last_var_pos(positions, variants, TUMOR)
+            ref_string = (fasta.fetch(chrom, 0, last + 6)
+                          if chrom in fasta.index and positions else "")
+            (state.somatic_info[chrom], state.read_hp_sets[chrom],
+             state.pos_read_corr[chrom]) = extract_tumor_chromosome(
+                cfg.tumor_bam_file, chrom, chr_length.get(chrom), positions,
+                variants, ref_string, cfg)
+
+    if cfg.estimate_tumor_purity:
+        est = PurityEstimator(chr_vec, state.nor_base, state.somatic_info,
+                              cfg.write_calling_log, cfg.result_prefix)
+        state.tumor_purity = est.estimate()
+        est.mark_statistic_flag()
+    else:
+        state.tumor_purity = cfg.tumor_purity
+
+    state.params.set_with_purity(state.tumor_purity)
+    tier = state.params
+    print(f"setting filter params with tumor purity: {state.tumor_purity}",
+          file=sys.stderr)
+
+    with timer("calling somatic variants"):
+        for chrom in chr_vec:
+            variants = chr_multi.get(chrom, {})
+            si = state.somatic_info[chrom]
+            rs = state.read_hp_sets[chrom]
+            corr = state.pos_read_corr[chrom]
+            get_dense_tumor_snp_interval(si, rs, corr)
+            somatic_feature_filter(tier, variants, si,
+                                   state.nor_base[chrom], cfg.enable_filter)
+            calibrate_read_hp(si, rs, corr)
+            calculate_read_set_hp(rs, cfg.percentage_threshold)
+            statistic_somatic_pos_read_hp(si, corr, rs)
+    return state
+
+
+def apply_somatic_flags(state: SomaticCallState, chr_vec):
+    """getSomaticFlag (SomaticVarCaller.cpp:2397-2412).
+
+    Returns chr -> {pos: derive_by_hp} for flagged somatic variants."""
+    flags: dict[str, dict[int, int]] = {}
+    count = 0
+    for chrom in chr_vec:
+        for pos, sd in state.somatic_info.get(chrom, {}).items():
+            if sd.is_high_con:
+                flags.setdefault(chrom, {})[pos] = sd.somatic_read_derive_by_hp
+                count += 1
+    print(f"somatic variant count(Flag): {count}", file=sys.stderr)
+    return flags
+
+
+def write_somatic_vcf(tumor_snv_file, out_path, chr_multi, somatic_flags,
+                      version, command):
+    """VcfParser::writeProcess -> _sc.vcf (HaplotagVcfParser.cpp:548-614)."""
+    wrote_command = False
+    with open_maybe_bgzf(tumor_snv_file) as fin, open(out_path, "w") as fout:
+        for line in fin:
+            line = line.rstrip("\n")
+            if len(line) >= 2 and line.startswith("##"):
+                fout.write(line + "\n")
+            elif len(line) >= 6 and (line.startswith("#CHROM")
+                                     or line.startswith("#chrom")):
+                if not wrote_command:
+                    fout.write(f"##longphase_s_version={version}\n")
+                    fout.write(f"##commandline={command}\n")
+                    wrote_command = True
+                fout.write(line + "\n")
+            elif line.startswith("#") or not line:
+                continue
+            else:
+                f = line.split()
+                if len(f) < 7:
+                    raise SystemExit(f"VCF file format error: {line}")
+                pos0 = int(f[1]) - 1
+                chrom = f[0]
+                entry = chr_multi.get(chrom, {}).get(pos0)
+                if entry is None:
+                    continue
+                tum = entry.get(TUMOR)
+                if tum is None or tum.variant_type not in (
+                        VT_SNP, VT_INSERTION, VT_DELETION):
+                    continue
+                is_somatic = pos0 in somatic_flags.get(chrom, {})
+                if is_somatic:
+                    if f[6] != "PASS":
+                        f[6] = "PASS"
+                else:
+                    if f[6] == "PASS":
+                        f[6] = "LowQual"
+                fout.write("\t".join(f) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Somatic tagging pass
+# ---------------------------------------------------------------------------
+
+class SomaticTagWalker(CigarWalk):
+    """SomaticHaplotagCigarParser (SomaticHaplotagProcess.cpp:538-579)."""
+
+    def __init__(self, positions, variants, ref_string, somatic_flags):
+        super().__init__(positions, variants, ref_string)
+        self.somatic_flags = somatic_flags  # pos -> derive_by_hp
+        self.hp_count = None
+        self.variants_hp = None
+        self.nor_count_ps = None
+        self.tum_count_ps = None
+        self.derive_hp = None
+
+    def begin_read(self):
+        self.hp_count = {1: 0, 2: 0, 3: 0, 4: 0}
+        self.variants_hp = {}
+        self.nor_count_ps = {}
+        self.tum_count_ps = {}
+        self.derive_hp = {}   # pos -> (baseHP, deriveHP)
+
+    def process_match(self, pos, entry, base, is_alt, op_len, ci):
+        is_somatic = pos in self.somatic_flags
+        judge_somatic_snp_hap(pos, entry, base, is_alt, self.hp_count,
+                              self.nor_count_ps, self.tum_count_ps,
+                              self.variants_hp, None, "haplotag",
+                              is_somatic=is_somatic)
+        if is_somatic:
+            base_hp = NONE_SNP
+            if self.variants_hp.get(pos) == SOMATIC_H3:
+                base_hp = SOMATIC_H3
+            self.derive_hp[pos] = (base_hp, self.somatic_flags[pos])
+
+    def process_deletion(self, pos, entry, op_len, ci, state):
+        pass  # somatic tagging records deletion stats only for benchmarking
+
+
+def inherit_haplotype(derive_hp, percentage_threshold):
+    """SomaticHaplotagChrProcessor::inheritHaplotype
+    (SomaticHaplotagProcess.cpp:461-527). Returns (new_hp or None, similarity)."""
+    d1 = 0
+    d2 = 0
+    for base_hp, derive in derive_hp.values():
+        if base_hp == SOMATIC_H3:
+            if derive == GERMLINE_H1:
+                d1 += 1
+            elif derive == GERMLINE_H2:
+                d2 += 1
+    if d1 > d2:
+        mx, mn, max_hp = d1, d2, GERMLINE_H1
+    else:
+        mx, mn, max_hp = d2, d1, GERMLINE_H2
+    sim = 0.0 if mx == 0 else mx / (mx + mn)
+    if sim >= percentage_threshold:
+        return (RH_H1_1 if max_hp == GERMLINE_H1 else RH_H2_1), sim
+    return None, sim
+
+
+def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
+    timer = StageTimer()
+    stats = ReadStatistics()
+
+    chr_multi: dict[str, dict[int, dict[int, object]]] = {}
+    nor_info = VcfInfo(sample=NORMAL)
+    tum_info = VcfInfo(sample=TUMOR)
+    reader = PhasedVcfReader(NORMAL)
+    with timer("parsing normal phased SNP VCF"):
+        reader.parse(cfg.snp_file, nor_info, chr_multi, mode="snp")
+    if cfg.sv_file:
+        with timer("parsing SV VCF"):
+            reader.parse(cfg.sv_file, nor_info, chr_multi, mode="sv")
+    if cfg.mod_file:
+        with timer("parsing MOD VCF"):
+            reader.parse(cfg.mod_file, nor_info, chr_multi, mode="mod")
+    with timer("parsing tumor SNP VCF"):
+        tum_reader = PhasedVcfReader(TUMOR)
+        tum_reader.parse(cfg.tumor_snv_file, tum_info, chr_multi, mode="snp")
+
+    # setChrVecAndChrLength (SomaticHaplotagProcess.cpp:149-194)
+    for chrom, length in tum_info.chr_length.items():
+        if chrom in nor_info.chr_length:
+            if length != nor_info.chr_length[chrom]:
+                print("[ERROR] tumor & normal VCFs chromosome length differ",
+                      file=sys.stderr)
+                break
+    chr_vec = tum_info.chr_vec if tum_info.chr_vec else nor_info.chr_vec
+    chr_length = tum_info.chr_length if tum_info.chr_length else nor_info.chr_length
+
+    if cfg.region:
+        region_chr = cfg.region.split(":")[0]
+        if region_chr not in chr_vec:
+            print(f"[ERROR] Incorrect chromosome for input region: {region_chr}",
+                  file=sys.stderr)
+            sys.exit(1)
+        chr_vec = [region_chr]
+    for chrom in list(chr_multi):
+        if chrom not in chr_vec:
+            del chr_multi[chrom]
+
+    fasta = FastaFile(cfg.fasta_file)
+
+    state = run_somatic_calling(cfg, chr_vec, chr_length, chr_multi,
+                                nor_info.read_sv_hap_count, fasta, timer)
+    somatic_flags = apply_somatic_flags(state, chr_vec)
+
+    if cfg.write_somatic_vcf:
+        with timer("writing somatic variants to vcf file"):
+            write_somatic_vcf(cfg.tumor_snv_file,
+                              cfg.result_prefix + "_sc.vcf", chr_multi,
+                              somatic_flags, REFERENCE_VERSION, cfg.command)
+
+    # ---- tag tumor BAM (SINGLE_THREAD + output) --------------------------
+    bam = BamReader(cfg.tumor_bam_file)
+    header = bam.header_text
+    if header and not header.endswith("\n"):
+        header += "\n"
+    header += (f"@PG\tID:longphase-s\tPN:longphase-s\tVN:{REFERENCE_VERSION}"
+               f"\tCL:{cfg.command}\n")
+    out = BamWriter(cfg.result_prefix + ".bam", header, bam.references,
+                    bam.lengths)
+
+    with timer("tag read"):
+        for chrom in chr_vec:
+            if chrom not in bam.ref_id:
+                continue
+            variants = chr_multi.get(chrom, {})
+            positions = sorted(variants)
+            last = _last_var_pos(positions, variants, TUMOR)
+            ref_string = (fasta.fetch(chrom, 0, last + 6)
+                          if chrom in fasta.index and positions else "")
+            walker = SomaticTagWalker(positions, variants, ref_string,
+                                      somatic_flags.get(chrom, {}))
+            bam2 = BamReader(cfg.tumor_bam_file)
+            for rec, cat in iter_somatic_reads(
+                    bam2, chrom, chr_length.get(chrom), positions,
+                    cfg.quality_threshold, cfg.tag_supplementary,
+                    mapping_quality_filter=True):
+                stats.total_alignment += 1
+                if cat == "low_quality":
+                    stats.total_lower_quality += 1
+                    stats.total_untag_count += 1
+                elif cat == "unmapped":
+                    stats.total_unmapped += 1
+                    stats.total_untag_count += 1
+                elif cat == "secondary":
+                    stats.total_secondary += 1
+                    stats.total_untag_count += 1
+                elif cat == "supplementary":
+                    stats.total_supplementary += 1
+                    stats.total_untag_count += 1
+                elif cat == "empty_variants":
+                    stats.total_empty_variant += 1
+                    stats.total_untag_count += 1
+                elif cat == "other":
+                    stats.total_other_case += 1
+                    stats.total_untag_count += 1
+                else:
+                    if rec.flag & 0x800:
+                        stats.total_supplementary += 1
+                    walker.begin_read()
+                    walker.walk(rec)
+                    entry = nor_info.read_sv_hap_count.get(rec.qname)
+                    if entry is not None:
+                        walker.hp_count[1] += entry[0]
+                        walker.hp_count[2] += entry[1]
+                    hp, pq, _ns, _ts = judge_somatic_read_hap(
+                        walker.hp_count, walker.nor_count_ps,
+                        cfg.percentage_threshold, stats)
+                    if hp == RH_H3:
+                        new_hp, _sim = inherit_haplotype(
+                            walker.derive_hp, cfg.percentage_threshold)
+                        if new_hp is not None:
+                            hp = new_hp
+                    if (walker.hp_count[1] == 0 and walker.hp_count[2] == 0
+                            and walker.hp_count[3] != 0 and hp == RH_H3):
+                        pass  # totalreadOnlyH3Snp counter (report only)
+
+                    # PS value (SomaticHaplotagProcess.cpp:409-430)
+                    ps = 0
+                    if hp != RH_UNTAG:
+                        if hp not in (RH_H1, RH_H2):
+                            if walker.nor_count_ps:
+                                ps = min(walker.nor_count_ps)
+                            else:
+                                ps = NONE_PHASED_SET
+                        else:
+                            ps = min(walker.nor_count_ps) if walker.nor_count_ps else 0
+
+                    rec.strip_tags({"HP", "PS", "PQ"})
+                    if hp != RH_UNTAG:
+                        stats.bump_hp(hp)
+                        stats.total_tag_count += 1
+                        rec.append_tag_str("HP", READ_HP_STR[hp])
+                        if ps != NONE_PHASED_SET:
+                            rec.append_tag_int("PS", ps)
+                        rec.append_tag_int("PQ", pq)
+                    else:
+                        stats.bump_hp(RH_UNTAG)
+                        stats.total_untag_count += 1
+                out.write(rec)
+            bam2.close()
+    out.close()
+
+    print("-------------------------------------------", file=sys.stderr)
+    print(f"total alignment           : {stats.total_alignment}", file=sys.stderr)
+    print(f"total tagged alignments   : {stats.total_tag_count}", file=sys.stderr)
+    for hp in (RH_H1, RH_H2, RH_H1_1, RH_H2_1, RH_H3):
+        print(f"    L----total HP{READ_HP_STR[hp]}     : "
+              f"{stats.hp_count.get(hp, 0)}", file=sys.stderr)
+    print(f"total untagged            : {stats.total_untag_count}", file=sys.stderr)
+    return stats
+
+
+def run_estimate_purity(cfg: SomaticConfig) -> float:
+    """estimate_purity pipeline (PurityEstimationProcess.cpp:34-71)."""
+    timer = StageTimer()
+    chr_multi: dict[str, dict[int, dict[int, object]]] = {}
+    nor_info = VcfInfo(sample=NORMAL)
+    tum_info = VcfInfo(sample=TUMOR)
+    reader = PhasedVcfReader(NORMAL)
+    with timer("parsing normal phased SNP VCF"):
+        reader.parse(cfg.snp_file, nor_info, chr_multi, mode="snp")
+    with timer("parsing tumor SNP VCF"):
+        PhasedVcfReader(TUMOR).parse(cfg.tumor_snv_file, tum_info, chr_multi,
+                                     mode="snp")
+    chr_vec = tum_info.chr_vec if tum_info.chr_vec else nor_info.chr_vec
+    chr_length = tum_info.chr_length if tum_info.chr_length else nor_info.chr_length
+    for chrom in list(chr_multi):
+        if chrom not in chr_vec:
+            del chr_multi[chrom]
+    fasta = FastaFile(cfg.fasta_file)
+
+    state = SomaticCallState()
+    with timer("extracting data from normal BAM"):
+        for chrom in chr_vec:
+            variants = chr_multi.get(chrom, {})
+            positions = sorted(variants)
+            last = _last_var_pos(positions, variants, NORMAL)
+            ref_string = (fasta.fetch(chrom, 0, last + 6)
+                          if chrom in fasta.index and positions else "")
+            state.nor_base[chrom] = extract_normal_chromosome(
+                cfg.bam_file, chrom, chr_length.get(chrom), positions,
+                variants, ref_string, nor_info.read_sv_hap_count, cfg)
+    with timer("extracting data from tumor BAM"):
+        for chrom in chr_vec:
+            variants = chr_multi.get(chrom, {})
+            positions = sorted(variants)
+            last = _last_var_pos(positions, variants, TUMOR)
+            ref_string = (fasta.fetch(chrom, 0, last + 6)
+                          if chrom in fasta.index and positions else "")
+            (state.somatic_info[chrom], state.read_hp_sets[chrom],
+             state.pos_read_corr[chrom]) = extract_tumor_chromosome(
+                cfg.tumor_bam_file, chrom, chr_length.get(chrom), positions,
+                variants, cfg=cfg, ref_string=ref_string)
+
+    est = PurityEstimator(chr_vec, state.nor_base, state.somatic_info,
+                          cfg.write_calling_log, cfg.result_prefix)
+    purity = est.estimate()
+    est.mark_statistic_flag()
+    print(f"Tumor purity: {purity:.6g}", file=sys.stderr)
+    return purity

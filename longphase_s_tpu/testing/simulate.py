@@ -51,7 +51,8 @@ def simulate_chromosome(rng, length=200000, snp_rate=0.001, indel_rate=0.0):
 
 def simulate_reads(rng, ref_seq, variants, coverage=25, read_len=15000,
                    error_rate=0.0, qual=40, softclip_prob=0.3,
-                   max_softclip=12, svs=None, mods=None):
+                   max_softclip=12, svs=None, mods=None,
+                   per_read_events=None, name_prefix="read"):
     """Sample reads from the two haplotypes. Returns a list of
     (qname, pos0, cigar, seq, quals) sorted by pos.
 
@@ -108,6 +109,10 @@ def simulate_reads(rng, ref_seq, variants, coverage=25, read_len=15000,
         cigar = []  # list[(op, len)]
         cursor = start
         _hseq, events = haps[h]
+        if per_read_events is not None:
+            extra = per_read_events(i, h)
+            if extra:
+                events = sorted(list(events) + list(extra), key=lambda e: e[0])
 
         def push(op, ln):
             if ln <= 0:
@@ -161,7 +166,7 @@ def simulate_reads(rng, ref_seq, variants, coverage=25, read_len=15000,
             seq = "".join(seq_l)
 
         quals = bytes([qual]) * len(seq)
-        qname = f"read_{i:05d}_h{h + 1}"
+        qname = f"{name_prefix}_{i:05d}_h{h + 1}"
         for pos, _svlen, hap, _r, _a in svs:
             if hap == h and start <= pos < end:
                 sv_rnames.setdefault(pos, []).append(qname)
@@ -390,3 +395,95 @@ def make_fixture(out_dir: str, seed: int = 7, chrom: str = "chr20",
     write_bam_with_index(bam, chrom, length, reads)
     result.update({"fasta": fa, "vcf": vcf_path, "bam": bam, "reads": reads})
     return result
+
+
+def make_somatic_fixture(out_dir: str, seed: int = 7, chrom: str = "chr20",
+                         length: int = 200000, normal_coverage: int = 25,
+                         tumor_coverage: int = 30, purity: float = 0.6,
+                         n_somatic: int = 20, n_artifacts: int = 5,
+                         read_len: int = 12000, snp_rate: float = 0.0012,
+                         error_rate: float = 0.02, qual: int = 25):
+    """Tumor/normal pair fixture for the somatic pipelines.
+
+    Somatic SNVs sit on one germline haplotype and appear only in the
+    tumor-derived fraction (``purity``) of tumor reads; artifact candidates
+    are random positions with a couple of error-carrying reads (should be
+    filtered by the recalibration engine).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ref_seq, variants = simulate_chromosome(rng, length, snp_rate, 0.0)
+
+    taken = sorted(p for p, *_ in variants)
+    import bisect
+
+    def pick_free_pos():
+        for _ in range(200):
+            pos = int(rng.integers(1000, length - 1000))
+            i = bisect.bisect_left(taken, pos - 300)
+            if i < len(taken) and taken[i] < pos + 300:
+                continue
+            bisect.insort(taken, pos)
+            return pos
+        raise RuntimeError("no free position")
+
+    somatic = []   # (pos, ref, alt, hap)
+    for _ in range(n_somatic):
+        pos = pick_free_pos()
+        ref_b = ref_seq[pos]
+        somatic.append((pos, ref_b, _other_base(rng, ref_b), int(rng.integers(0, 2))))
+    somatic.sort(key=lambda s: s[0])
+
+    artifacts = []  # (pos, ref, alt)
+    for _ in range(n_artifacts):
+        pos = pick_free_pos()
+        ref_b = ref_seq[pos]
+        artifacts.append((pos, ref_b, _other_base(rng, ref_b)))
+    artifacts.sort(key=lambda a: a[0])
+
+    # normal reads
+    normal_reads = simulate_reads(rng, ref_seq, variants, normal_coverage,
+                                  read_len, error_rate, qual,
+                                  name_prefix="nor")
+
+    # tumor reads: per-read somatic events
+    tumor_flags = {}
+
+    def tumor_events(read_idx, hap):
+        is_tumor = rng.random() < purity
+        tumor_flags[read_idx] = is_tumor
+        ev = []
+        if is_tumor:
+            for pos, ref_b, alt_b, shap in somatic:
+                if shap == hap:
+                    ev.append((pos, ref_b, alt_b))
+        # artifact support: rare random error reads
+        for k, (pos, ref_b, alt_b) in enumerate(artifacts):
+            if rng.random() < 0.04:
+                ev.append((pos, ref_b, alt_b))
+        return ev
+
+    tumor_reads = simulate_reads(rng, ref_seq, variants, tumor_coverage,
+                                 read_len, error_rate, qual,
+                                 per_read_events=tumor_events,
+                                 name_prefix="tum")
+
+    fa = os.path.join(out_dir, "ref.fa")
+    write_fasta(fa, {chrom: ref_seq})
+    nvcf = os.path.join(out_dir, "normal_snp.vcf")
+    write_vcf(nvcf, chrom, length, variants)
+    tvcf = os.path.join(out_dir, "tumor_snv.vcf")
+    tumor_candidates = ([(p, r, a, h) for p, r, a, h in somatic]
+                        + [(p, r, a, 0) for p, r, a in artifacts])
+    tumor_candidates.sort(key=lambda v: v[0])
+    write_vcf(tvcf, chrom, length, tumor_candidates)
+    nbam = os.path.join(out_dir, "normal.bam")
+    write_bam_with_index(nbam, chrom, length, normal_reads)
+    tbam = os.path.join(out_dir, "tumor.bam")
+    write_bam_with_index(tbam, chrom, length, tumor_reads)
+    return {"fasta": fa, "normal_vcf": nvcf, "tumor_vcf": tvcf,
+            "normal_bam": nbam, "tumor_bam": tbam, "chrom": chrom,
+            "length": length, "variants": variants, "somatic": somatic,
+            "artifacts": artifacts, "purity": purity}

@@ -1,0 +1,142 @@
+"""Golden tests for the somatic pipelines: somatic_haplotag HP:Z/PS/PQ tags,
+_sc.vcf, and estimate_purity output must match the reference binary."""
+
+import subprocess
+
+import pytest
+
+from longphase_s_tpu.io.bam import BamReader
+from longphase_s_tpu.models.somatic import (SomaticConfig, run_estimate_purity,
+                                            run_somatic_haplotag)
+from longphase_s_tpu.testing.simulate import make_somatic_fixture
+
+
+@pytest.fixture(scope="module")
+def somatic_fixture(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fix_somatic")
+    return make_somatic_fixture(str(out), seed=42, length=250000,
+                                normal_coverage=25, tumor_coverage=30,
+                                purity=0.6, n_somatic=25, n_artifacts=6)
+
+
+@pytest.fixture(scope="module")
+def phased_normal(reference_binary, somatic_fixture, tmp_path_factory):
+    out = tmp_path_factory.mktemp("phased")
+    prefix = str(out / "phased")
+    subprocess.run([reference_binary, "phase", "--pb",
+                    "-s", somatic_fixture["normal_vcf"],
+                    "-b", somatic_fixture["normal_bam"],
+                    "-r", somatic_fixture["fasta"], "-o", prefix],
+                   check=True, capture_output=True)
+    return prefix + ".vcf"
+
+
+def _tags(bam_path):
+    out = []
+    r = BamReader(bam_path)
+    for rec in r:
+        out.append((rec.qname, rec.flag, rec.pos, rec.get_tag("HP"),
+                    rec.get_tag("PS"), rec.get_tag("PQ")))
+    r.close()
+    return out
+
+
+def _cfg(somatic_fixture, phased_normal, prefix, **kw):
+    return SomaticConfig(
+        snp_file=phased_normal,
+        tumor_snv_file=somatic_fixture["tumor_vcf"],
+        bam_file=somatic_fixture["normal_bam"],
+        tumor_bam_file=somatic_fixture["tumor_bam"],
+        fasta_file=somatic_fixture["fasta"],
+        result_prefix=prefix, **kw)
+
+
+def test_somatic_haplotag(reference_binary, somatic_fixture, phased_normal,
+                          tmp_path):
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "somatic_haplotag",
+                    "-s", phased_normal,
+                    "--tumor-snv-file", somatic_fixture["tumor_vcf"],
+                    "-b", somatic_fixture["normal_bam"],
+                    "--tumor-bam-file", somatic_fixture["tumor_bam"],
+                    "-r", somatic_fixture["fasta"],
+                    "--output-somatic-vcf", "-o", golden],
+                   check=True, capture_output=True, timeout=1200)
+    ours = str(tmp_path / "ours")
+    run_somatic_haplotag(_cfg(somatic_fixture, phased_normal, ours,
+                              write_somatic_vcf=True))
+
+    # purity report parity
+    with open(golden + "_purity.out") as f:
+        g_purity = f.read()
+    with open(ours + "_purity.out") as f:
+        o_purity = f.read()
+    assert g_purity == o_purity
+
+    # somatic-calling VCF parity
+    def strip(p):
+        return [l for l in open(p) if not l.startswith("##longphase")
+                and not l.startswith("##commandline")]
+    assert strip(golden + "_sc.vcf") == strip(ours + "_sc.vcf")
+
+    # tag parity
+    g = _tags(golden + ".bam")
+    o = _tags(ours + ".bam")
+    assert len(g) == len(o), (len(g), len(o))
+    mism = [(a, b) for a, b in zip(g, o) if a != b]
+    assert not mism, f"{len(mism)} differing records; first 3: {mism[:3]}"
+
+
+def test_estimate_purity(reference_binary, somatic_fixture, phased_normal,
+                         tmp_path):
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "estimate_purity",
+                    "-s", phased_normal,
+                    "--tumor-snv-file", somatic_fixture["tumor_vcf"],
+                    "-b", somatic_fixture["normal_bam"],
+                    "--tumor-bam-file", somatic_fixture["tumor_bam"],
+                    "-r", somatic_fixture["fasta"], "-o", golden],
+                   check=True, capture_output=True, timeout=1200)
+    ours = str(tmp_path / "ours")
+    run_estimate_purity(_cfg(somatic_fixture, phased_normal, ours,
+                             quality_threshold=20, tag_supplementary=True))
+    with open(golden + "_purity.out") as f:
+        g_purity = f.read()
+    with open(ours + "_purity.out") as f:
+        o_purity = f.read()
+    assert g_purity == o_purity
+
+
+@pytest.mark.parametrize("purity,snp_rate,seed", [
+    (0.3, 0.0012, 7),
+    (0.9, 0.0004, 9),   # sparse germline SNPs -> some H3 reads survive
+])
+def test_somatic_purity_sweep(reference_binary, tmp_path, purity, snp_rate, seed):
+    fix = make_somatic_fixture(str(tmp_path / "fix"), seed=seed, length=250000,
+                               normal_coverage=25, tumor_coverage=30,
+                               purity=purity, n_somatic=25, n_artifacts=5,
+                               snp_rate=snp_rate)
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["normal_vcf"],
+                    "-b", fix["normal_bam"], "-r", fix["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "somatic_haplotag",
+                    "-s", phased + ".vcf",
+                    "--tumor-snv-file", fix["tumor_vcf"],
+                    "-b", fix["normal_bam"],
+                    "--tumor-bam-file", fix["tumor_bam"],
+                    "-r", fix["fasta"], "-o", golden],
+                   check=True, capture_output=True, timeout=1200)
+    ours = str(tmp_path / "ours")
+    run_somatic_haplotag(_cfg(fix, phased + ".vcf", ours))
+    with open(golden + "_purity.out") as f:
+        g_purity = f.read()
+    with open(ours + "_purity.out") as f:
+        o_purity = f.read()
+    assert g_purity == o_purity
+    g = _tags(golden + ".bam")
+    o = _tags(ours + ".bam")
+    assert len(g) == len(o)
+    mism = [(a, b) for a, b in zip(g, o) if a != b]
+    assert not mism, f"{len(mism)} differing records; first 3: {mism[:3]}"
