@@ -338,6 +338,78 @@ def _apply_phase(format_field: str, sample: str, ra_status: str, block: int) -> 
     return format_field, "".join(s)
 
 
+def preprocess_deepsomatic_vcf(in_path: str, out_path: str):
+    """SnpParser::preprocessDeepsomaticVCF (ParsingBam.cpp:651-835).
+
+    Keeps only FILTER~GERMLINE records and re-derives a diploid GT by
+    least-squares fit of observed allele fractions (AD preferred, VAF
+    fallback) against expected fractions of each genotype.
+    """
+    with open(in_path) as fin, open(out_path, "w") as fout:
+        for line in fin:
+            line = line.rstrip("\n")
+            if line.startswith("#"):
+                fout.write(line + "\n")
+                continue
+            f = line.split()
+            if len(f) < 10:
+                continue
+            if "GERMLINE" not in f[6]:
+                continue
+            fmt = f[8].split(":")
+            sample = f[9].split(":")
+            gt_index = fmt.index("GT") if "GT" in fmt else -1
+            vaf_index = fmt.index("VAF") if "VAF" in fmt else -1
+            ad_index = fmt.index("AD") if "AD" in fmt else -1
+            if 0 <= gt_index < len(sample):
+                alt_count = 0
+                if f[4] and f[4] != ".":
+                    alt_count = sum(1 for t in f[4].split(",") if t)
+                allele_count = alt_count + 1
+                observed = None
+                if 0 <= ad_index < len(sample):
+                    ad = []
+                    for tok in sample[ad_index].split(","):
+                        try:
+                            ad.append(int(tok))
+                        except ValueError:
+                            ad.append(0)
+                    s = sum(ad)
+                    if s > 0 and len(ad) == allele_count:
+                        observed = [v / s for v in ad]
+                if observed is None and 0 <= vaf_index < len(sample):
+                    vafs = []
+                    for tok in sample[vaf_index].split(","):
+                        if tok in (".", ""):
+                            continue
+                        try:
+                            vafs.append(float(tok))
+                        except ValueError:
+                            pass
+                    if alt_count == len(vafs) and alt_count >= 1:
+                        ref_frac = max(0.0, 1.0 - sum(vafs))
+                        observed = [ref_frac] + vafs
+                if observed is not None and allele_count >= 1:
+                    best = (0, 0)
+                    best_cost = math.inf
+                    for a in range(allele_count):
+                        for b in range(a, allele_count):
+                            expected = [0.0] * allele_count
+                            if a == b:
+                                expected[a] = 1.0
+                            else:
+                                expected[a] = 0.5
+                                expected[b] = 0.5
+                            cost = sum((o - e) ** 2
+                                       for o, e in zip(observed, expected))
+                            if cost < best_cost:
+                                best_cost = cost
+                                best = (a, b)
+                    sample[gt_index] = f"{best[0]}/{best[1]}"
+                    f[9] = ":".join(sample)
+            fout.write("\t".join(f) + "\n")
+
+
 def _rewrite_generic(in_path: str, out_path: str, phasing_result: dict,
                      version: str, command: str, resolve):
     """Shared body of the SV/METH writeLine variants (ParsingBam.cpp:1042-1193,

@@ -41,6 +41,7 @@ class PhaseConfig:
     phase_indel: bool = False
     indel_quality: int = 0
     dot: bool = False
+    deepsomatic_output: bool = False
     command: str = ""
     engine: str = "oracle"  # "oracle" (host, exact) | "tpu" (device kernels)
     params: PhaseParams = field(default_factory=PhaseParams)
@@ -51,6 +52,12 @@ def run_phase(cfg: PhaseConfig) -> dict:
     cfg.params.is_ont = cfg.is_ont
     cfg.params.phase_indel = cfg.phase_indel
     cfg.params.indel_quality = cfg.indel_quality
+
+    if getattr(cfg, "deepsomatic_output", False):
+        with timer("preprocessing DeepSomatic VCF (filter GERMLINE, adjust GT by VAF)"):
+            pre = cfg.result_prefix + "_preprocessed.vcf"
+            vcf_io.preprocess_deepsomatic_vcf(cfg.snp_file, pre)
+            cfg.snp_file = pre
 
     with timer("parsing VCF"):
         het = vcf_io.read_het_variants(cfg.snp_file, cfg.phase_indel, cfg.indel_quality)
