@@ -206,9 +206,12 @@ def write_somatic_vcf(tumor_snv_file, out_path, chr_multi, somatic_flags,
 class SomaticTagWalker(CigarWalk):
     """SomaticHaplotagCigarParser (SomaticHaplotagProcess.cpp:538-579)."""
 
-    def __init__(self, positions, variants, ref_string, somatic_flags):
+    def __init__(self, positions, variants, ref_string, somatic_flags,
+                 benchmark=None, chrom=""):
         super().__init__(positions, variants, ref_string)
         self.somatic_flags = somatic_flags  # pos -> derive_by_hp
+        self.benchmark = benchmark
+        self.chrom = chrom
         self.hp_count = None
         self.variants_hp = None
         self.nor_count_ps = None
@@ -233,9 +236,12 @@ class SomaticTagWalker(CigarWalk):
             if self.variants_hp.get(pos) == SOMATIC_H3:
                 base_hp = SOMATIC_H3
             self.derive_hp[pos] = (base_hp, self.somatic_flags[pos])
+        if self.benchmark is not None:
+            self.benchmark.record_ref_alt(self.chrom, pos, entry, base)
 
     def process_deletion(self, pos, entry, op_len, ci, state):
-        pass  # somatic tagging records deletion stats only for benchmarking
+        if self.benchmark is not None:
+            self.benchmark.record_del(self.chrom, pos, entry)
 
 
 def inherit_haplotype(derive_hp, percentage_threshold):
@@ -279,6 +285,22 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
         tum_reader = PhasedVcfReader(TUMOR)
         tum_reader.parse(cfg.tumor_snv_file, tum_info, chr_multi, mode="snp")
 
+    from ..core.somatic_benchmark import SomaticReadBenchmark
+
+    benchmark = SomaticReadBenchmark(cfg.truth_vcf, cfg.truth_bed,
+                                     cfg.quality_threshold)
+    truth_info = VcfInfo(sample=2)
+    in_bed_flags: dict[str, dict[int, bool]] = {}
+    if cfg.truth_vcf:
+        benchmark.enabled = True
+        with timer("[Benchmark] parsing truth VCF"):
+            benchmark.load_truth_vcf(chr_multi, truth_info)
+        if cfg.truth_bed:
+            with timer("[Benchmark] parsing truth BED file"):
+                benchmark.parse_bed()
+            benchmark.mark_variants_in_bed(tum_info.chr_vec, chr_multi,
+                                           in_bed_flags)
+
     # setChrVecAndChrLength (SomaticHaplotagProcess.cpp:149-194)
     for chrom, length in tum_info.chr_length.items():
         if chrom in nor_info.chr_length:
@@ -312,6 +334,11 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
                               cfg.result_prefix + "_sc.vcf", chr_multi,
                               somatic_flags, REFERENCE_VERSION, cfg.command)
 
+    if benchmark.loaded_bed and benchmark.enabled:
+        with timer("[Benchmark] removing tumor & truth somatic variants "
+                   "outside bed regions"):
+            benchmark.remove_variants_out_bed(chr_multi, in_bed_flags)
+
     # ---- tag tumor BAM (SINGLE_THREAD + output) --------------------------
     bam = BamReader(cfg.tumor_bam_file)
     header = bam.header_text
@@ -332,7 +359,8 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
             ref_string = (fasta.fetch(chrom, 0, last + 6)
                           if chrom in fasta.index and positions else "")
             walker = SomaticTagWalker(positions, variants, ref_string,
-                                      somatic_flags.get(chrom, {}))
+                                      somatic_flags.get(chrom, {}),
+                                      benchmark=benchmark, chrom=chrom)
             bam2 = BamReader(cfg.tumor_bam_file)
             for rec, cat in iter_somatic_reads(
                     bam2, chrom, chr_length.get(chrom), positions,
@@ -366,14 +394,22 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
                     if entry is not None:
                         walker.hp_count[1] += entry[0]
                         walker.hp_count[2] += entry[1]
-                    hp, pq, _ns, _ts = judge_somatic_read_hap(
+                    hp, pq, nor_sim, _ts = judge_somatic_read_hap(
                         walker.hp_count, walker.nor_count_ps,
                         cfg.percentage_threshold, stats)
+                    derive_sim = 0.0
                     if hp == RH_H3:
-                        new_hp, _sim = inherit_haplotype(
+                        new_hp, derive_sim = inherit_haplotype(
                             walker.derive_hp, cfg.percentage_threshold)
                         if new_hp is not None:
                             hp = new_hp
+                    if benchmark.enabled:
+                        benchmark.record_tagged_read(
+                            chrom, rec.qname, hp, walker.variants_hp,
+                            walker.hp_count, nor_sim, derive_sim, variants)
+                        benchmark.record_crossing_read(
+                            chrom, rec.qname, hp, walker.variants_hp,
+                            walker.hp_count, nor_sim, derive_sim, variants)
                     if (walker.hp_count[1] == 0 and walker.hp_count[2] == 0
                             and walker.hp_count[3] != 0 and hp == RH_H3):
                         pass  # totalreadOnlyH3Snp counter (report only)
@@ -403,6 +439,11 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
                 out.write(rec)
             bam2.close()
     out.close()
+
+    if benchmark.enabled:
+        with timer("[Benchmark] writing somatic haplotagging metrics report"):
+            benchmark.write_metrics_report(
+                chr_vec, cfg.result_prefix + "_somatic_haplotag.metrics")
 
     print("-------------------------------------------", file=sys.stderr)
     print(f"total alignment           : {stats.total_alignment}", file=sys.stderr)

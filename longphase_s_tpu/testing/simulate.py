@@ -487,3 +487,22 @@ def make_somatic_fixture(out_dir: str, seed: int = 7, chrom: str = "chr20",
             "normal_bam": nbam, "tumor_bam": tbam, "chrom": chrom,
             "length": length, "variants": variants, "somatic": somatic,
             "artifacts": artifacts, "purity": purity}
+
+
+def write_truth_files(out_dir, chrom, length, somatic):
+    """Truth somatic VCF + BED for the benchmark harness."""
+    import os
+
+    tvcf = os.path.join(out_dir, "truth.vcf")
+    with open(tvcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={chrom},length={length}>\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for pos, ref_b, alt_b, _hap in somatic:
+            f.write(f"{chrom}\t{pos + 1}\t.\t{ref_b}\t{alt_b}\t60\tPASS\t.\n")
+    tbed = os.path.join(out_dir, "truth.bed")
+    with open(tbed, "w") as f:
+        # two regions leaving a gap in the middle and the tail uncovered
+        f.write(f"{chrom}\t0\t{int(length * 0.45)}\n")
+        f.write(f"{chrom}\t{int(length * 0.55)}\t{int(length * 0.85)}\n")
+    return tvcf, tbed

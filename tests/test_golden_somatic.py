@@ -140,3 +140,34 @@ def test_somatic_purity_sweep(reference_binary, tmp_path, purity, snp_rate, seed
     assert len(g) == len(o)
     mism = [(a, b) for a, b in zip(g, o) if a != b]
     assert not mism, f"{len(mism)} differing records; first 3: {mism[:3]}"
+
+
+def test_somatic_benchmark_metrics(reference_binary, somatic_fixture,
+                                   phased_normal, tmp_path):
+    from longphase_s_tpu.testing.simulate import write_truth_files
+
+    fix = somatic_fixture
+    truth_vcf, truth_bed = write_truth_files(str(tmp_path), fix["chrom"],
+                                             fix["length"], fix["somatic"])
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "somatic_haplotag",
+                    "-s", phased_normal,
+                    "--tumor-snv-file", somatic_fixture["tumor_vcf"],
+                    "-b", somatic_fixture["normal_bam"],
+                    "--tumor-bam-file", somatic_fixture["tumor_bam"],
+                    "-r", somatic_fixture["fasta"],
+                    "--truth-vcf", truth_vcf, "--truth-bed", truth_bed,
+                    "-o", golden], check=True, capture_output=True, timeout=1200)
+    ours = str(tmp_path / "ours")
+    run_somatic_haplotag(_cfg(somatic_fixture, phased_normal, ours,
+                              truth_vcf=truth_vcf, truth_bed=truth_bed))
+    with open(golden + "_somatic_haplotag.metrics") as f:
+        g = f.read()
+    with open(ours + "_somatic_haplotag.metrics") as f:
+        o = f.read()
+    assert g == o
+    # tags must also match with the BED-restricted variant set
+    gt = _tags(golden + ".bam")
+    ot = _tags(ours + ".bam")
+    mism = [(a, b) for a, b in zip(gt, ot) if a != b]
+    assert not mism, f"{len(mism)} differing records; first 3: {mism[:3]}"
