@@ -112,7 +112,20 @@ def main(argv=None):
         sp.add_argument("--somatic-calling-log", action="store_true")
         sp.add_argument("--truth-vcf", default="")
         sp.add_argument("--truth-bed", default="")
-    sub.add_parser("modcall", help="methylation calling (coming online)")
+    mc = sub.add_parser("modcall", help="5mC methylation calling")
+    mc.add_argument("-b", "--bam-file", action="append", required=True)
+    mc.add_argument("-r", "--reference", required=True)
+    mc.add_argument("-s", "--snp-file", default="")
+    mc.add_argument("-o", "--out-prefix", default="modcall_result")
+    mc.add_argument("-t", "--threads", type=int, default=1)
+    mc.add_argument("-m", "--modThreshold", type=float, default=0.8)
+    mc.add_argument("-u", "--unModThreshold", type=float, default=0.2)
+    mc.add_argument("-e", "--heterRatio", type=float, default=0.6)
+    mc.add_argument("-n", "--noiseRatio", type=float, default=0.2)
+    mc.add_argument("-a", "--connectAdjacent", type=int, default=20)
+    mc.add_argument("-c", "--connectConfidence", type=float, default=0.9)
+    mc.add_argument("-k", "--iterCount", type=int, default=2)
+    mc.add_argument("--all", dest="output_all", action="store_true")
 
     args = parser.parse_args(argv)
     if args.command == "phase":
@@ -155,6 +168,18 @@ def main(argv=None):
             run_somatic_haplotag(cfg)
         else:
             run_estimate_purity(cfg)
+        return 0
+    if args.command == "modcall":
+        from .models.modcall import ModCallConfig, run_modcall
+
+        run_modcall(ModCallConfig(
+            bam_files=args.bam_file, fasta_file=args.reference,
+            snp_file=args.snp_file, result_prefix=args.out_prefix,
+            num_threads=args.threads, mod_threshold=args.modThreshold,
+            unmod_threshold=args.unModThreshold, heter_ratio=args.heterRatio,
+            noise_ratio=args.noiseRatio, connect_adjacent=args.connectAdjacent,
+            connect_confidence=args.connectConfidence, iter_count=args.iterCount,
+            output_all_mod=args.output_all, command=" ".join(sys.argv)))
         return 0
     parser.print_help()
     return 1

@@ -183,6 +183,68 @@ class BamRecord:
         return self.raw + self._extra
 
 
+_COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N", "U": "A"}
+
+
+def decode_base_mods(rec: "BamRecord", want_code: str = "m"):
+    """Decode MM/ML base-modification tags (SAM tags spec §1.7).
+
+    Returns a sorted list of (stored_seq_pos, qual) for the requested mod code
+    — the same stream htslib's bam_parse_basemod/bam_next_basemod yields
+    (positions ascending in the stored sequence orientation; reverse-strand
+    reads are walked from the tail counting complemented bases).
+    """
+    import re
+
+    mm = rec.get_tag("MM")
+    if mm is None:
+        mm = rec.get_tag("Mm")
+    if not mm:
+        return []
+    ml = rec.get_tag("ML")
+    if ml is None:
+        ml = rec.get_tag("Ml")
+    ml = ml or []
+
+    seq = rec.seq()
+    n = len(seq)
+    out = []
+    ml_idx = 0
+    for sub in mm.split(";"):
+        if not sub:
+            continue
+        parts = sub.split(",")
+        head = parts[0]
+        m = re.match(r"([ACGTUN])([-+])([a-z]+|\d+)([.?]?)", head)
+        if not m:
+            continue
+        base, _strand, codes, _mode = m.groups()
+        deltas = [int(d) for d in parts[1:]]
+        code_list = [codes] if codes.isdigit() else list(codes)
+        if rec.is_reverse:
+            target = _COMPLEMENT.get(base, base)
+            positions = [i for i in range(n - 1, -1, -1)
+                         if base == "N" or seq[i] == target]
+        else:
+            target = base
+            positions = [i for i in range(n)
+                         if base == "N" or seq[i] == target]
+        idx = -1
+        for d in deltas:
+            idx += d + 1
+            if idx >= len(positions):
+                ml_idx += len(code_list)
+                continue
+            pos = positions[idx]
+            for c in code_list:
+                q = ml[ml_idx] if ml_idx < len(ml) else 0
+                ml_idx += 1
+                if c == want_code:
+                    out.append((pos, q))
+    out.sort()
+    return out
+
+
 class BamReader:
     def __init__(self, path: str):
         self._bgzf = BgzfReader(path)

@@ -296,18 +296,21 @@ def write_bam_with_index(path, chrom, chrom_len, reads, sample="SAMPLE"):
 
     from ..io.bam import SEQ_NT16
     records = []  # (pos, end, voffset_beg, voffset_end)
-    for qname, pos, cigar, seq, quals in reads:
+    for entry in reads:
+        qname, pos, cigar, seq, quals = entry[:5]
+        tags = entry[5] if len(entry) > 5 else b""
+        flag = entry[6] if len(entry) > 6 else 0
         name_b = qname.encode() + b"\x00"
         ref_len = sum(ln for op, ln in cigar if op in (0, 2, 3, 7, 8))
         bin_ = _reg2bin(pos, pos + ref_len)
         fixed = struct.pack("<iiBBHHHiiii", 0, pos, len(name_b), 60, bin_,
-                            len(cigar), 0, len(seq), -1, -1, 0)
+                            len(cigar), flag, len(seq), -1, -1, 0)
         cig = b"".join(struct.pack("<I", (ln << 4) | op) for op, ln in cigar)
         nib = [SEQ_NT16.index(c) for c in seq.upper()]
         if len(nib) % 2:
             nib.append(0)
         packed = bytes((nib[i] << 4) | nib[i + 1] for i in range(0, len(nib), 2))
-        body = fixed + name_b + cig + packed + bytes(quals)
+        body = fixed + name_b + cig + packed + bytes(quals) + tags
         voff_beg = fh.tell() << 16
         bgzf.write(struct.pack("<i", len(body)) + body)
         bgzf._flush_block(bytes(bgzf._buf))
@@ -506,3 +509,110 @@ def write_truth_files(out_dir, chrom, length, somatic):
         f.write(f"{chrom}\t0\t{int(length * 0.45)}\n")
         f.write(f"{chrom}\t{int(length * 0.55)}\t{int(length * 0.85)}\n")
     return tvcf, tbed
+
+
+def make_meth_fixture(out_dir: str, seed: int = 7, chrom: str = "chr20",
+                      length: int = 150000, coverage: int = 25,
+                      read_len: int = 10000, snp_rate: float = 0.0012,
+                      n_asm: int = 12, n_homo_mod: int = 6, qual: int = 30):
+    """MM/ML-tagged BAM fixture for modcall: allele-specific methylation at
+    CpG sites (forward reads list the C, reverse reads the paired G) on one
+    germline haplotype, plus homozygous-methylated sites."""
+    import os
+    import struct as _struct
+    import bisect
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ref_seq, variants = simulate_chromosome(rng, length, snp_rate, 0.0)
+    taken = sorted(p for p, *_ in variants)
+
+    def pick_cg_pos():
+        for _ in range(800):
+            pos = int(rng.integers(1000, length - 1000))
+            if ref_seq[pos] != "C" or ref_seq[pos + 1] != "G":
+                continue
+            i = bisect.bisect_left(taken, pos - 60)
+            if i < len(taken) and taken[i] < pos + 62:
+                continue
+            bisect.insort(taken, pos)
+            bisect.insort(taken, pos + 1)
+            return pos
+        raise RuntimeError("no free CpG position")
+
+    asm_sites = sorted((pick_cg_pos(), int(rng.integers(0, 2)))
+                       for _ in range(n_asm))
+    homo_sites = sorted(pick_cg_pos() for _ in range(n_homo_mod))
+
+    reads = simulate_reads(rng, ref_seq, variants, coverage, read_len,
+                           error_rate=0.0, qual=qual, softclip_prob=0.25)
+
+    tagged = []
+    for qname, start, cigar, seq, quals in reads:
+        hap = 0 if qname.endswith("h1") else 1
+        is_rev = rng.random() < 0.5
+        # ref->query map over the aligned (stored) sequence
+        ref2q = {}
+        qpos = 0
+        rpos = start
+        for op, ln in cigar:
+            if op in (0, 7, 8):
+                for k in range(ln):
+                    ref2q[rpos + k] = qpos + k
+                qpos += ln
+                rpos += ln
+            elif op in (1, 4):
+                qpos += ln
+            elif op in (2, 3):
+                rpos += ln
+
+        listed = []  # (stored_qpos, ml)
+        target_base = "G" if is_rev else "C"
+        for pos, mhap in asm_sites:
+            q = ref2q.get(pos + 1 if is_rev else pos)
+            if q is not None and seq[q] == target_base:
+                listed.append((q, 240 if mhap == hap else 8))
+        for pos in homo_sites:
+            q = ref2q.get(pos + 1 if is_rev else pos)
+            if q is not None and seq[q] == target_base:
+                listed.append((q, 245))
+        tags = b""
+        if listed:
+            if is_rev:
+                # MM counts complement(C)=G bases from the tail of the
+                # stored sequence
+                t_positions = [i for i in range(len(seq) - 1, -1, -1)
+                               if seq[i] == "G"]
+                listed.sort(key=lambda x: -x[0])
+            else:
+                t_positions = [i for i in range(len(seq)) if seq[i] == "C"]
+                listed.sort()
+            rank = {p: i for i, p in enumerate(t_positions)}
+            deltas = []
+            mls = []
+            prev = -1
+            ok = True
+            for q, ml_val in listed:
+                r = rank.get(q)
+                if r is None:
+                    ok = False
+                    break
+                deltas.append(r - prev - 1)
+                prev = r
+                mls.append(ml_val)
+            if ok and deltas:
+                mm = "C+m?," + ",".join(str(d) for d in deltas) + ";"
+                tags += b"MMZ" + mm.encode() + b"\x00"
+                tags += b"MLBC" + _struct.pack("<I", len(mls)) + bytes(mls)
+        flag = 0x10 if is_rev else 0
+        tagged.append((qname, start, cigar, seq, quals, tags, flag))
+
+    fa = os.path.join(out_dir, "ref.fa")
+    write_fasta(fa, {chrom: ref_seq})
+    vcf_path = os.path.join(out_dir, "snp.vcf")
+    write_vcf(vcf_path, chrom, length, variants)
+    bam = os.path.join(out_dir, "reads.bam")
+    write_bam_with_index(bam, chrom, length, tagged)
+    return {"fasta": fa, "vcf": vcf_path, "bam": bam, "chrom": chrom,
+            "length": length, "variants": variants, "asm_sites": asm_sites,
+            "homo_sites": homo_sites, "ref_seq": ref_seq}

@@ -1,0 +1,39 @@
+"""Golden tests for modcall: VCF output must match the reference binary on an
+MM/ML-tagged fixture."""
+
+import subprocess
+
+import pytest
+
+from longphase_s_tpu.models.modcall import ModCallConfig, run_modcall
+from longphase_s_tpu.testing.simulate import make_meth_fixture
+
+
+def _strip(path):
+    return [l for l in open(path) if not l.startswith("##longphase")
+            and not l.startswith("##commandline")]
+
+
+@pytest.mark.parametrize("output_all", [False, True])
+def test_modcall(reference_binary, tmp_path, output_all):
+    fix = make_meth_fixture(str(tmp_path / "fix"), seed=17, length=150000,
+                            coverage=25, read_len=10000, n_asm=12, n_homo_mod=6)
+    golden = str(tmp_path / "golden")
+    cmd = [reference_binary, "modcall", "-b", fix["bam"], "-r", fix["fasta"],
+           "-s", fix["vcf"], "-o", golden]
+    if output_all:
+        cmd.append("--all")
+    subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+    ours = str(tmp_path / "ours")
+    run_modcall(ModCallConfig(bam_files=[fix["bam"]], fasta_file=fix["fasta"],
+                              snp_file=fix["vcf"], result_prefix=ours,
+                              output_all_mod=output_all))
+    g = _strip(golden + ".vcf")
+    o = _strip(ours + ".vcf")
+    mism = [(a, b) for a, b in zip(g, o) if a != b]
+    assert len(g) == len(o), (len(g), len(o), (g[:3], o[:3]))
+    assert not mism, f"{len(mism)} differing lines; first: {mism[0]}"
+    if not output_all:
+        # fixture sanity: ASM sites must actually be called
+        data = [l for l in o if not l.startswith("#")]
+        assert len(data) >= 5
