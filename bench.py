@@ -19,6 +19,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lps_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 REF_BIN = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".refbuild", "longphase-s")

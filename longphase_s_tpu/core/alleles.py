@@ -323,6 +323,43 @@ def extract_chromosome(bam_paths: list[str], chrom: str, last_snp_pos: int,
     """
     from ..io.bam import BamReader
 
+    # native fast path (C++ BGZF+BAM decode + CIGAR walk); only covers the
+    # SNP/indel stream — SV/MOD co-phasing falls back to the Python walker
+    if sv_entries is None and mod_entries is None:
+        from .. import native
+
+        if native.available():
+            out: list[ReadAln] = []
+            clip_count: dict[int, list[int]] = {}
+            ok = True
+            for path in bam_paths:
+                r = native.extract_phase(path, chrom, last_snp_pos, positions,
+                                         infos, ref_string, mapping_quality)
+                if r is None:
+                    ok = False
+                    break
+                offs = r["aln_offsets"]
+                n_offs = r["name_offsets"]
+                names = r["names"]
+                obs_pos = r["obs_pos"].tolist()
+                obs_allele = r["obs_allele"].tolist()
+                obs_qual = r["obs_qual"].tolist()
+                starts = r["aln_start"]
+                for i in range(len(starts)):
+                    a, b = int(offs[i]), int(offs[i + 1])
+                    aln = ReadAln(names[n_offs[i]:n_offs[i + 1]],
+                                  int(starts[i]), False)
+                    aln.positions = obs_pos[a:b]
+                    aln.alleles = obs_allele[a:b]
+                    aln.quals = obs_qual[a:b]
+                    out.append(aln)
+                for pos, side in zip(r["clip_pos"].tolist(),
+                                     r["clip_side"].tolist()):
+                    entry = clip_count.setdefault(pos, [0, 0])
+                    entry[side] += 1
+            if ok:
+                return out, clip_count
+
     extractor = AlleleExtractor(positions, infos, ref_string,
                                 sv_entries=sv_entries, mod_entries=mod_entries,
                                 sv_window=sv_window, sv_threshold=sv_threshold)

@@ -1,0 +1,205 @@
+"""Flat-array phase pipeline: native ingest arrays -> device tensors without
+materializing per-read Python objects.
+
+Stages mirror phase_chromosome (and are golden-verified against it):
+overlap-alignment filter -> ONT erasure -> banded pair counting -> vote scan
+-> read correction. Falls back to the object pipeline when CNV intervals are
+active (rare; interval filtering is stateful and cheap there).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .matrix import PackedChromosome, _remap_qual
+from .phase_algo import PhaseParams
+
+
+def filter_overlap_flat(names: list[str], first_pos, last_pos,
+                        overlap_threshold: float):
+    """filter_overlap_alignments on per-alignment summaries
+    (PhasingGraph.cpp:707-781 incl. the range.first==0 quirk).
+    Returns a keep mask (bool[A])."""
+    A = len(names)
+    keep = np.ones(A, dtype=bool)
+    align_range: dict[str, list[int]] = {}
+    read_idx_vec: dict[str, list[int]] = {}
+    for i in range(A):
+        name = names[i]
+        first = int(first_pos[i])
+        last = int(last_pos[i])
+        rng = align_range.setdefault(name, [0, 0])
+        idxv = read_idx_vec.setdefault(name, [])
+        to_delete = False
+        while rng[0] <= first <= rng[1]:
+            if last < rng[1]:
+                to_delete = True
+                keep[i] = False
+                break
+            pre = len(idxv) - 1
+            if pre < 0:
+                break
+            prev = idxv[pre]
+            prev_start = int(first_pos[prev])
+            prev_end = int(last_pos[prev])
+            overlap_start = max(prev_start, first)
+            overlap_end = min(prev_end, last)
+            if overlap_start > overlap_end:
+                break
+            overlap_len = overlap_end - overlap_start + 1
+            align_span = max(prev_end, last) - min(prev_start, first) + 1
+            if overlap_len / align_span >= overlap_threshold:
+                len1 = prev_end - prev_start + 1
+                len2 = last - first + 1
+                if len2 <= len1:
+                    to_delete = True
+                    keep[i] = False
+                    break
+                else:
+                    keep[idxv[pre]] = False
+                    idxv.pop()
+                    rng[1] = (int(last_pos[idxv[pre - 1]]) if pre > 0 else first)
+            else:
+                break
+        rng[1] = last
+        if not to_delete:
+            idxv.append(i)
+    return keep
+
+
+def pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names: list[str],
+              params: PhaseParams) -> PackedChromosome | None:
+    """pack_chromosome from flat arrays (vectorized; bincount accumulation)."""
+    if len(obs_pos) == 0:
+        return None
+    W = params.connect_adjacent
+    sizes = np.diff(aln_offsets)
+
+    obs_vtype, obs_q = _remap_qual(obs_allele, obs_qual)
+    positions = np.unique(obs_pos)
+    S = len(positions)
+    rank = np.searchsorted(positions, obs_pos).astype(np.int32)
+    vtype = np.zeros(S, dtype=np.int8)
+    vtype[rank] = obs_vtype
+
+    # merged reads: group by read name (id by unique name)
+    name_arr = np.asarray(names)
+    _uniq, read_id = np.unique(name_arr, return_inverse=True)
+    obs_read = np.repeat(read_id, sizes)
+    order = np.lexsort((obs_pos, obs_read))
+    m_read = obs_read[order]
+    m_rank = rank[order]
+    m_allele = obs_allele[order].astype(np.int64)
+    m_qok = obs_q[order] >= params.base_quality
+
+    N = len(m_rank)
+    lin_parts_hi = []
+    lin_parts_lo = []
+    for m in range(1, W + 1):
+        if m >= N:
+            break
+        same = m_read[:N - m] == m_read[m:]
+        d = m_rank[m:] - m_rank[:N - m]
+        keep = same & (d >= 1) & (d <= W)
+        if not keep.any():
+            continue
+        r1 = m_rank[:N - m][keep].astype(np.int64)
+        dd = d[keep].astype(np.int64)
+        combo = m_allele[:N - m][keep] * 2 + m_allele[m:][keep]
+        hi = m_qok[:N - m][keep] & m_qok[m:][keep]
+        lin = r1 * (W * 4) + (dd - 1) * 4 + combo
+        lin_parts_hi.append(lin[hi])
+        lin_parts_lo.append(lin[~hi])
+
+    size = S * W * 4
+    if lin_parts_hi:
+        counts_hi = np.bincount(np.concatenate(lin_parts_hi), minlength=size)
+    else:
+        counts_hi = np.zeros(size, np.int64)
+    if lin_parts_lo:
+        counts_lo = np.bincount(np.concatenate(lin_parts_lo), minlength=size)
+    else:
+        counts_lo = np.zeros(size, np.int64)
+
+    return PackedChromosome(
+        positions=positions, vtype=vtype,
+        counts_hi=counts_hi.reshape(S, W, 4).astype(np.int32),
+        counts_lo=counts_lo.reshape(S, W, 4).astype(np.int32),
+        aln_offsets=np.asarray(aln_offsets, np.int64),
+        aln_rank=rank, aln_allele=np.asarray(obs_allele, np.int8),
+        aln_names=names, window=W)
+
+
+def phase_chromosome_flat(flat: dict, cnv_vec, chrom: str, params: PhaseParams,
+                          erased_positions=None):
+    """Fast path over the native ingest dict. Returns (result, read_hp, packed)
+    or None when a fallback to the object pipeline is required."""
+    from ..ops.read_correction import read_correction_packed
+    from ..ops.vote_scan import run_vote_scan
+
+    obs_pos = flat["obs_pos"]
+    obs_allele = flat["obs_allele"]
+    obs_qual = flat["obs_qual"]
+    aln_offsets = flat["aln_offsets"]
+    name_offsets = flat["name_offsets"]
+    names_blob = flat["names"]
+    A = len(aln_offsets) - 1
+    if A == 0:
+        return {}, {}, None
+    names = [names_blob[name_offsets[i]:name_offsets[i + 1]] for i in range(A)]
+
+    if cnv_vec:
+        return None  # CNV interval filtering -> object pipeline
+
+    # ONT erasure of error-prone SNPs from observations
+    if erased_positions:
+        mask = ~np.isin(obs_pos, np.fromiter(erased_positions, np.int64,
+                                             len(erased_positions)))
+        sizes = np.diff(aln_offsets)
+        kept_per_aln = np.add.reduceat(mask.astype(np.int64), aln_offsets[:-1]) \
+            if len(mask) else np.zeros(A, np.int64)
+        obs_pos = obs_pos[mask]
+        obs_allele = obs_allele[mask]
+        obs_qual = obs_qual[mask]
+        aln_offsets = np.concatenate([[0], np.cumsum(kept_per_aln)])
+        # alignments that lost all observations remain as inert entries
+        # (reference keeps empty ReadVariant entries in the vector)
+
+    sizes = np.diff(aln_offsets)
+    nonempty = sizes > 0
+    first_pos = np.zeros(A, np.int64)
+    last_pos_arr = np.zeros(A, np.int64)
+    ne_idx = np.nonzero(nonempty)[0]
+    first_pos[ne_idx] = obs_pos[aln_offsets[:-1][ne_idx]]
+    last_pos_arr[ne_idx] = obs_pos[aln_offsets[1:][ne_idx] - 1]
+
+    # overlap filter skips empty alignments (matches the guarded oracle)
+    keep = np.ones(A, dtype=bool)
+    if len(ne_idx):
+        sub_keep = filter_overlap_flat(
+            [names[i] for i in ne_idx], first_pos[ne_idx], last_pos_arr[ne_idx],
+            params.overlap_threshold)
+        keep[ne_idx] = sub_keep
+
+    if not keep.all():
+        obs_keep = np.repeat(keep, sizes)
+        obs_pos = obs_pos[obs_keep]
+        obs_allele = obs_allele[obs_keep]
+        obs_qual = obs_qual[obs_keep]
+        kept_sizes = sizes[keep]
+        aln_offsets = np.concatenate([[0], np.cumsum(kept_sizes)])
+        names = [n for n, k in zip(names, keep) if k]
+        A = len(names)
+
+    packed = pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names, params)
+    if packed is None:
+        return {}, {}, None
+
+    ps, ori = run_vote_scan(packed, params)
+    ps, ori, read_hp = read_correction_packed(packed, ps, ori, params)
+
+    result: dict[str, tuple[str, int]] = {}
+    for i in np.nonzero(ps)[0]:
+        o = int(ori[i])
+        result[f"{chrom}_{int(packed.positions[i])}"] = (f"{o}|{1 - o}", int(ps[i]))
+    return result, read_hp, packed

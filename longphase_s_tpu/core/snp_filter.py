@@ -10,12 +10,9 @@ from __future__ import annotations
 from .alleles import ReadAln, homopolymer_length
 
 
-def filter_ont_snps(variants: dict[int, object], alns: list[ReadAln],
-                    ref_string: str) -> set[int]:
-    """Mutates ``variants`` (het table for one chromosome) and ``alns``.
-
-    Returns the set of erased positions.
-    """
+def compute_ont_erasures(variants: dict[int, object], ref_string: str) -> set[int]:
+    """Error-prone homopolymer SNP pair scan (ParsingBam.cpp:866-892).
+    Mutates ``variants`` (erases dropped positions); returns the erased set."""
     homo = {pos: homopolymer_length(pos, ref_string) for pos in variants}
     error_prone: set[int] = set()
     ordered = sorted(variants)
@@ -30,6 +27,16 @@ def filter_ont_snps(variants: dict[int, object], alns: list[ReadAln],
             del ordered[i + 1]
             continue
         i += 1
+    return error_prone
+
+
+def filter_ont_snps(variants: dict[int, object], alns: list[ReadAln],
+                    ref_string: str) -> set[int]:
+    """Mutates ``variants`` (het table for one chromosome) and ``alns``.
+
+    Returns the set of erased positions.
+    """
+    error_prone = compute_ont_erasures(variants, ref_string)
 
     if error_prone:
         for aln in alns:

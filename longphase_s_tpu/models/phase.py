@@ -100,6 +100,68 @@ def run_phase(cfg: PhaseConfig) -> dict:
         if meth_set is not None:
             mod_entries = sorted(meth_set.by_chrom.get(chrom, {}).items())
 
+        # flat fast path: native ingest arrays straight to the device tensors
+        if cfg.engine == "tpu" and sv_entries is None and mod_entries is None:
+            from .. import native
+
+            if native.available():
+                flats = []
+                clip_count = {}
+                ok = True
+                for path in cfg.bam_files:
+                    f = native.extract_phase(path, chrom, last_snp, positions,
+                                             infos, ref_string,
+                                             cfg.params.mapping_quality)
+                    if f is None:
+                        ok = False
+                        break
+                    flats.append(f)
+                if ok:
+                    import numpy as _np
+
+                    flat = flats[0]
+                    if len(flats) > 1:
+                        offs = [flats[0]["aln_offsets"]]
+                        noffs = [flats[0]["name_offsets"]]
+                        for g in flats[1:]:
+                            offs.append(g["aln_offsets"][1:] + offs[-1][-1])
+                            noffs.append(g["name_offsets"][1:] + noffs[-1][-1])
+                        flat = {
+                            "obs_pos": _np.concatenate([g["obs_pos"] for g in flats]),
+                            "obs_allele": _np.concatenate([g["obs_allele"] for g in flats]),
+                            "obs_qual": _np.concatenate([g["obs_qual"] for g in flats]),
+                            "aln_offsets": _np.concatenate(offs),
+                            "aln_start": _np.concatenate([g["aln_start"] for g in flats]),
+                            "name_offsets": _np.concatenate(noffs),
+                            "names": "".join(g["names"] for g in flats),
+                            "clip_pos": _np.concatenate([g["clip_pos"] for g in flats]),
+                            "clip_side": _np.concatenate([g["clip_side"] for g in flats]),
+                        }
+                    for pos, side in zip(flat["clip_pos"].tolist(),
+                                         flat["clip_side"].tolist()):
+                        entry = clip_count.setdefault(pos, [0, 0])
+                        entry[side] += 1
+                    intervals = get_cnv_intervals(clip_count)
+                    if len(flat["aln_start"]) == 0:
+                        return
+                    if not intervals:
+                        # CNV-interval filtering requires the object pipeline;
+                        # only take the flat path when it is inactive
+                        erased = None
+                        if cfg.is_ont:
+                            from ..core.snp_filter import compute_ont_erasures
+
+                            erased = compute_ont_erasures(variants, ref_string)
+                        from ..core.fastpath import phase_chromosome_flat
+
+                        r = phase_chromosome_flat(flat, [], chrom, cfg.params,
+                                                  erased)
+                        if r is not None:
+                            chr_results[chrom] = r[0]
+                            print(f"({chrom})", end="", file=sys.stderr,
+                                  flush=True)
+                            return
+
         alns, clip_count = extract_chromosome(
             cfg.bam_files, chrom, last_snp, positions, infos, ref_string,
             mapping_quality=cfg.params.mapping_quality,

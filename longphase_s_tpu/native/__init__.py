@@ -1,0 +1,119 @@
+"""ctypes bindings for the native ingest library (liblps.so).
+
+Auto-builds from source on first use if a compiler is available; callers must
+handle ``available() == False`` by falling back to the pure-Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "liblps.so")
+_SRC_PATH = os.path.join(_HERE, "lps_ingest.cpp")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def build():
+    subprocess.run(
+        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC_PATH,
+         "-o", _LIB_PATH, "-lz"],
+        check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_LIB_PATH) or \
+                    os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH):
+                build()
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:  # noqa: BLE001 — no compiler / load failure
+            return None
+        lib.lps_extract_phase.restype = ctypes.c_void_p
+        lib.lps_extract_phase.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.lps_result_sizes.restype = ctypes.c_int64
+        lib.lps_result_sizes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+        lib.lps_result_fill.restype = ctypes.c_int64
+        lib.lps_result_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 9
+        lib.lps_result_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
+                  positions, infos, ref_string: str, mapping_quality: int):
+    """Native get_snp walk. Returns dict of flat numpy arrays or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(positions)
+    var_pos = np.asarray(positions, dtype=np.int64)
+    ref0 = np.frombuffer(
+        "".join((i.ref[0] if i.ref else "N") for i in infos).encode("ascii"),
+        dtype=np.uint8) if n else np.zeros(0, np.uint8)
+    alt0 = np.frombuffer(
+        "".join((i.alt[0] if i.alt else "N") for i in infos).encode("ascii"),
+        dtype=np.uint8) if n else np.zeros(0, np.uint8)
+    ref_len = np.fromiter((len(i.ref) for i in infos), np.int32, n)
+    alt_len = np.fromiter((len(i.alt) for i in infos), np.int32, n)
+    danger = np.fromiter((1 if i.is_danger else 0 for i in infos), np.uint8, n)
+    ref_bytes = ref_string.encode("ascii")
+
+    handle = lib.lps_extract_phase(
+        bam_path.encode(), chrom.encode(), last_snp_pos,
+        n, var_pos.ctypes.data, ref0.tobytes(), alt0.tobytes(),
+        ref_len.ctypes.data, alt_len.ctypes.data, danger.ctypes.data,
+        ref_bytes, len(ref_bytes), mapping_quality)
+    if not handle:
+        return None
+    try:
+        n_obs = ctypes.c_int64()
+        n_aln = ctypes.c_int64()
+        names_len = ctypes.c_int64()
+        n_clip = ctypes.c_int64()
+        lib.lps_result_sizes(handle, ctypes.byref(n_obs), ctypes.byref(n_aln),
+                             ctypes.byref(names_len), ctypes.byref(n_clip))
+        obs_pos = np.empty(n_obs.value, np.int64)
+        obs_allele = np.empty(n_obs.value, np.int8)
+        obs_qual = np.empty(n_obs.value, np.int16)
+        aln_offsets = np.empty(n_aln.value + 1, np.int64)
+        aln_start = np.empty(n_aln.value, np.int32)
+        name_offsets = np.empty(n_aln.value + 1, np.int64)
+        names = ctypes.create_string_buffer(max(names_len.value, 1))
+        clip_pos = np.empty(n_clip.value, np.int64)
+        clip_side = np.empty(n_clip.value, np.int8)
+        lib.lps_result_fill(
+            handle, obs_pos.ctypes.data, obs_allele.ctypes.data,
+            obs_qual.ctypes.data, aln_offsets.ctypes.data,
+            aln_start.ctypes.data, name_offsets.ctypes.data, names,
+            clip_pos.ctypes.data, clip_side.ctypes.data)
+        return {
+            "obs_pos": obs_pos, "obs_allele": obs_allele, "obs_qual": obs_qual,
+            "aln_offsets": aln_offsets, "aln_start": aln_start,
+            "name_offsets": name_offsets,
+            "names": names.raw[:names_len.value].decode("ascii"),
+            "clip_pos": clip_pos, "clip_side": clip_side,
+        }
+    finally:
+        lib.lps_result_free(handle)

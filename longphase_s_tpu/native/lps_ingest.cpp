@@ -1,0 +1,433 @@
+// lps_ingest — native host runtime for longphase_s_tpu.
+//
+// BGZF + BAM decoding and the phase allele-extraction CIGAR walk
+// (behavioral contract: BamParser::get_snp, reference ParsingBam.cpp:1303-1634
+// — reimplemented from the SAM/BAM spec and the documented walk semantics,
+// no htslib code). Emits flat observation arrays ready for the packing layer.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC lps_ingest.cpp -o liblps.so -lz
+//
+// C ABI for ctypes.
+
+#include <zlib.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Buf {
+  std::vector<uint8_t> data;
+};
+
+// ---------------------------------------------------------------- BGZF ----
+static bool inflate_block(const uint8_t* src, size_t src_len, size_t& consumed,
+                          std::vector<uint8_t>& out) {
+  if (src_len < 28 || src[0] != 0x1f || src[1] != 0x8b) return false;
+  uint16_t xlen = src[10] | (src[11] << 8);
+  size_t extra_off = 12;
+  size_t bsize = 0;
+  size_t off = 0;
+  while (off + 4 <= xlen) {
+    uint8_t si1 = src[extra_off + off], si2 = src[extra_off + off + 1];
+    uint16_t slen = src[extra_off + off + 2] | (src[extra_off + off + 3] << 8);
+    if (si1 == 66 && si2 == 67 && slen == 2) {
+      bsize = (src[extra_off + off + 4] | (src[extra_off + off + 5] << 8)) + 1;
+    }
+    off += 4 + slen;
+  }
+  if (bsize == 0 || bsize > src_len) return false;
+  size_t cdata_off = 12 + xlen;
+  size_t cdata_len = bsize - 12 - xlen - 8;
+  uint32_t isize;
+  memcpy(&isize, src + bsize - 4, 4);
+  size_t prev = out.size();
+  out.resize(prev + isize);
+  if (isize > 0) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    inflateInit2(&zs, -15);
+    zs.next_in = const_cast<uint8_t*>(src + cdata_off);
+    zs.avail_in = (uInt)cdata_len;
+    zs.next_out = out.data() + prev;
+    zs.avail_out = isize;
+    int r = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (r != Z_STREAM_END && r != Z_OK) return false;
+  }
+  consumed = bsize;
+  return true;
+}
+
+// Parallel BGZF inflate: scan block boundaries + ISIZEs (cheap header reads),
+// prefix-sum uncompressed offsets, then inflate blocks across threads.
+static bool read_entire_bgzf(const char* path, std::vector<uint8_t>& out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> raw((size_t)fsize);
+  if (fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+    fclose(f);
+    return false;
+  }
+  fclose(f);
+
+  struct Blk {
+    size_t coff, clen, uoff, ulen;
+  };
+  std::vector<Blk> blocks;
+  size_t pos = 0;
+  size_t total_u = 0;
+  while (pos + 28 <= raw.size()) {
+    const uint8_t* src = raw.data() + pos;
+    if (src[0] != 0x1f || src[1] != 0x8b) return false;
+    uint16_t xlen = src[10] | (src[11] << 8);
+    size_t bsize = 0, off = 0;
+    while (off + 4 <= xlen) {
+      uint8_t si1 = src[12 + off], si2 = src[12 + off + 1];
+      uint16_t slen = src[12 + off + 2] | (src[12 + off + 3] << 8);
+      if (si1 == 66 && si2 == 67 && slen == 2)
+        bsize = (src[12 + off + 4] | (src[12 + off + 5] << 8)) + 1;
+      off += 4 + slen;
+    }
+    if (bsize == 0 || pos + bsize > raw.size()) return false;
+    uint32_t isize;
+    memcpy(&isize, src + bsize - 4, 4);
+    blocks.push_back({pos, bsize, total_u, isize});
+    total_u += isize;
+    pos += bsize;
+  }
+  out.resize(total_u);
+
+  unsigned n_threads = std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+  std::atomic<size_t> next{0};
+  std::atomic<bool> failed{false};
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || failed.load()) return;
+      const Blk& b = blocks[i];
+      if (b.ulen == 0) continue;
+      const uint8_t* src = raw.data() + b.coff;
+      uint16_t xlen = src[10] | (src[11] << 8);
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      inflateInit2(&zs, -15);
+      zs.next_in = const_cast<uint8_t*>(src + 12 + xlen);
+      zs.avail_in = (uInt)(b.clen - 12 - xlen - 8);
+      zs.next_out = out.data() + b.uoff;
+      zs.avail_out = (uInt)b.ulen;
+      int r = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (r != Z_STREAM_END && r != Z_OK) failed.store(true);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (unsigned t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+  return !failed.load();
+}
+
+// ------------------------------------------------------------- helpers ----
+static inline int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+static inline uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
+static inline uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+
+static const char SEQ_NT16[] = "=ACMGRSVTWYHKDBN";
+
+// Util.cpp:21-54 homopolymerLength (cap 10)
+static int homopolymer_length(int64_t pos, const char* ref, int64_t ref_len) {
+  int length = 1;
+  if (pos + 1 >= ref_len) return length;
+  char e = ref[pos];
+  int64_t p = pos - 1;
+  while (p >= 0 && ref[p] == e) {
+    --p;
+    ++length;
+    if (length >= 10) break;
+  }
+  p = pos + 1;
+  while (p < ref_len && ref[p] == e) {
+    ++p;
+    ++length;
+    if (length >= 10) break;
+  }
+  return length;
+}
+
+struct ExtractResult {
+  // per-observation
+  std::vector<int64_t> obs_pos;
+  std::vector<int8_t> obs_allele;
+  std::vector<int16_t> obs_qual;
+  // per-alignment
+  std::vector<int64_t> aln_offsets;  // size A+1
+  std::vector<int32_t> aln_start;
+  std::vector<int64_t> name_offsets;  // size A+1
+  std::string names;
+  // clip events: (pos, front/back)
+  std::vector<int64_t> clip_pos;
+  std::vector<int8_t> clip_side;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Opaque handle API
+void* lps_extract_phase(const char* bam_path, const char* chrom,
+                        int64_t last_snp_pos,
+                        // variant table (sorted by position)
+                        int64_t n_var, const int64_t* var_pos,
+                        const char* var_ref0, const char* var_alt0,
+                        const int32_t* var_ref_len, const int32_t* var_alt_len,
+                        const uint8_t* var_danger,
+                        // reference window string
+                        const char* ref_string, int64_t ref_len,
+                        int32_t mapping_quality) {
+  std::vector<uint8_t> bam;
+  if (!read_entire_bgzf(bam_path, bam)) return nullptr;
+  if (bam.size() < 12 || memcmp(bam.data(), "BAM\1", 4) != 0) return nullptr;
+  size_t p = 4;
+  int32_t l_text = rd_i32(&bam[p]);
+  p += 4 + (size_t)l_text;
+  int32_t n_ref = rd_i32(&bam[p]);
+  p += 4;
+  int32_t tid = -1;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    int32_t l_name = rd_i32(&bam[p]);
+    p += 4;
+    if (strncmp((const char*)&bam[p], chrom, l_name - 1) == 0 &&
+        (int64_t)strlen(chrom) == l_name - 1)
+      tid = i;
+    p += (size_t)l_name + 4;
+  }
+  auto* res = new ExtractResult();
+  res->aln_offsets.push_back(0);
+  res->name_offsets.push_back(0);
+  if (tid < 0) return res;
+
+  int64_t first_idx = 0;  // stateful firstVariantIter
+
+  while (p + 4 <= bam.size()) {
+    int32_t block_size = rd_i32(&bam[p]);
+    p += 4;
+    if (p + (size_t)block_size > bam.size()) break;
+    const uint8_t* rec = &bam[p];
+    p += (size_t)block_size;
+
+    int32_t rec_tid = rd_i32(rec);
+    if (rec_tid != tid) {
+      if (rec_tid > tid && rec_tid != -1) break;  // sorted past target
+      continue;
+    }
+    int32_t pos = rd_i32(rec + 4);
+    if (pos >= last_snp_pos) break;  // region chr:1-lastSNP
+    uint8_t l_read_name = rec[8];
+    uint8_t mapq = rec[9];
+    uint16_t n_cigar = rd_u16(rec + 12);
+    uint16_t flag = rd_u16(rec + 14);
+    int32_t l_seq = rd_i32(rec + 16);
+    if (mapq < mapping_quality || (flag & 0x4) || (flag & 0x100) ||
+        (flag & 0x400))
+      continue;
+
+    const char* qname = (const char*)(rec + 32);
+    const uint8_t* cigar = rec + 32 + l_read_name;
+    const uint8_t* seq = cigar + 4ull * n_cigar;
+    const uint8_t* qual = seq + (l_seq + 1) / 2;
+
+    // advance shared stream
+    while (first_idx < n_var && var_pos[first_idx] < pos) ++first_idx;
+    int64_t vi = first_idx;
+
+    int64_t obs_begin = (int64_t)res->obs_pos.size();
+    int64_t ref_pos = pos;
+    int64_t query_pos = 0;
+    bool discarded = false;
+
+    for (uint32_t ci = 0; ci < n_cigar && !discarded; ++ci) {
+      uint32_t cv = rd_u32(cigar + 4ull * ci);
+      int op = cv & 0xF;
+      int64_t oplen = cv >> 4;
+      while (vi < n_var && var_pos[vi] < ref_pos) ++vi;
+
+      if (op == 0 || op == 7 || op == 8) {  // M/=/X
+        while (vi < n_var && var_pos[vi] < ref_pos + oplen) {
+          int64_t vpos = var_pos[vi];
+          int64_t offset = vpos - ref_pos;
+          int16_t base_q = 0;
+          int8_t allele = -1;
+          if (query_pos + offset + 1 > l_seq) {
+            // whole-alignment discard (ParsingBam.cpp:1453)
+            res->obs_pos.resize(obs_begin);
+            res->obs_allele.resize(obs_begin);
+            res->obs_qual.resize(obs_begin);
+            discarded = true;
+            break;
+          }
+          int rl = var_ref_len[vi], al = var_alt_len[vi];
+          if (rl == 1 && al == 1) {
+            int64_t qp = query_pos + offset;
+            uint8_t nib = (qp & 1) ? (seq[qp >> 1] & 0xF) : (seq[qp >> 1] >> 4);
+            char base = SEQ_NT16[nib];
+            if (base == var_ref0[vi])
+              allele = 0;
+            else if (base == var_alt0[vi])
+              allele = 1;
+            base_q = qual[qp];
+          }
+          if (rl == 1 && al != 1 && ci + 1u < n_cigar) {  // insertion
+            uint32_t nv = rd_u32(cigar + 4ull * (ci + 1));
+            allele = (ref_pos + oplen - 1 == vpos && (nv & 0xF) == 1) ? 1 : 0;
+            base_q = var_danger[vi] ? -5 : -4;
+          }
+          if (rl != 1 && al == 1 && ci + 1u < n_cigar) {  // deletion
+            uint32_t nv = rd_u32(cigar + 4ull * (ci + 1));
+            allele = (ref_pos + oplen - 1 == vpos && (nv & 0xF) == 2) ? 1 : 0;
+            base_q = var_danger[vi] ? -5 : -4;
+          }
+          if (allele != -1) {
+            res->obs_pos.push_back(vpos);
+            res->obs_allele.push_back(allele);
+            res->obs_qual.push_back(base_q);
+          }
+          ++vi;
+        }
+        if (discarded) break;
+        query_pos += oplen;
+        ref_pos += oplen;
+      } else if (op == 1) {  // I
+        query_pos += oplen;
+      } else if (op == 2) {  // D
+        if (ref_len > 0 && vi < n_var) {
+          int64_t vpos = var_pos[vi];
+          if (ref_pos + oplen + 1 == vpos) {
+            // reference's empty special case
+          } else if (vpos >= ref_pos && vpos < ref_pos + oplen) {
+            if (homopolymer_length(vpos, ref_string, ref_len) >= 3) {
+              int rl = var_ref_len[vi], al = var_alt_len[vi];
+              int16_t base_q = 0;
+              if (query_pos + 1 > l_seq) {
+                res->obs_pos.resize(obs_begin);
+                res->obs_allele.resize(obs_begin);
+                res->obs_qual.resize(obs_begin);
+                discarded = true;
+                break;
+              }
+              int8_t allele = -1;
+              if (rl == 1 && al == 1) {
+                uint8_t nib = (query_pos & 1) ? (seq[query_pos >> 1] & 0xF)
+                                              : (seq[query_pos >> 1] >> 4);
+                char base = SEQ_NT16[nib];
+                if (base == var_ref0[vi])
+                  allele = 0;
+                else if (base == var_alt0[vi])
+                  allele = 1;
+                base_q = qual[query_pos];
+              } else if (rl != 1 && al == 1) {
+                allele = 1;
+                base_q = -4;
+              }
+              if (allele != -1) {
+                res->obs_pos.push_back(vpos);
+                res->obs_allele.push_back(allele);
+                res->obs_qual.push_back(base_q);
+                ++vi;
+              }
+            }
+          }
+        }
+        ref_pos += oplen;
+      } else if (op == 3) {  // N
+        ref_pos += oplen;
+      } else if (op == 4) {  // S
+        query_pos += oplen;
+        if (oplen > 5) {
+          res->clip_pos.push_back(ref_pos);
+          res->clip_side.push_back(ci == 0 ? 0 : 1);
+        }
+      } else if (op == 5) {  // H
+        if (oplen > 5) {
+          res->clip_pos.push_back(ref_pos);
+          res->clip_side.push_back(ci == 0 ? 0 : 1);
+        }
+      } else if (op == 6) {  // P
+      } else {
+        // unsupported op: reference exits; skip record conservatively
+        res->obs_pos.resize(obs_begin);
+        res->obs_allele.resize(obs_begin);
+        res->obs_qual.resize(obs_begin);
+        discarded = true;
+      }
+    }
+
+    if (!discarded && (int64_t)res->obs_pos.size() > obs_begin) {
+      res->aln_offsets.push_back((int64_t)res->obs_pos.size());
+      res->aln_start.push_back(pos);
+      res->names.append(qname, l_read_name - 1);
+      res->name_offsets.push_back((int64_t)res->names.size());
+    } else if (!discarded) {
+      // alignment emitted nothing: dropped (matches variantVec.size()>0 gate)
+      res->obs_pos.resize(obs_begin);
+      res->obs_allele.resize(obs_begin);
+      res->obs_qual.resize(obs_begin);
+    }
+  }
+  return res;
+}
+
+int64_t lps_result_sizes(void* handle, int64_t* n_obs, int64_t* n_aln,
+                         int64_t* names_len, int64_t* n_clip) {
+  auto* r = (ExtractResult*)handle;
+  if (!r) return -1;
+  *n_obs = (int64_t)r->obs_pos.size();
+  *n_aln = (int64_t)r->aln_start.size();
+  *names_len = (int64_t)r->names.size();
+  *n_clip = (int64_t)r->clip_pos.size();
+  return 0;
+}
+
+int64_t lps_result_fill(void* handle, int64_t* obs_pos, int8_t* obs_allele,
+                        int16_t* obs_qual, int64_t* aln_offsets,
+                        int32_t* aln_start, int64_t* name_offsets, char* names,
+                        int64_t* clip_pos, int8_t* clip_side) {
+  auto* r = (ExtractResult*)handle;
+  if (!r) return -1;
+  memcpy(obs_pos, r->obs_pos.data(), r->obs_pos.size() * 8);
+  memcpy(obs_allele, r->obs_allele.data(), r->obs_allele.size());
+  memcpy(obs_qual, r->obs_qual.data(), r->obs_qual.size() * 2);
+  memcpy(aln_offsets, r->aln_offsets.data(), r->aln_offsets.size() * 8);
+  memcpy(aln_start, r->aln_start.data(), r->aln_start.size() * 4);
+  memcpy(name_offsets, r->name_offsets.data(), r->name_offsets.size() * 8);
+  memcpy(names, r->names.data(), r->names.size());
+  memcpy(clip_pos, r->clip_pos.data(), r->clip_pos.size() * 8);
+  memcpy(clip_side, r->clip_side.data(), r->clip_side.size());
+  return 0;
+}
+
+void lps_result_free(void* handle) { delete (ExtractResult*)handle; }
+
+}  // extern "C"
