@@ -11,6 +11,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -229,39 +230,55 @@ void* lps_extract_phase(const char* bam_path, const char* chrom,
   res->name_offsets.push_back(0);
   if (tid < 0) return res;
 
-  int64_t first_idx = 0;  // stateful firstVariantIter
-
+  // Pass 1: collect record offsets for this chromosome (cheap hops).
+  std::vector<size_t> rec_offsets;
   while (p + 4 <= bam.size()) {
     int32_t block_size = rd_i32(&bam[p]);
-    p += 4;
-    if (p + (size_t)block_size > bam.size()) break;
-    const uint8_t* rec = &bam[p];
-    p += (size_t)block_size;
-
+    size_t rp = p + 4;
+    p = rp + (size_t)block_size;
+    if (p > bam.size()) break;
+    const uint8_t* rec = &bam[rp];
     int32_t rec_tid = rd_i32(rec);
     if (rec_tid != tid) {
-      if (rec_tid > tid && rec_tid != -1) break;  // sorted past target
+      if (rec_tid > tid && rec_tid != -1) break;
       continue;
     }
     int32_t pos = rd_i32(rec + 4);
-    if (pos >= last_snp_pos) break;  // region chr:1-lastSNP
-    uint8_t l_read_name = rec[8];
+    if (pos >= last_snp_pos) break;
     uint8_t mapq = rec[9];
-    uint16_t n_cigar = rd_u16(rec + 12);
     uint16_t flag = rd_u16(rec + 14);
-    int32_t l_seq = rd_i32(rec + 16);
     if (mapq < mapping_quality || (flag & 0x4) || (flag & 0x100) ||
         (flag & 0x400))
       continue;
+    rec_offsets.push_back(rp);
+  }
 
-    const char* qname = (const char*)(rec + 32);
-    const uint8_t* cigar = rec + 32 + l_read_name;
-    const uint8_t* seq = cigar + 4ull * n_cigar;
-    const uint8_t* qual = seq + (l_seq + 1) / 2;
+  // Pass 2: walk records in parallel chunks (the stateful firstVariantIter
+  // is a pure function of the record start position: lower_bound(var_pos,
+  // rec.pos), so chunks are independent).
+  unsigned n_threads = std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+  if (rec_offsets.size() < 256) n_threads = 1;
+  std::vector<ExtractResult> parts(n_threads);
+  size_t chunk = (rec_offsets.size() + n_threads - 1) / n_threads;
 
-    // advance shared stream
-    while (first_idx < n_var && var_pos[first_idx] < pos) ++first_idx;
-    int64_t vi = first_idx;
+  auto walk_range = [&](size_t begin, size_t end, ExtractResult* out_r) {
+    int64_t first_idx = 0;
+    for (size_t ri = begin; ri < end; ++ri) {
+      const uint8_t* rec = &bam[rec_offsets[ri]];
+      int32_t pos = rd_i32(rec + 4);
+      uint8_t l_read_name = rec[8];
+      uint16_t n_cigar = rd_u16(rec + 12);
+      int32_t l_seq = rd_i32(rec + 16);
+      const char* qname = (const char*)(rec + 32);
+      const uint8_t* cigar = rec + 32 + l_read_name;
+      const uint8_t* seq = cigar + 4ull * n_cigar;
+      const uint8_t* qual = seq + (l_seq + 1) / 2;
+      ExtractResult* res = out_r;
+
+      while (first_idx < n_var && var_pos[first_idx] < pos) ++first_idx;
+      int64_t vi = first_idx;
 
     int64_t obs_begin = (int64_t)res->obs_pos.size();
     int64_t ref_pos = pos;
@@ -395,6 +412,42 @@ void* lps_extract_phase(const char* bam_path, const char* chrom,
       res->obs_allele.resize(obs_begin);
       res->obs_qual.resize(obs_begin);
     }
+    }
+  };
+
+  for (auto& part : parts) {
+    part.aln_offsets.push_back(0);
+    part.name_offsets.push_back(0);
+  }
+  std::vector<std::thread> ts;
+  for (unsigned t = 1; t < n_threads; ++t) {
+    size_t b = t * chunk;
+    size_t e = std::min(rec_offsets.size(), (t + 1) * chunk);
+    if (b < e) ts.emplace_back(walk_range, b, e, &parts[t]);
+  }
+  walk_range(0, std::min(rec_offsets.size(), chunk), &parts[0]);
+  for (auto& t : ts) t.join();
+
+  for (auto& part : parts) {
+    int64_t obs_base = (int64_t)res->obs_pos.size();
+    int64_t name_base = (int64_t)res->names.size();
+    res->obs_pos.insert(res->obs_pos.end(), part.obs_pos.begin(),
+                        part.obs_pos.end());
+    res->obs_allele.insert(res->obs_allele.end(), part.obs_allele.begin(),
+                           part.obs_allele.end());
+    res->obs_qual.insert(res->obs_qual.end(), part.obs_qual.begin(),
+                         part.obs_qual.end());
+    for (size_t i = 1; i < part.aln_offsets.size(); ++i)
+      res->aln_offsets.push_back(part.aln_offsets[i] + obs_base);
+    res->aln_start.insert(res->aln_start.end(), part.aln_start.begin(),
+                          part.aln_start.end());
+    for (size_t i = 1; i < part.name_offsets.size(); ++i)
+      res->name_offsets.push_back(part.name_offsets[i] + name_base);
+    res->names += part.names;
+    res->clip_pos.insert(res->clip_pos.end(), part.clip_pos.begin(),
+                         part.clip_pos.end());
+    res->clip_side.insert(res->clip_side.end(), part.clip_side.begin(),
+                          part.clip_side.end());
   }
   return res;
 }

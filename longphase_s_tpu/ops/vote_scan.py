@@ -144,6 +144,26 @@ def vote_scan_core(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
 vote_scan_jax = jax.jit(
     vote_scan_core, static_argnames=("window", "distance", "edge_threshold_x10"))
 
+_backend_checked = False
+
+
+def ensure_backend():
+    """Fall back to CPU when the configured accelerator backend (e.g. a
+    tunneled TPU) fails to initialize."""
+    global _backend_checked
+    if _backend_checked:
+        return
+    _backend_checked = True
+    try:
+        jax.devices()
+    except RuntimeError:
+        import sys
+
+        print("[WARN] accelerator backend unavailable; falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
 
 def run_vote_scan(packed, params):
     """Host wrapper: prepare band metadata, run the jitted scan, and apply the
@@ -157,6 +177,7 @@ def run_vote_scan(packed, params):
     W = packed.window
     if S == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int8)
+    ensure_backend()
 
     # pad the site axis to a bucket size so XLA compiles once per bucket, not
     # once per chromosome; padded steps are inert (huge gap -> distance skip,
