@@ -34,8 +34,16 @@ from ..core.phase_algo import T_DANGER, T_INDEL, T_MOD, T_SNP
 I32 = jnp.int32
 
 
+def init_scan_carry(window: int):
+    """Zero carry: W-deep vote ring + last-connect/block-start ranks."""
+    W = window
+    return (jnp.zeros((W, 2), I32), jnp.zeros((W,), I32), jnp.zeros((W,), I32),
+            jnp.zeros((W,), I32), jnp.asarray(-1, I32), jnp.asarray(-1, I32))
+
+
 def vote_scan_core(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
-                   window: int, distance: int, edge_threshold_x10: float):
+                   window: int, distance: int, edge_threshold_x10: float,
+                   init_carry=None, t_offset=0, return_carry: bool = False):
     """Run the scan.
 
     Args:
@@ -133,11 +141,12 @@ def vote_scan_core(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
         return (hpc, counter, wh1, wh2, last_connect, block_start), \
             (assigned, hp, bstart_out)
 
-    init = (jnp.zeros((W, 2), I32), jnp.zeros((W,), I32), jnp.zeros((W,), I32),
-            jnp.zeros((W,), I32), jnp.asarray(-1, I32), jnp.asarray(-1, I32))
+    init = init_carry if init_carry is not None else init_scan_carry(W)
     xs = (counts_hi, counts_lo, gap, vtype.astype(I32), vtype_band.astype(I32),
-          valid_band, jnp.arange(S, dtype=I32))
-    _carry, (assigned, hp, bstart) = jax.lax.scan(step, init, xs)
+          valid_band, jnp.arange(S, dtype=I32) + t_offset)
+    carry, (assigned, hp, bstart) = jax.lax.scan(step, init, xs)
+    if return_carry:
+        return carry, (assigned, hp, bstart)
     return assigned, hp, bstart
 
 
