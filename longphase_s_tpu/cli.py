@@ -26,6 +26,7 @@ def _add_phase_parser(sub):
     p.add_argument("--indels", action="store_true")
     p.add_argument("--indelQuality", type=int, default=0)
     p.add_argument("--deepsomatic_output", action="store_true")
+    p.add_argument("--dot", action="store_true")
     p.add_argument("-d", "--distance", type=int, default=300000)
     p.add_argument("-1", "--edgeThreshold", type=float, default=0.7)
     p.add_argument("-a", "--connectAdjacent", type=int, default=35)
@@ -62,7 +63,7 @@ def _run_phase(args):
         sv_file=args.sv_file, mod_file=args.mod_file,
         num_threads=args.threads, is_ont=args.ont, is_pb=args.pb,
         phase_indel=args.indels, indel_quality=args.indelQuality,
-        deepsomatic_output=args.deepsomatic_output,
+        deepsomatic_output=args.deepsomatic_output, dot=args.dot,
         command=" ".join(sys.argv), engine=args.engine, params=params)
     run_phase(cfg)
     return 0

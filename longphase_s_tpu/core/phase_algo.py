@@ -331,7 +331,8 @@ def _one_long_case(votes, variant_type):
     return h1, h2
 
 
-def vote_scan(g: PhaseGraph, params: PhaseParams, debug_target: int | None = None):
+def vote_scan(g: PhaseGraph, params: PhaseParams, debug_target: int | None = None,
+              dot_collector: list | None = None):
     """edgeConnectResult (PhasingGraph.cpp:286-474).
 
     Returns (bk_result, sub_node_hp, hp_result) where bk_result maps
@@ -427,6 +428,12 @@ def vote_scan(g: PhaseGraph, params: PhaseParams, debug_target: int | None = Non
                       ar, aa, "esr", esr, "ref_allele", ref_allele,
                       "weight", weight, "hp[curr]", curr_hp)
             if ref_allele != -1:
+                if dot_collector is not None:
+                    alt_allele = 2 if ref_allele == 1 else 1
+                    dot_collector.append(
+                        f"{curr + 1}.1\t->\t{target + 1}.{ref_allele}")
+                    dot_collector.append(
+                        f"{curr + 1}.2\t->\t{target + 1}.{alt_allele}")
                 if curr_hp == 1:
                     mapped = 1 if ref_allele == 1 else 2
                 else:
@@ -562,12 +569,21 @@ def export_result(chrom: str, g: PhaseGraph, bk_result: dict,
 
 
 def phase_chromosome(alns: list[ReadAln], cnv_vec: list[tuple[int, int]],
-                     chrom: str, params: PhaseParams):
+                     chrom: str, params: PhaseParams,
+                     generate_dot: bool = False):
     """Full per-chromosome pipeline body (PhasingProcess.cpp:113-172)."""
     alns = filter_overlap_alignments(alns, params.overlap_threshold)
     cnv_mismatch_filter(alns, cnv_vec)
     g = build_graph(alns, params)
-    bk_result, sub_node_hp, _hp = vote_scan(g, params)
+    dot = [] if generate_dot else None
+    bk_result, sub_node_hp, _hp = vote_scan(g, params, dot_collector=dot)
     sub_node_hp, read_hp = read_correction(alns, g, bk_result, sub_node_hp, params)
     result = export_result(chrom, g, bk_result, sub_node_hp)
+    if generate_dot:
+        # writingDotFile (PhasingGraph.cpp:1031-1047): <chrName>.dot in CWD
+        with open(chrom + ".dot", "w") as f:
+            f.write("digraph G {\n")
+            for line in dot:
+                f.write(line + "\n")
+            f.write("}\n")
     return result, read_hp, g

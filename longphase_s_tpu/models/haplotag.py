@@ -279,6 +279,49 @@ def judge_read_hap(hp_count, percentage_threshold, count_ps, stats=None):
     return hp_result, pq, ps
 
 
+def cpp_double(x: float) -> str:
+    """C++ default ostream double formatting (6 significant digits)."""
+    if math.isnan(x):
+        return "-nan"
+    return f"{x:.6g}"
+
+
+def write_germline_log_header(f, cfg: HaplotagConfig):
+    """GermlineTagLog header (HaplotagProcess.cpp:183-208)."""
+    f.write(f"##snpFile:{cfg.snp_file}\n")
+    f.write(f"##svFile:{cfg.sv_file}\n")
+    f.write(f"##bamFile:{cfg.bam_file}\n")
+    f.write(f"##resultPrefix:{cfg.result_prefix}\n")
+    f.write(f"##numThreads:{cfg.num_threads}\n")
+    f.write(f"##region:{cfg.region}\n")
+    f.write(f"##qualityThreshold:{cfg.quality_threshold}\n")
+    f.write(f"##percentageThreshold:{cpp_double(cfg.percentage_threshold)}\n")
+    f.write(f"##tagSupplementary:{int(cfg.tag_supplementary)}\n")
+    f.write("#ReadID\tCHROM\tReadStart\tConfidnet(%)\tHaplotype\tPhaseSet\t"
+            "TotalAllele\tHP1Allele\tHP2Allele\tphasingQuality(PQ)\t"
+            "(Variant,HP)\t(PhaseSet,Variantcount)\n")
+
+
+def write_germline_log_row(f, rec, chrom, hp_count, variants_hp, count_ps,
+                           hp, pq):
+    """GermlineTagLog::writeTagReadLog (HaplotagProcess.cpp:210-237)."""
+    h1, h2 = hp_count[1], hp_count[2]
+    mn, mx = (float(h2), float(h1)) if h1 > h2 else (float(h1), float(h2))
+    sim = mx / (mx + mn) if (mx + mn) else float("nan")
+    hp_str = "." if hp == UNTAG else str(hp)
+    ps_str = "."
+    if hp_str != "." and count_ps:
+        ps_str = str(min(count_ps))
+    f.write(f"{rec.qname}\t{chrom}\t{rec.pos}\t{cpp_double(sim)}\t"
+            f"H{hp_str}\t{ps_str}\t{h1 + h2}\t{h1}\t{h2}\t{pq}\t")
+    for pos in sorted(variants_hp):
+        f.write(f" {pos},{variants_hp[pos]}")
+    f.write("\t")
+    for ps in sorted(count_ps):
+        f.write(f" {ps},{count_ps[ps]}")
+    f.write("\n")
+
+
 def run_haplotag(cfg: HaplotagConfig) -> ReadStatistics:
     from ..io.fasta import FastaFile
 
@@ -321,6 +364,11 @@ def run_haplotag(cfg: HaplotagConfig) -> ReadStatistics:
                     bam.lengths)
 
     sv_counts = info.read_sv_hap_count
+
+    log_f = None
+    if cfg.write_read_log:
+        log_f = open(cfg.result_prefix + ".out", "w")
+        write_germline_log_header(log_f, cfg)
 
     with timer("tag read"):
         for chrom in chr_vec:
@@ -369,6 +417,9 @@ def run_haplotag(cfg: HaplotagConfig) -> ReadStatistics:
                         hp_count[2] += entry[1]
                     hp, pq, ps = judge_read_hap(
                         hp_count, cfg.percentage_threshold, count_ps, stats)
+                    if log_f is not None:
+                        write_germline_log_row(log_f, rec, chrom, hp_count,
+                                               variants_hp, count_ps, hp, pq)
                     rec.strip_tags({"HP", "PS", "PQ"})
                     if hp != UNTAG:
                         stats.bump_hp(hp)
@@ -385,6 +436,8 @@ def run_haplotag(cfg: HaplotagConfig) -> ReadStatistics:
                 out.write(rec)
             bam2.close()
     out.close()
+    if log_f is not None:
+        log_f.close()
 
     print("-------------------------------------------", file=sys.stderr)
     print(f"total alignment           : {stats.total_alignment}", file=sys.stderr)

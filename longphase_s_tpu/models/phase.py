@@ -101,7 +101,8 @@ def run_phase(cfg: PhaseConfig) -> dict:
             mod_entries = sorted(meth_set.by_chrom.get(chrom, {}).items())
 
         # flat fast path: native ingest arrays straight to the device tensors
-        if cfg.engine == "tpu" and sv_entries is None and mod_entries is None:
+        if cfg.engine == "tpu" and sv_entries is None and mod_entries is None \
+                and not cfg.dot:
             from .. import native
 
             if native.available():
@@ -179,11 +180,13 @@ def run_phase(cfg: PhaseConfig) -> dict:
         intervals = get_cnv_intervals(clip_count)
         cnv_vec = intervals + intervals
 
-        if cfg.engine == "tpu":
+        if cfg.engine == "tpu" and not cfg.dot:
             from ..ops.engine import phase_chromosome_tpu
             result, _read_hp, _g = phase_chromosome_tpu(alns, cnv_vec, chrom, cfg.params)
         else:
-            result, _read_hp, _g = phase_chromosome(alns, cnv_vec, chrom, cfg.params)
+            result, _read_hp, _g = phase_chromosome(alns, cnv_vec, chrom,
+                                                    cfg.params,
+                                                    generate_dot=cfg.dot)
         chr_results[chrom] = result
         print(f"({chrom})", end="", file=sys.stderr, flush=True)
 

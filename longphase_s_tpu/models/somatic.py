@@ -265,6 +265,50 @@ def inherit_haplotype(derive_hp, percentage_threshold):
     return None, sim
 
 
+def _write_somatic_log_header(f, cfg: SomaticConfig):
+    """SomaticTagLog header (SomaticHaplotagProcess.cpp:581-612)."""
+    from .haplotag import cpp_double
+
+    f.write(f"##normalSnpFile:{cfg.snp_file}\n")
+    f.write(f"##tumorSnvFile:{cfg.tumor_snv_file}\n")
+    f.write(f"##svFile:{cfg.sv_file}\n")
+    f.write(f"##tumorBamFile:{cfg.tumor_bam_file}\n")
+    f.write(f"##bamFile:{cfg.bam_file}\n")
+    f.write(f"##resultPrefix:{cfg.result_prefix}\n")
+    f.write(f"##numThreads:{cfg.num_threads}\n")
+    f.write(f"##region:{cfg.region}\n")
+    f.write(f"##qualityThreshold:{cfg.quality_threshold}\n")
+    f.write(f"##somaticCallingThreshold:{cfg.quality_threshold}\n")
+    f.write(f"##percentageThreshold:{cpp_double(cfg.percentage_threshold)}\n")
+    f.write(f"##tagSupplementary:{int(cfg.tag_supplementary)}\n")
+    f.write("#ReadID\tCHROM\tReadStart\tConfidnet(%)\tderiveByHpSimilarity\t"
+            "Haplotype\tPhaseSet\tTotalAllele\tHP1Allele\tHP2Allele\t"
+            "HP3Allele\tHP4Allele\tphasingQuality(PQ)\t(Variant,HP)\t"
+            "(PhaseSet,Variantcount)\n")
+
+
+def _write_somatic_log_row(f, rec, chrom, walker, hp, pq, nor_sim, derive_sim,
+                           hp_str, ps_str):
+    """SomaticTagLog::writeTagReadLog (SomaticHaplotagProcess.cpp:614-654)."""
+    from .haplotag import cpp_double
+
+    hc = walker.hp_count
+    f.write(f"{rec.qname}\t{chrom}\t{rec.pos}\t{cpp_double(nor_sim)}\t"
+            f"{cpp_double(derive_sim)}\tH{hp_str}\t{ps_str}\t"
+            f"{hc[1] + hc[2] + hc[3] + hc[4]}\t{hc[1]}\t{hc[2]}\t{hc[3]}\t"
+            f"{hc[4]}\t{pq}\t\t")
+    for pos in sorted(walker.variants_hp):
+        f.write(f" {pos + 1},{walker.variants_hp[pos]}")
+    f.write("\t")
+    f.write("NorPS:")
+    for ps in sorted(walker.nor_count_ps):
+        f.write(f" {ps},{walker.nor_count_ps[ps]}")
+    f.write(" TumPS:")
+    for ps in sorted(walker.tum_count_ps):
+        f.write(f" {ps},{walker.tum_count_ps[ps]}")
+    f.write("\n")
+
+
 def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
     timer = StageTimer()
     stats = ReadStatistics()
@@ -349,6 +393,11 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
     out = BamWriter(cfg.result_prefix + ".bam", header, bam.references,
                     bam.lengths)
 
+    log_f = None
+    if cfg.write_read_log:
+        log_f = open(cfg.result_prefix + ".out", "w")
+        _write_somatic_log_header(log_f, cfg)
+
     with timer("tag read"):
         for chrom in chr_vec:
             if chrom not in bam.ref_id:
@@ -416,14 +465,23 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
 
                     # PS value (SomaticHaplotagProcess.cpp:409-430)
                     ps = 0
+                    ps_str = "."
                     if hp != RH_UNTAG:
                         if hp not in (RH_H1, RH_H2):
                             if walker.nor_count_ps:
                                 ps = min(walker.nor_count_ps)
+                                ps_str = str(ps)
                             else:
                                 ps = NONE_PHASED_SET
+                                ps_str = "*"
                         else:
                             ps = min(walker.nor_count_ps) if walker.nor_count_ps else 0
+                            ps_str = str(ps)
+
+                    if log_f is not None:
+                        _write_somatic_log_row(
+                            log_f, rec, chrom, walker, hp, pq, nor_sim,
+                            derive_sim, READ_HP_STR[hp], ps_str)
 
                     rec.strip_tags({"HP", "PS", "PQ"})
                     if hp != RH_UNTAG:
@@ -439,6 +497,8 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
                 out.write(rec)
             bam2.close()
     out.close()
+    if log_f is not None:
+        log_f.close()
 
     if benchmark.enabled:
         with timer("[Benchmark] writing somatic haplotagging metrics report"):
