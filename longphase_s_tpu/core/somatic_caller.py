@@ -531,11 +531,12 @@ def get_dense_tumor_snp_interval(somatic_pos_info, read_hp_result_set,
             raise SystemExit(f"somaticPosInfo not found: {pos}")
         somatic_pos_info[pos].mean_alt_per_var_read = alt_mean
 
-    intervals = {}  # start -> (end, {pos: alt_mean}, snp_count)
+    intervals = {}  # start -> (end, {pos: alt_mean}, snp_count, {pos: min_dist})
     keys = sorted(somatic_pos_info)
     recording = False
     start = 0
     snp_alt_mean = {}
+    min_dist = {}
     snp_count = 0
     for idx in range(len(keys)):
         cur = keys[idx]
@@ -547,22 +548,29 @@ def get_dense_tumor_snp_interval(somatic_pos_info, read_hp_result_set,
                     recording = True
                     start = cur
                     snp_alt_mean[cur] = somatic_pos_info[cur].mean_alt_per_var_read
+                    min_dist[cur] = dist
                     snp_count += 1
+                if dist < min_dist.get(cur, 0):
+                    min_dist[cur] = dist
                 snp_alt_mean[nxt] = somatic_pos_info[nxt].mean_alt_per_var_read
+                min_dist[nxt] = dist
                 snp_count += 1
             else:
                 if recording:
-                    intervals[start] = (cur, dict(snp_alt_mean), snp_count)
+                    intervals[start] = (cur, dict(snp_alt_mean), snp_count,
+                                        dict(min_dist))
                     recording = False
                     start = 0
                     snp_alt_mean = {}
+                    min_dist = {}
                     snp_count = 0
     if recording:
         end = keys[-1]
         if end - start <= INTERVAL_SNP_MAX_DISTANCE:
-            intervals[start] = (end, dict(snp_alt_mean), snp_count)
+            intervals[start] = (end, dict(snp_alt_mean), snp_count,
+                                dict(min_dist))
 
-    for start, (end, alt_means, count) in intervals.items():
+    for start, (end, alt_means, count, mdist) in intervals.items():
         if count <= 1:
             continue
         n = len(alt_means)
@@ -575,6 +583,8 @@ def get_dense_tumor_snp_interval(somatic_pos_info, read_hp_result_set,
             sd.in_dense_interval = True
             sd.z_score = abs(z)
             sd.interval_snp_count = count
+        for pos, d in mdist.items():
+            somatic_pos_info[pos].min_distance = d
     return intervals
 
 

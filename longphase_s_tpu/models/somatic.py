@@ -143,6 +143,128 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
     return state
 
 
+def write_somatic_var_log(cfg: SomaticConfig, state: SomaticCallState,
+                          chr_vec, chr_multi):
+    """writeSomaticVarCallingLog -> _somatic_var.out
+    (SomaticVarCaller.cpp:1576-1927, 65 columns)."""
+    from ..core.somatic_types import PosBase
+    from .haplotag import cpp_double as d
+
+    p = state.params
+    total = sum(1 for chrom in chr_vec
+                for sd in state.somatic_info.get(chrom, {}).values()
+                if sd.is_high_con)
+    with open(cfg.result_prefix + "_somatic_var.out", "w") as f:
+        f.write("####################################\n")
+        f.write("#   Somatic Variants Calling Log   #\n")
+        f.write("####################################\n")
+        f.write(f"##normalSnpFile:{cfg.snp_file}\n")
+        f.write(f"##tumorSnvFile:{cfg.tumor_snv_file}\n")
+        f.write(f"##bamFile:{cfg.bam_file}\n")
+        f.write(f"##tumorBamFile:{cfg.tumor_bam_file}\n")
+        f.write(f"##resultPrefix:{cfg.result_prefix}\n")
+        f.write(f"##numThreads:{cfg.num_threads}\n")
+        f.write(f"##region:{cfg.region}\n")
+        f.write(f"##qualityThreshold:{cfg.quality_threshold}\n")
+        f.write(f"##percentageThreshold:{d(cfg.percentage_threshold)}\n")
+        f.write(f"##tagSupplementary:{int(cfg.tag_supplementary)}\n")
+        f.write("##\n")
+        f.write("##======== Filter Parameters =========\n")
+        f.write(f"##Enable filter : {int(cfg.enable_filter)}\n")
+        f.write(f"##Calling mapping quality :{cfg.quality_threshold}\n")
+        f.write(f"##Tumor purity : {d(p.tumor_purity)}\n")
+        f.write(f"##Normal VAF maximum threshold : {d(p.nor_vaf_max)}\n")
+        f.write(f"##Normal depth minimum threshold : {p.nor_depth_min}\n")
+        f.write(f"##Messy read ratio threshold : {d(p.messy_ratio_thr)}\n")
+        f.write(f"##Somatic read count minimum threshold : {d(p.read_count_min)}\n")
+        f.write(f"##Haplotag consistency filter VAF threshold : {d(p.hapcon_vaf_max)}\n")
+        f.write(f"##Haplotag consistency filter read count threshold : {d(p.hapcon_read_count_max)}\n")
+        f.write(f"##Haplotag consistency somatic read count minimum threshold : {d(p.hapcon_somatic_read_min)}\n")
+        f.write(f"##Interval SNP count filter threshold : {d(p.interval_vaf_max)}\n")
+        f.write(f"##Interval SNP count filter read count threshold : {d(p.interval_read_count_max)}\n")
+        f.write(f"##Interval SNP count minimum threshold : {d(p.interval_snp_count_min)}\n")
+        f.write(f"##Z-score maximum threshold : {d(p.zscore_max)}\n")
+        f.write(f"##DenseAlt filter condition1 threshold : {d(p.densealt_cond1)}\n")
+        f.write(f"##DenseAlt filter condition2 threshold : {d(p.densealt_cond2)}\n")
+        f.write(f"##DenseAlt filter minimum same count threshold : {p.densealt_same_count_min}\n")
+        f.write("##==================================== \n")
+        f.write("##\n")
+        f.write(f"##Total Somatic SNPs: {total}\n")
+        f.write("##\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tAltCount\tReadCount\tNorAltCount\t"
+                "PureH1-1\tPureH2-1\tPureH3\tMixedHpRead\tUnTag\t"
+                "PureH1-1ratio\tPureH2-1ratio\tPureH3ratio\tMixedHpReadRatio\t"
+                "NorVAF\tTumVAF\tNorMpqVAF\tTumMpqVAF\tNorVAF_substract\t"
+                "TumVAF_substract\tNorDepth\tTumDepth\tSubtract_Depth\t"
+                "NorDeletionCount\tTumDeletionCount\tNorDeletionRatio\t"
+                "TumDeletionRatio\tNorMpqReadRatio\tTumMpqReadRatio\t"
+                "ShannonEntropy\tHomopolymerLength\tH1readCount\tH2readCount\t"
+                "H1_1readCount\tH2_1readCount\tH3readCount\t"
+                "GermlineReadHpCount\tGermlineReadHpImbalanceRatio\t"
+                "SomaticReadHpImbalanceRatio\t"
+                "BaseGermlineReadHpImbalanceRatio\tPercentageOfGermlineHp\t"
+                "H1readCountInNorBam\tH2readCountInNorBam\t"
+                "GermlineReadHpCountInNorBam\t"
+                "GermlineReadHpImbalanceRatioInNorBam\t"
+                "PercentageOfGermlineHpInNorBam\t"
+                "GermlineReadHpImbalanceRatioDifference\t"
+                "PercentageOfGermlineHpDifference\tSomaticRead_H1-1\t"
+                "SomaticRead_H2-1\tSomaticRead_H3\tSomaticRead_unTag\t"
+                "AltMeanCountPerVarRead\tzScore\tIntervalSnpCount\t"
+                "IntervalMinDistance\tExistNorSnp\tStatisticPurity\t"
+                "isFilterOut\tNorNonDelAF\tTumNonDelAF\tGT\n")
+        for chrom in chr_vec:
+            for pos in sorted(state.somatic_info.get(chrom, {})):
+                sd = state.somatic_info[chrom][pos]
+                if not sd.is_high_con:
+                    continue
+                nb = state.nor_base.get(chrom, {}).get(pos, PosBase())
+                entry = chr_multi.get(chrom, {}).get(pos, {})
+                tum = entry.get(TUMOR)
+                srl = sd.somatic_read_hp_count
+                bhp = sd.base.read_hp_count
+                h1 = bhp.get(RH_H1, 0)
+                h2 = bhp.get(RH_H2, 0)
+                h1_1 = bhp.get(RH_H1_1, 0)
+                h2_1 = bhp.get(RH_H2_1, 0)
+                h3 = bhp.get(RH_H3, 0)
+                nh1 = nb.read_hp_count.get(RH_H1, 0)
+                nh2 = nb.read_hp_count.get(RH_H2, 0)
+                z = sd.z_score if sd.in_dense_interval else -1.0
+                f.write(
+                    f"{chrom} \t{pos + 1}\t.\t{tum.ref}\t{tum.alt}\t"
+                    f"{sd.base.alt_count}\t{sd.case_read_count}\t\t"
+                    f"{nb.alt_count}\t{sd.pure_h1_1_read}\t{sd.pure_h2_1_read}\t"
+                    f"{sd.pure_h3_read}\t{sd.mixed_hp_read}\t{sd.untag}\t\t"
+                    f"{d(sd.pure_h1_1_ratio)}\t{d(sd.pure_h2_1_ratio)}\t"
+                    f"{d(sd.pure_h3_ratio)}\t{d(sd.mixed_hp_ratio)}\t\t"
+                    f"{d(nb.vaf)}\t{d(sd.base.vaf)}\t\t"
+                    f"{d(nb.mpq_vaf)}\t{d(sd.base.mpq_vaf)}\t\t"
+                    f"{d(nb.mpq_vaf - nb.vaf)}\t{d(sd.base.mpq_vaf - sd.base.vaf)}\t\t"
+                    f"{nb.depth}\t{sd.base.depth}\t{sd.base.depth - nb.depth}\t"
+                    f"{nb.del_count}\t{sd.base.del_count}\t"
+                    f"{d(nb.del_ratio)}\t{d(sd.base.del_ratio)}\t"
+                    f"{d(nb.low_mpq_read_ratio)}\t{d(sd.base.low_mpq_read_ratio)}\t"
+                    f"0\t0\t\t"
+                    f"{h1}\t{h2}\t{h1_1}\t{h2_1}\t{h3}\t{h1 + h2}\t"
+                    f"{d(sd.base.germline_hp_imbalance)}\t"
+                    f"{d(sd.somatic_hp_imbalance)}\t"
+                    f"{d(sd.allelic_imbalance)}\t"
+                    f"{d(sd.base.pct_germline_hp)}\t"
+                    f"{nh1}\t{nh2}\t{nh1 + nh2}\t"
+                    f"{d(nb.germline_hp_imbalance)}\t{d(nb.pct_germline_hp)}\t"
+                    f"{d(sd.base.germline_hp_imbalance - nb.germline_hp_imbalance)}\t"
+                    f"{d(sd.base.pct_germline_hp - nb.pct_germline_hp)}\t"
+                    f"{srl.get(RH_H1_1, 0)}\t{srl.get(RH_H2_1, 0)}\t"
+                    f"{srl.get(RH_H3, 0)}\t{srl.get(RH_UNTAG, 0)}\t"
+                    f"{d(sd.mean_alt_per_var_read)}\t{d(z)}\t"
+                    f"{sd.interval_snp_count}\t{sd.min_distance}\t"
+                    f"{int(NORMAL in entry)}\t{int(sd.statistic_purity)}\t"
+                    f"{int(sd.is_filter_out)}\t"
+                    f"{d(nb.non_del_vaf)}\t{d(sd.base.non_del_vaf)}\t"
+                    f"{sd.gt_type}\n")
+
+
 def apply_somatic_flags(state: SomaticCallState, chr_vec):
     """getSomaticFlag (SomaticVarCaller.cpp:2397-2412).
 
@@ -370,6 +492,9 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
 
     state = run_somatic_calling(cfg, chr_vec, chr_length, chr_multi,
                                 nor_info.read_sv_hap_count, fasta, timer)
+    if cfg.write_calling_log:
+        with timer("writing somatic variants calling log"):
+            write_somatic_var_log(cfg, state, chr_vec, chr_multi)
     somatic_flags = apply_somatic_flags(state, chr_vec)
 
     if cfg.write_somatic_vcf:

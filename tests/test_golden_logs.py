@@ -91,3 +91,37 @@ def test_somatic_log(reference_binary, tmp_path):
     mism = [(a, b) for a, b in zip(g, o) if a != b]
     assert len(g) == len(o), (len(g), len(o))
     assert not mism, f"{len(mism)} differing lines; first: {mism[0]}"
+
+
+def test_somatic_calling_log(reference_binary, tmp_path):
+    from longphase_s_tpu.models.somatic import SomaticConfig, run_somatic_haplotag
+    from longphase_s_tpu.testing.simulate import make_somatic_fixture
+
+    fix = make_somatic_fixture(str(tmp_path / "fix"), seed=19, length=220000,
+                               purity=0.55, n_somatic=18, n_artifacts=5)
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["normal_vcf"],
+                    "-b", fix["normal_bam"], "-r", fix["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "somatic_haplotag",
+                    "-s", phased + ".vcf",
+                    "--tumor-snv-file", fix["tumor_vcf"],
+                    "-b", fix["normal_bam"],
+                    "--tumor-bam-file", fix["tumor_bam"],
+                    "-r", fix["fasta"], "--somatic-calling-log", "-o", golden],
+                   check=True, capture_output=True, timeout=1200)
+    ours = str(tmp_path / "ours")
+    run_somatic_haplotag(SomaticConfig(
+        snp_file=phased + ".vcf", tumor_snv_file=fix["tumor_vcf"],
+        bam_file=fix["normal_bam"], tumor_bam_file=fix["tumor_bam"],
+        fasta_file=fix["fasta"], result_prefix=ours, write_calling_log=True))
+
+    def norm(path, pfx):
+        return [l.replace(pfx, "PREFIX") for l in open(path)]
+
+    g = norm(golden + "_somatic_var.out", golden)
+    o = norm(ours + "_somatic_var.out", ours)
+    assert len(g) == len(o), (len(g), len(o))
+    mism = [(a, b) for a, b in zip(g, o) if a != b]
+    assert not mism, f"{len(mism)} differing lines; first: {mism[0]}"
