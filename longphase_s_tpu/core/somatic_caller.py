@@ -461,6 +461,14 @@ def extract_tumor_chromosome(bam_path, chrom, chrom_len, positions, variants,
                     nor_count_ps=dict(walker.nor_count_ps),
                     start_pos=rec.pos + 1, end_pos=walker.ref_pos,
                     read_length=walker.query_pos, hp_result=hp_result)
+                # posHpPairs for the somatic read logs
+                # (SomaticVarCaller.cpp:428-446)
+                has_somatic = walker.hp_count[3] > 0 or walker.hp_count[4] > 0
+                if hp_result in (RH_H1_1, RH_H2_1, RH_H3) or \
+                        (has_somatic and hp_result in (RH_UNTAG, RH_H1, RH_H2)):
+                    r.pos_hp_pairs = sorted(
+                        (pos + 1, base_hp)
+                        for pos, base_hp in walker.variants_hp.items())
                 read_hp_result_set[read_id] = r
                 for pos in walker.tumor_snp_pos_vec:
                     base_hp = walker.variants_hp.get(pos, NONE_SNP)
@@ -570,22 +578,25 @@ def get_dense_tumor_snp_interval(somatic_pos_info, read_hp_result_set,
             intervals[start] = (end, dict(snp_alt_mean), snp_count,
                                 dict(min_dist))
 
+    out_intervals = {}
     for start, (end, alt_means, count, mdist) in intervals.items():
-        if count <= 1:
-            continue
         n = len(alt_means)
         mean = sum(alt_means.values()) / n if n else 0.0
         var = sum((v - mean) ** 2 for v in alt_means.values()) / n if n else 0.0
         std = math.sqrt(var)
-        for pos, v in alt_means.items():
-            z = 0.0 if std == 0 else (v - mean) / std
+        zscores = {pos: (0.0 if std == 0 else (v - mean) / std)
+                   for pos, v in alt_means.items()}
+        out_intervals[start] = (end, alt_means, count, mdist, mean, std, zscores)
+        if count <= 1:
+            continue
+        for pos, z in zscores.items():
             sd = somatic_pos_info[pos]
             sd.in_dense_interval = True
             sd.z_score = abs(z)
             sd.interval_snp_count = count
         for pos, d in mdist.items():
             somatic_pos_info[pos].min_distance = d
-    return intervals
+    return out_intervals
 
 
 def somatic_feature_filter(params: FilterParams, variants, somatic_pos_info,

@@ -82,6 +82,7 @@ class SomaticCallState:
         self.somatic_info = {}    # chr -> {pos: SomaticData}
         self.read_hp_sets = {}    # chr -> {read_id: ReadVarHpCount}
         self.pos_read_corr = {}   # chr -> {pos: {read_id: baseHP}}
+        self.dense_intervals = {}  # chr -> {start: interval data}
         self.tumor_purity = 0.0
         self.params = FilterParams()
 
@@ -134,7 +135,7 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
             si = state.somatic_info[chrom]
             rs = state.read_hp_sets[chrom]
             corr = state.pos_read_corr[chrom]
-            get_dense_tumor_snp_interval(si, rs, corr)
+            state.dense_intervals[chrom] = get_dense_tumor_snp_interval(si, rs, corr)
             somatic_feature_filter(tier, variants, si,
                                    state.nor_base[chrom], cfg.enable_filter)
             calibrate_read_hp(si, rs, corr)
@@ -263,6 +264,181 @@ def write_somatic_var_log(cfg: SomaticConfig, state: SomaticCallState,
                     f"{int(sd.is_filter_out)}\t"
                     f"{d(nb.non_del_vaf)}\t{d(sd.base.non_del_vaf)}\t"
                     f"{sd.gt_type}\n")
+
+
+def write_dense_interval_log(cfg, state, chr_vec):
+    """writeDenseTumorSnpIntervalLog (SomaticVarCaller.cpp:1990-2043)."""
+    from .haplotag import cpp_double as d
+
+    total = sum(len(state.dense_intervals.get(c, {})) for c in chr_vec)
+    with open(cfg.result_prefix + "_dense_tumor_snp_interval.log", "w") as f:
+        f.write("################################\n")
+        f.write("# Dense Tumor SNP Interval Log #\n")
+        f.write("################################\n")
+        f.write(f"##Tatal intervals:{total}\n")
+        f.write("#CHROM\tstartPos-endPos\tsnpCount\ttotalAltMean\tstdDev\tzScore\n")
+        for chrom in chr_vec:
+            for start in sorted(state.dense_intervals.get(chrom, {})):
+                end, alt_means, count, mdist, mean, std, zscores = \
+                    state.dense_intervals[chrom][start]
+                f.write(f"{chrom}:{start + 1}-{end + 1}\t{count}\t"
+                        f"{d(mean)}\t{d(std)}\n")
+                for pos in sorted(alt_means):
+                    f.write(f"#snp:altMean:zScore:minDistance=>  {pos + 1} : "
+                            f"{d(alt_means[pos])} : {d(zscores[pos])} : "
+                            f"{mdist.get(pos, 0)}\n")
+                f.write("#\n")
+
+
+def write_somatic_filter_log(cfg, state, chr_vec):
+    """writeSomaticFilterLog (SomaticVarCaller.cpp:2045-2107)."""
+    from ..core.somatic_types import PosBase
+    from .haplotag import cpp_double as d
+
+    with open(cfg.result_prefix + "_somatic_filter.log", "w") as f:
+        f.write("######################################\n")
+        f.write("# Somatic Filter Evaluation Per-Pos   #\n")
+        f.write("######################################\n")
+        f.write("#CHROM\tPOS\tNorVAF\tNorDepth\tMixedHpReadRatio\t"
+                "CaseReadCount\tTumVAF\tIntervalSnpCount\tzScore\t"
+                "DenseAltSameCount\tFilteredByTINC\tFilteredByMessyRead\t"
+                "FilteredByReadCount\tFilteredByHapConsistency\t"
+                "FilteredByVariantCluster\tFilteredByDenseAlt\tisFilterOut\n")
+        for chrom in chr_vec:
+            for pos in sorted(state.somatic_info.get(chrom, {})):
+                sd = state.somatic_info[chrom][pos]
+                nb = state.nor_base.get(chrom, {}).get(pos, PosBase())
+                f.write(f"{chrom}\t{pos + 1}\t{d(nb.vaf)}\t{nb.depth}\t"
+                        f"{d(sd.mixed_hp_ratio)}\t{sd.case_read_count}\t"
+                        f"{d(sd.base.vaf)}\t{sd.interval_snp_count}\t"
+                        f"{d(sd.z_score)}\t{sd.dense_alt_same_count}\t"
+                        f"{int(sd.filtered_by_tinc)}\t"
+                        f"{int(sd.filtered_by_messy)}\t"
+                        f"{int(sd.filtered_by_read_count)}\t"
+                        f"{int(sd.filtered_by_hap_consistency)}\t"
+                        f"{int(sd.filtered_by_variant_cluster)}\t"
+                        f"{int(sd.filtered_by_dense_alt)}\t"
+                        f"{int(sd.is_filter_out)}\n")
+
+
+def write_read_count_filter_log(cfg, state, chr_vec):
+    """writeReadCountFilterLog (SomaticVarCaller.cpp:2109-2147)."""
+    from .haplotag import cpp_double as d
+
+    p = state.params
+    with open(cfg.result_prefix + "_read_count_filter.log", "w") as f:
+        f.write("########################################\n")
+        f.write("# Read Count Filter Detailed Log      #\n")
+        f.write("########################################\n")
+        f.write(f"##ReadCount_minThr: {d(p.read_count_min)}\n")
+        f.write("#CHROM\tPOS\ttotalCleanHP3Read\tMixed_HP_read\t"
+                "CaseReadCount\tReadCount_minThr\tFilteredByReadCount\n")
+        for chrom in chr_vec:
+            for pos in sorted(state.somatic_info.get(chrom, {})):
+                sd = state.somatic_info[chrom][pos]
+                f.write(f"{chrom}\t{pos + 1}\t{sd.total_clean_hp3_read}\t"
+                        f"{sd.mixed_hp_read}\t{sd.case_read_count}\t"
+                        f"{d(p.read_count_min)}\t"
+                        f"{int(sd.filtered_by_read_count)}\n")
+
+
+def _strip_read_suffix(read_id: str) -> str:
+    dash = read_id.rfind("-")
+    if dash != -1 and dash + 1 < len(read_id) and read_id[dash + 1:].isdigit():
+        return read_id[:dash]
+    return read_id
+
+
+def write_messy_read_filter_log(cfg, state, chr_vec):
+    """writeMessyReadFilterLog (SomaticVarCaller.cpp:2149-2294)."""
+    from ..core.somatic_types import GERMLINE_H1, GERMLINE_H2
+    from .haplotag import cpp_double as d
+
+    p = state.params
+    with open(cfg.result_prefix + "_messy_read_filter.log", "w") as f:
+        f.write("########################################\n")
+        f.write("# Messy Read Filter Detailed Log      #\n")
+        f.write("########################################\n")
+        f.write(f"##MessyReadRatioThreshold: {d(p.messy_ratio_thr)}\n")
+        f.write("#CHROM\tPOS\ttotalCleanHP3Read\tMixed_HP_read\t"
+                "CaseReadCount\tMixed_HP_readRatio\tMessyReadRatioThreshold\t"
+                "pure_H1_1_read\tpure_H2_1_read\tpure_H3_read\t"
+                "pure_H1_1_readRatio\tpure_H2_1_readRatio\tpure_H3_readRatio\t"
+                "FilteredByMessyRead\tMixedHp1PhaseSites\tMixedHp2PhaseSites\n")
+        for chrom in chr_vec:
+            corr = state.pos_read_corr.get(chrom, {})
+            read_set = state.read_hp_sets.get(chrom, {})
+            for pos in sorted(state.somatic_info.get(chrom, {})):
+                sd = state.somatic_info[chrom][pos]
+                top1 = "-"
+                top2 = "-"
+                if sd.filtered_by_messy and pos in corr:
+                    hp1_count: dict[int, int] = {}
+                    hp2_count: dict[int, int] = {}
+                    seen = set()
+                    for read_id in sorted(corr[pos]):
+                        base_hp = corr[pos][read_id]
+                        if base_hp != SOMATIC_H3:
+                            continue
+                        orig = _strip_read_suffix(read_id)
+                        if orig in seen:
+                            continue
+                        seen.add(orig)
+                        r = read_set.get(read_id)
+                        if r is None:
+                            continue
+                        h1_sites = [pp for pp, hp in r.pos_hp_pairs
+                                    if hp == GERMLINE_H1]
+                        h2_sites = [pp for pp, hp in r.pos_hp_pairs
+                                    if hp == GERMLINE_H2]
+                        if h1_sites and h2_sites:
+                            if len(h1_sites) < len(h2_sites):
+                                for s in h1_sites:
+                                    hp1_count[s] = hp1_count.get(s, 0) + 1
+                            elif len(h2_sites) < len(h1_sites):
+                                for s in h2_sites:
+                                    hp2_count[s] = hp2_count.get(s, 0) + 1
+
+                    def build_top(m):
+                        items = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))
+                        out = ";".join(f"{k}:{v}" for k, v in items[:10])
+                        return out or "-"
+
+                    top1 = build_top(hp1_count)
+                    top2 = build_top(hp2_count)
+                f.write(f"{chrom}\t{pos + 1}\t{sd.total_clean_hp3_read}\t"
+                        f"{sd.mixed_hp_read}\t{sd.case_read_count}\t"
+                        f"{d(sd.mixed_hp_ratio)}\t{d(p.messy_ratio_thr)}\t"
+                        f"{sd.pure_h1_1_read}\t{sd.pure_h2_1_read}\t"
+                        f"{sd.pure_h3_read}\t{d(sd.pure_h1_1_ratio)}\t"
+                        f"{d(sd.pure_h2_1_ratio)}\t{d(sd.pure_h3_ratio)}\t"
+                        f"{int(sd.filtered_by_messy)}\t{top1}\t{top2}\n")
+
+
+def write_read_hp_detail_log(cfg, state, chr_vec):
+    """writeReadHpLog (SomaticVarCaller.cpp:2308-2386)."""
+    snp_str = {0: "hp0", 1: "hp1", 2: "hp2", 3: "hp3", 4: "hp4", 5: "hp5"}
+    read_str = {RH_H1_1: "H1_1", RH_H2_1: "H2_1", RH_H3: "H3", RH_H1: "H1",
+                RH_H2: "H2", 6: "H1_2", 8: "H2_2", 4: "H4", RH_UNTAG: "unTag"}
+    with open(cfg.result_prefix + "_read_hp_detail.log", "w") as f:
+        f.write("##Read HP detail log\n")
+        f.write("##Format: chr\treadID\thpResult\tpositions_and_baseHP\n")
+        f.write("#Chr\tReadID\tReadHP\tVariants\n")
+        for chrom in chr_vec:
+            read_set = state.read_hp_sets.get(chrom, {})
+            for read_id in sorted(read_set):
+                r = read_set[read_id]
+                if not r.pos_hp_pairs:
+                    continue
+                f.write(f"{chrom}\t{read_id}\t"
+                        f"{read_str.get(r.hp_result, 'unknown')}\t")
+                first = True
+                for pp, hp in r.pos_hp_pairs:
+                    if not first:
+                        f.write("    ")
+                    f.write(f"{pp},{snp_str.get(hp, 'hp?')}")
+                    first = False
+                f.write("\n")
 
 
 def apply_somatic_flags(state: SomaticCallState, chr_vec):
@@ -495,6 +671,11 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
     if cfg.write_calling_log:
         with timer("writing somatic variants calling log"):
             write_somatic_var_log(cfg, state, chr_vec, chr_multi)
+            write_dense_interval_log(cfg, state, chr_vec)
+            write_somatic_filter_log(cfg, state, chr_vec)
+            write_read_count_filter_log(cfg, state, chr_vec)
+            write_messy_read_filter_log(cfg, state, chr_vec)
+            write_read_hp_detail_log(cfg, state, chr_vec)
     somatic_flags = apply_somatic_flags(state, chr_vec)
 
     if cfg.write_somatic_vcf:

@@ -120,8 +120,11 @@ def test_somatic_calling_log(reference_binary, tmp_path):
     def norm(path, pfx):
         return [l.replace(pfx, "PREFIX") for l in open(path)]
 
-    g = norm(golden + "_somatic_var.out", golden)
-    o = norm(ours + "_somatic_var.out", ours)
-    assert len(g) == len(o), (len(g), len(o))
-    mism = [(a, b) for a, b in zip(g, o) if a != b]
-    assert not mism, f"{len(mism)} differing lines; first: {mism[0]}"
+    for suffix in ("_somatic_var.out", "_dense_tumor_snp_interval.log",
+                   "_somatic_filter.log", "_read_count_filter.log",
+                   "_messy_read_filter.log", "_read_hp_detail.log"):
+        g = norm(golden + suffix, golden)
+        o = norm(ours + suffix, ours)
+        assert len(g) == len(o), (suffix, len(g), len(o))
+        mism = [(a, b) for a, b in zip(g, o) if a != b]
+        assert not mism, f"{suffix}: {len(mism)} differing; first: {mism[0]}"

@@ -1,0 +1,56 @@
+"""Misc golden coverage: multi-BAM phase input, haplotag --region."""
+
+import subprocess
+
+from longphase_s_tpu.core.phase_algo import PhaseParams
+from longphase_s_tpu.models.haplotag import HaplotagConfig, run_haplotag
+from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+from longphase_s_tpu.testing.simulate import (make_fixture, simulate_reads,
+                                              write_bam_with_index)
+from tests.test_golden_haplotag import _tags
+from tests.test_golden_phase import assert_vcfs_match
+
+
+def test_phase_multiple_bams(reference_binary, tmp_path):
+    import numpy as np
+
+    fix = make_fixture(str(tmp_path / "fix"), seed=71, length=140000,
+                       coverage=12, read_len=9000, snp_rate=0.0012,
+                       error_rate=0.03, qual=22)
+    # second BAM: more reads over the same truth
+    rng = np.random.default_rng(72)
+    reads2 = simulate_reads(rng, fix["ref_seq"], fix["variants"], 12, 9000,
+                            0.03, 22, name_prefix="extra")
+    bam2 = str(tmp_path / "fix" / "reads2.bam")
+    write_bam_with_index(bam2, fix["chrom"], fix["length"], reads2)
+
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["vcf"],
+                    "-b", fix["bam"], "-b", bam2, "-r", fix["fasta"],
+                    "-o", golden], check=True, capture_output=True)
+    ours = str(tmp_path / "ours")
+    run_phase(PhaseConfig(snp_file=fix["vcf"], bam_files=[fix["bam"], bam2],
+                          fasta_file=fix["fasta"], result_prefix=ours,
+                          engine="tpu", params=PhaseParams()))
+    assert_vcfs_match(golden + ".vcf", ours + ".vcf")
+
+
+def test_haplotag_region(reference_binary, small_fixture, tmp_path):
+    fix = small_fixture
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["vcf"],
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"],
+                    "--region", fix["chrom"], "-o", golden],
+                   check=True, capture_output=True)
+    ours = str(tmp_path / "ours")
+    run_haplotag(HaplotagConfig(snp_file=phased + ".vcf", bam_file=fix["bam"],
+                                fasta_file=fix["fasta"], result_prefix=ours,
+                                region=fix["chrom"]))
+    g = _tags(golden + ".bam")
+    o = _tags(ours + ".bam")
+    assert len(g) == len(o)
+    assert g == o
