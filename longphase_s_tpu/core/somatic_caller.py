@@ -25,9 +25,9 @@ from ..models.haplotag import _judge_snp_hap, judge_read_hap
 from .cigar_walk import CigarWalk
 from .somatic_judge import judge_somatic_read_hap, judge_somatic_snp_hap
 from .somatic_types import (GERMLINE_H1, GERMLINE_H2, NONE_SNP, PosBase,
-                            ReadVarHpCount, RH_H1, RH_H1_1, RH_H2, RH_H2_1,
-                            RH_H3, RH_UNTAG, SOMATIC_H3, SomaticData,
-                            calculate_base_common_info)
+                            PosHpRecord, ReadVarHpCount, RH_H1, RH_H1_1,
+                            RH_H2, RH_H2_1, RH_H3, RH_UNTAG, SOMATIC_H3,
+                            SomaticData, calculate_base_common_info)
 
 INTERVAL_SNP_MAX_DISTANCE = 5000
 
@@ -695,17 +695,26 @@ def calculate_read_set_hp(read_hp_result_set, percentage_threshold):
 
 
 def statistic_somatic_pos_read_hp(somatic_pos_info, tumor_pos_read_corr,
-                                  read_hp_result_set):
-    """statisticSomaticPosReadHP (SomaticVarCaller.cpp:1441-1518)."""
+                                  read_hp_result_set, distri=None):
+    """statisticSomaticPosReadHP (SomaticVarCaller.cpp:1441-1518).
+
+    When `distri` (a dict pos -> PosHpRecord) is supplied it plays the role
+    of the caller's chrReadHpResult (`localReadHpDistri`), feeding the
+    _read_distri_scaller logs."""
     for pos, sd in somatic_pos_info.items():
         if not sd.is_high_con:
             continue
         reads = tumor_pos_read_corr.get(pos)
         if reads is None:
             raise SystemExit(f"statistic read HP missing pos {pos}")
+        rec = None
+        if distri is not None:
+            rec = distri[pos] = PosHpRecord()
         derive = {RH_H1_1: 0, RH_H2_1: 0}
         for read_id, base_hp in reads.items():
             hp_result = read_hp_result_set[read_id].hp_result
+            if rec is not None:
+                rec.record_read_hp(hp_result, base_hp)
             if base_hp == SOMATIC_H3:
                 if hp_result in derive:
                     derive[hp_result] += 1
@@ -718,3 +727,7 @@ def statistic_somatic_pos_read_hp(somatic_pos_info, tumor_pos_read_corr,
             sd.somatic_read_derive_by_hp = GERMLINE_H2
         else:
             sd.somatic_read_derive_by_hp = NONE_SNP
+            if rec is not None and (0 < hp1_ratio < 1.0 or 0 < hp2_ratio < 1.0):
+                rec.exist_derive_h1h2 = True
+        if rec is not None:
+            rec.record_derive_hp(sd.somatic_read_derive_by_hp, 0.0)

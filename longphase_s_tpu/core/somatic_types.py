@@ -177,3 +177,55 @@ class ReadVarHpCount:
     hp_result: int = RH_UNTAG
     read_id_count: int = 0
     pos_hp_pairs: list = field(default_factory=list)
+
+
+INT32_MAX = 2**31 - 1
+INT32_MIN = -(2**31)
+
+
+class PosHpRecord:
+    """Per-position read-HP distribution record (HaplotagType.h:311-322
+    ReadHpResult + HaplotagLogging.cpp:13-73 record methods).
+
+    Counters mirror std::map<int,int> operator[] semantics (zero-default,
+    entry creation irrelevant to output). Cover region starts at the C++
+    INT_MAX/INT_MIN sentinels so never-recorded positions print them,
+    as the reference does."""
+
+    __slots__ = ("read_hp_counter", "somatic_base_counter", "derive_sims",
+                 "somatic_h3_count", "exist_derive_h1h2", "derive_hp",
+                 "cover_start", "cover_end")
+
+    def __init__(self):
+        self.read_hp_counter = {}
+        self.somatic_base_counter = {}
+        self.derive_sims = []
+        self.somatic_h3_count = 0
+        self.exist_derive_h1h2 = False
+        self.derive_hp = 0
+        self.cover_start = INT32_MAX
+        self.cover_end = INT32_MIN
+
+    def record_read_hp(self, hp_result, base_hp):
+        """chrReadHpResult::recordReadHp (HaplotagLogging.cpp:13-27)."""
+        self.read_hp_counter[hp_result] = \
+            self.read_hp_counter.get(hp_result, 0) + 1
+        if hp_result != RH_UNTAG and base_hp == SOMATIC_H3:
+            self.somatic_h3_count += 1
+            self.somatic_base_counter[hp_result] = \
+                self.somatic_base_counter.get(hp_result, 0) + 1
+
+    def record_derive_hp(self, derive_hp, similarity=0.0):
+        """chrReadHpResult::recordDeriveHp (HaplotagLogging.cpp:39-54).
+        Similarity is stored as C++ float; 0.0 is not appended."""
+        self.derive_hp = derive_hp
+        if similarity != 0.0:
+            import numpy as np
+            self.derive_sims.append(np.float32(similarity))
+
+    def record_cover_region(self, start, end):
+        """chrReadHpResult::recordAlignCoverRegion (HaplotagLogging.cpp:66-73)."""
+        if self.cover_start > start:
+            self.cover_start = start
+        if self.cover_end < end:
+            self.cover_end = end

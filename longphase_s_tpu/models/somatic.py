@@ -8,8 +8,11 @@ somatic flags -> optional _sc.vcf -> tag tumor BAM with HP:Z/PS:i/PQ:i.
 
 from __future__ import annotations
 
+import math
 import sys
 from dataclasses import dataclass, field
+
+import numpy as np
 
 from .. import REFERENCE_VERSION
 from ..core.cigar_walk import CigarWalk
@@ -22,8 +25,8 @@ from ..core.somatic_caller import (FilterParams, calculate_read_set_hp,
                                    statistic_somatic_pos_read_hp)
 from ..core.somatic_judge import judge_somatic_read_hap, judge_somatic_snp_hap
 from ..core.somatic_types import (GERMLINE_H1, GERMLINE_H2, NONE_SNP,
-                                  READ_HP_STR, RH_H1, RH_H1_1, RH_H2, RH_H2_1,
-                                  RH_H3, RH_UNTAG, SOMATIC_H3)
+                                  PosHpRecord, READ_HP_STR, RH_H1, RH_H1_1,
+                                  RH_H2, RH_H2_1, RH_H3, RH_UNTAG, SOMATIC_H3)
 from ..io.bam import BamReader, BamWriter
 from ..io.bgzf import open_maybe_bgzf
 from ..io.fasta import FastaFile
@@ -83,6 +86,7 @@ class SomaticCallState:
         self.read_hp_sets = {}    # chr -> {read_id: ReadVarHpCount}
         self.pos_read_corr = {}   # chr -> {pos: {read_id: baseHP}}
         self.dense_intervals = {}  # chr -> {start: interval data}
+        self.caller_distri = {}   # chr -> {pos: PosHpRecord} (callerReadHpDistri)
         self.tumor_purity = 0.0
         self.params = FilterParams()
 
@@ -140,7 +144,10 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
                                    state.nor_base[chrom], cfg.enable_filter)
             calibrate_read_hp(si, rs, corr)
             calculate_read_set_hp(rs, cfg.percentage_threshold)
-            statistic_somatic_pos_read_hp(si, corr, rs)
+            distri = None
+            if cfg.write_calling_log:
+                distri = state.caller_distri.setdefault(chrom, {})
+            statistic_somatic_pos_read_hp(si, corr, rs, distri)
     return state
 
 
@@ -441,6 +448,172 @@ def write_read_hp_detail_log(cfg, state, chr_vec):
                 f.write("\n")
 
 
+# ---------------------------------------------------------------------------
+# ReadHpDistriLog family (haplotag/HaplotagLogging.{h,cpp})
+# ---------------------------------------------------------------------------
+
+def _f3(x):
+    """C++ fixed<<setprecision(3) rendering of a float, including NaN."""
+    x = float(x)
+    if math.isnan(x):
+        return "-nan" if math.copysign(1.0, x) < 0 else "nan"
+    return f"{x:.3f}"
+
+
+def _i32(x):
+    """Wrapping int32 arithmetic (C++ int overflow on sentinel regions)."""
+    return ((x + 2**31) & 0xFFFFFFFF) - 2**31
+
+
+def write_read_hp_distri_log(path, chr_vec, distri_by_chr):
+    """ReadHpDistriLog::writeReadHpDistriLog (HaplotagLogging.cpp:157-280).
+
+    The data rows put a double tab after HP2read while the header has a
+    single tab there -- reproduced verbatim. Ratios over zero tagged reads
+    are float 0/0, which glibc prints as "-nan"."""
+    total = sum(len(distri_by_chr.get(c, {})) for c in chr_vec)
+    with open(path, "w") as f:
+        f.write("###################################################\n")
+        f.write("# Distribution of Read Haplotypes at Somatic SNPs #\n")
+        f.write("###################################################\n")
+        f.write(f"##SomaticSNP: {total}\n")
+        f.write("#Chr\tPos\tDeriveHP\tDeriveHPsimilarity\t\tAltCount\t"
+                "somaticBase_H1-1\tsomaticBase_H2-1\tsomaticBase_H3\t\t"
+                "HP1read\tHP2read\tHP1-1read\tHP2-1read\tHP3read\tuntagRead\t"
+                "HP1ratio\tHP2ratio\tHP1-1ratio\tHP2-1ratio\tHP3ratio\n")
+        for chrom in chr_vec:
+            d = distri_by_chr.get(chrom, {})
+            for pos in sorted(d):
+                rec = d[pos]
+                c = rec.read_hp_counter
+                hp1 = c.get(RH_H1, 0)
+                hp1_1 = c.get(RH_H1_1, 0)
+                hp2 = c.get(RH_H2, 0)
+                hp2_1 = c.get(RH_H2_1, 0)
+                hp3 = c.get(RH_H3, 0)
+                tagged = hp1 + hp2 + hp3 + hp1_1 + hp2_1
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ft = np.float32(tagged)
+                    r1 = np.float32(hp1) / ft
+                    r2 = np.float32(hp2) / ft
+                    r1_1 = np.float32(hp1_1) / ft
+                    r2_1 = np.float32(hp2_1) / ft
+                    r3 = np.float32(hp3) / ft
+                mean = np.float32(0.0)
+                if rec.derive_sims:
+                    for s in rec.derive_sims:
+                        mean += s
+                    mean = mean / np.float32(len(rec.derive_sims))
+                sb = rec.somatic_base_counter
+                f.write(f"{chrom}\t{pos + 1}\tH{rec.derive_hp}\t{_f3(mean)}\t\t"
+                        f"{rec.somatic_h3_count}\t{sb.get(RH_H1_1, 0)}\t"
+                        f"{sb.get(RH_H2_1, 0)}\t{sb.get(RH_H3, 0)}\t\t"
+                        f"{hp1}\t{hp2}\t\t{hp1_1}\t{hp2_1}\t{hp3}\t"
+                        f"{c.get(RH_UNTAG, 0)}\t{_f3(r1)}\t{_f3(r2)}\t"
+                        f"{_f3(r1_1)}\t{_f3(r2_1)}\t{_f3(r3)}\n")
+
+
+def remove_not_derive_by_h1h2(chr_vec, distri_by_chr):
+    """ReadHpDistriLog::removeNotDeriveByH1andH2pos (HaplotagLogging.cpp:473-484)."""
+    for chrom in chr_vec:
+        d = distri_by_chr.get(chrom)
+        if not d:
+            continue
+        for pos in [p for p, r in d.items() if not r.exist_derive_h1h2]:
+            del d[pos]
+
+
+def write_densealt_filter_log(path, chr_vec, somatic_info_by_chr):
+    """ReadHpDistriLog::writeDenseAltFilterLog (HaplotagLogging.cpp:492-529).
+    Positions print as stored (0-based) -- the reference does not add 1."""
+    with open(path, "w") as f:
+        f.write("###################################################\n")
+        f.write("# DenseAlt filter log #\n")
+        f.write("###################################################\n")
+        f.write("Chr\tPos\tDenseAltSameCount\n")
+        for chrom in chr_vec:
+            si = somatic_info_by_chr.get(chrom)
+            if si is None:
+                continue
+            for pos in sorted(si):
+                f.write(f"{chrom}\t{pos}\t{si[pos].dense_alt_same_count}\n")
+
+
+def write_pos_cover_region_log(path, chr_vec, distri_by_chr):
+    """ReadHpDistriLog::writePosCoverRegionLog (HaplotagLogging.cpp:291-341).
+    Never-recorded positions print the INT_MAX/INT_MIN sentinels."""
+    total = sum(len(distri_by_chr.get(c, {})) for c in chr_vec)
+    with open(path, "w") as f:
+        f.write("############################\n")
+        f.write("# Somatic SNP cover region #\n")
+        f.write("############################\n")
+        f.write(f"##SomaticSNP: {total}\n")
+        f.write("#Chr\tPos\tType\tStartPos\tEndPos\n")
+        for chrom in chr_vec:
+            d = distri_by_chr.get(chrom, {})
+            for pos in sorted(d):
+                rec = d[pos]
+                f.write(f"{chrom}\t{pos + 1}\tsomatic\t"
+                        f"{rec.cover_start}\t{rec.cover_end}\n")
+
+
+def write_tag_read_cover_region_log(path, chr_vec, distri_by_chr, chr_length):
+    """ReadHpDistriLog::writeTagReadCoverRegionLog (HaplotagLogging.cpp:352-463).
+
+    The merge walks positions in map order without sorting the region
+    bounds; untag-only positions contribute INT_MAX/INT_MIN sentinel
+    regions whose lengths wrap in int32, exactly as the C++ does."""
+    from .haplotag import cpp_double
+    cover = {}
+    for chrom in chr_vec:
+        d = distri_by_chr.get(chrom, {})
+        poss = sorted(d)
+        if not poss:
+            continue
+        regions = []
+        cur_start = d[poss[0]].cover_start
+        cur_end = d[poss[0]].cover_end
+        for i in range(len(poss)):
+            if i + 1 < len(poss):
+                nxt = d[poss[i + 1]]
+                if cur_end < nxt.cover_start:
+                    regions.append((cur_start, cur_end,
+                                    _i32(cur_end - cur_start + 1)))
+                    cur_start, cur_end = nxt.cover_start, nxt.cover_end
+                else:
+                    cur_start = min(cur_start, nxt.cover_start)
+                    cur_end = max(cur_end, nxt.cover_end)
+            else:
+                regions.append((cur_start, cur_end,
+                                _i32(cur_end - cur_start + 1)))
+        cover[chrom] = regions
+    ratio = {}
+    total_len = 0
+    total_cover = 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for chrom in chr_vec:
+            tot = 0
+            for _s, _e, ln in cover.get(chrom, []):
+                tot = _i32(tot + ln)
+            ratio[chrom] = float(np.float32(tot)
+                                 / np.float32(chr_length.get(chrom, 0)))
+            total_len += chr_length.get(chrom, 0)
+            total_cover += tot
+        total_ratio = float(np.float64(total_cover) / np.float64(total_len))
+    with open(path, "w") as f:
+        f.write("##################################\n")
+        f.write("# Somatic reads cover region bed #\n")
+        f.write("##################################\n")
+        f.write("##----Chr coverage ratio----\n")
+        f.write(f"##Total chr coverage ratio: {cpp_double(total_ratio)}\n")
+        for chrom in chr_vec:
+            f.write(f"##{chrom}:{cpp_double(ratio[chrom])}\n")
+        f.write("#Chr\tStartPos\tEndPos\n")
+        for chrom in chr_vec:
+            for s, e, _ln in cover.get(chrom, []):
+                f.write(f"{chrom}\t{s}\t{e}\n")
+
+
 def apply_somatic_flags(state: SomaticCallState, chr_vec):
     """getSomaticFlag (SomaticVarCaller.cpp:2397-2412).
 
@@ -557,7 +730,9 @@ def inherit_haplotype(derive_hp, percentage_threshold):
         mx, mn, max_hp = d1, d2, GERMLINE_H1
     else:
         mx, mn, max_hp = d2, d1, GERMLINE_H2
-    sim = 0.0 if mx == 0 else mx / (mx + mn)
+    # C++ computes the similarity in float: (float)max/((float)max+(float)min)
+    sim = 0.0 if mx == 0 else float(np.float32(mx)
+                                    / (np.float32(mx) + np.float32(mn)))
     if sim >= percentage_threshold:
         return (RH_H1_1 if max_hp == GERMLINE_H1 else RH_H2_1), sim
     return None, sim
@@ -672,6 +847,16 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
         with timer("writing somatic variants calling log"):
             write_somatic_var_log(cfg, state, chr_vec, chr_multi)
             write_dense_interval_log(cfg, state, chr_vec)
+            write_read_hp_distri_log(
+                cfg.result_prefix + "_read_distri_scaller.out",
+                chr_vec, state.caller_distri)
+            remove_not_derive_by_h1h2(chr_vec, state.caller_distri)
+            write_read_hp_distri_log(
+                cfg.result_prefix + "_read_distri_scaller_derive_by_H1_H2.out",
+                chr_vec, state.caller_distri)
+            write_densealt_filter_log(
+                cfg.result_prefix + "_densealt_filter.log",
+                chr_vec, state.somatic_info)
             write_somatic_filter_log(cfg, state, chr_vec)
             write_read_count_filter_log(cfg, state, chr_vec)
             write_messy_read_filter_log(cfg, state, chr_vec)
@@ -704,10 +889,16 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
         log_f = open(cfg.result_prefix + ".out", "w")
         _write_somatic_log_header(log_f, cfg)
 
+    # hpBeforeInheritance / hpAfterInheritance ReadHpDistriLog state
+    hp_before: dict[str, dict[int, PosHpRecord]] = {}
+    hp_after: dict[str, dict[int, PosHpRecord]] = {}
+
     with timer("tag read"):
         for chrom in chr_vec:
             if chrom not in bam.ref_id:
                 continue
+            before_d = hp_before.setdefault(chrom, {})
+            after_d = hp_after.setdefault(chrom, {})
             variants = chr_multi.get(chrom, {})
             positions = sorted(variants)
             last = _last_var_pos(positions, variants, TUMOR)
@@ -752,12 +943,32 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
                     hp, pq, nor_sim, _ts = judge_somatic_read_hap(
                         walker.hp_count, walker.nor_count_ps,
                         cfg.percentage_threshold, stats)
+                    hp_before_inh = hp
                     derive_sim = 0.0
                     if hp == RH_H3:
                         new_hp, derive_sim = inherit_haplotype(
                             walker.derive_hp, cfg.percentage_threshold)
                         if new_hp is not None:
                             hp = new_hp
+                    if cfg.write_calling_log and walker.derive_hp:
+                        # SomaticHaplotagProcess.cpp:377-395: record the read
+                        # HP before/after inheritance at every somatic pos on
+                        # the read; cover region only for tagged reads.
+                        start_pos = rec.pos + 1
+                        end_pos = walker.ref_pos
+                        for pp, (bhp, dhp) in walker.derive_hp.items():
+                            rb = before_d.get(pp)
+                            if rb is None:
+                                rb = before_d[pp] = PosHpRecord()
+                            rb.record_read_hp(hp_before_inh, bhp)
+                            rb.record_derive_hp(dhp, 0.0)
+                            ra = after_d.get(pp)
+                            if ra is None:
+                                ra = after_d[pp] = PosHpRecord()
+                            ra.record_read_hp(hp, bhp)
+                            ra.record_derive_hp(dhp, derive_sim)
+                            if hp != RH_UNTAG:
+                                ra.record_cover_region(start_pos, end_pos)
                     if benchmark.enabled:
                         benchmark.record_tagged_read(
                             chrom, rec.qname, hp, walker.variants_hp,
@@ -810,6 +1021,20 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
         with timer("[Benchmark] writing somatic haplotagging metrics report"):
             benchmark.write_metrics_report(
                 chr_vec, cfg.result_prefix + "_somatic_haplotag.metrics")
+
+    if cfg.write_calling_log:
+        # SomaticHaplotagProcess::postprocessForHaplotag (.cpp:232-243)
+        write_read_hp_distri_log(
+            cfg.result_prefix + "_read_distri_before_inheritance.out",
+            chr_vec, hp_before)
+        write_read_hp_distri_log(
+            cfg.result_prefix + "_read_distri_after_inheritance.out",
+            chr_vec, hp_after)
+        write_pos_cover_region_log(
+            cfg.result_prefix + "_snp_cover_region.out", chr_vec, hp_after)
+        write_tag_read_cover_region_log(
+            cfg.result_prefix + "_read_cover_region.bed", chr_vec, hp_after,
+            chr_length)
 
     print("-------------------------------------------", file=sys.stderr)
     print(f"total alignment           : {stats.total_alignment}", file=sys.stderr)

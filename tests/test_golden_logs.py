@@ -122,7 +122,13 @@ def test_somatic_calling_log(reference_binary, tmp_path):
 
     for suffix in ("_somatic_var.out", "_dense_tumor_snp_interval.log",
                    "_somatic_filter.log", "_read_count_filter.log",
-                   "_messy_read_filter.log", "_read_hp_detail.log"):
+                   "_messy_read_filter.log", "_read_hp_detail.log",
+                   "_read_distri_scaller.out",
+                   "_read_distri_scaller_derive_by_H1_H2.out",
+                   "_densealt_filter.log",
+                   "_read_distri_before_inheritance.out",
+                   "_read_distri_after_inheritance.out",
+                   "_snp_cover_region.out", "_read_cover_region.bed"):
         g = norm(golden + suffix, golden)
         o = norm(ours + suffix, ours)
         assert len(g) == len(o), (suffix, len(g), len(o))
