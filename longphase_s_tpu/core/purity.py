@@ -143,17 +143,24 @@ class PurityEstimator:
             counts, pct, max_h, _rng = _build_histogram([p.read_count_nor
                                                          for p in points])
             s_counts = _gaussian_smooth(counts, 0.5)
-            s_counts, s_pct, s_max, _ = _histogram_stats(s_counts, len(points))
+            s_counts, s_pct, s_max, s_rng = _histogram_stats(s_counts,
+                                                             len(points))
             # reference quirk: the smoothed copy keeps the pre-smoothing
             # max_height member (calculateStatistics only raises it), so the
             # original maximum governs both thresholds
             s_max = max(s_max, max_h)
-            peak_thr = max(int(s_max * 0.05), 1)
-            peaks = _find_peaks(s_counts, peak_thr)
-            peaks = _remove_close_peaks(peaks, 2)
-            _determine_trends(peaks)
-            _find_main_peaks(peaks)
-            return _set_threshold_by_valley(peaks, s_counts, s_pct, s_max)
+            peak_thr = float(max(int(s_max * 0.05), 1))
+            ana = PeakAnalysis()
+            ana.find_peaks(s_counts, peak_thr)
+            ana.remove_close_peaks(2)
+            ana.determine_trends()
+            ana.find_main_peak_candidates()
+            ana.set_threshold_by_valley(s_counts, s_pct, s_max)
+            if self.write_log and self.result_prefix:
+                ana.write_peak_valley_log(
+                    self.result_prefix, counts, pct, s_counts, s_pct,
+                    len(points), s_rng, s_max, 0.05, peak_thr, 0.5)
+            return ana.threshold
         except Exception as e:  # noqa: BLE001
             print(f"[ERROR] {e}", file=sys.stderr)
             print("[ERROR] Failed to find peak valley threshold, set threshold "
@@ -326,143 +333,325 @@ def _gaussian_smooth(counts, sigma):
     return out
 
 
-def _find_peaks(counts, min_height):
-    """PeakProcessor::findPeaks (TumorPurityEstimator.cpp:649-690)."""
-    peaks = []
-    n = len(counts)
-    for i in range(n):
-        if counts[i] < min_height:
-            continue
-        is_peak = False
-        if i == 0 and i != n - 1:
-            is_peak = counts[i] > counts[i + 1]
-        elif i == n - 1 and i != 0:
-            is_peak = counts[i] > counts[i - 1]
-        elif 0 < i < n - 1:
-            is_peak = counts[i] > counts[i - 1] and counts[i] > counts[i + 1]
-        if is_peak:
-            peaks.append(Peak(i, counts[i]))
-    return peaks
+def _d6(x) -> str:
+    """std::to_string(double): fixed with 6 decimals."""
+    return f"{float(x):.6f}"
 
 
-def _remove_close_peaks(peaks, min_distance):
-    """removeClosePeaks (TumorPurityEstimator.cpp:698-721)."""
-    if not peaks:
-        raise RuntimeError("No peaks found in peaksVec")
-    i = 0
-    while i < len(peaks) - 1:
-        if peaks[i + 1].index - peaks[i].index < min_distance:
-            if peaks[i].height >= peaks[i + 1].height:
-                del peaks[i + 1]
+_INT_MAX = 2**31 - 1
+
+
+class PeakAnalysis:
+    """PeakProcessor with its execution log (TumorPurityEstimator.cpp:640-1201).
+
+    Carries every piece of state the histogram log prints: the peak vector
+    with trends, the selected main/secondary/next/prev peaks, the lowest
+    valley, and the exec_log strings (std::to_string renders doubles
+    fixed-6)."""
+
+    def __init__(self):
+        self.exec_log: list[str] = []
+        self.peaks: list[Peak] = []
+        self.main_peak_count = 0
+        self.main_sel = Peak()
+        self.sec_sel = Peak()
+        self.sec_next = Peak()
+        self.sec_pre = Peak()
+        # lowestValley (index, height, percentage); findLowestValley resets
+        # only the height (to INT_MAX) before searching, as the C++ does
+        self.valley_index = 0
+        self.valley_height = 0.0
+        self.valley_pct = 0.0
+        self.threshold_pct = 0.0
+        self.threshold = 0
+
+    # -- findPeaks (TumorPurityEstimator.cpp:649-690) -------------------
+    def find_peaks(self, counts, min_height):
+        peaks = []
+        n = len(counts)
+        for i in range(n):
+            if counts[i] < min_height:
+                continue
+            is_peak = False
+            if i == 0 and i != n - 1:
+                is_peak = counts[i] > counts[i + 1]
+            elif i == n - 1 and i != 0:
+                is_peak = counts[i] > counts[i - 1]
+            elif 0 < i < n - 1:
+                is_peak = (counts[i] > counts[i - 1]
+                           and counts[i] > counts[i + 1])
+            if is_peak:
+                peaks.append(Peak(i, counts[i]))
+        for i, p in enumerate(peaks):
+            self.exec_log.append(f"[INFO] Peak {i}: {p.index}, {_d6(p.height)}")
+        self.peaks = peaks
+
+    # -- removeClosePeaks (TumorPurityEstimator.cpp:698-721) ------------
+    def remove_close_peaks(self, min_distance):
+        peaks = self.peaks
+        if not peaks:
+            raise RuntimeError("No peaks found in peaksVec")
+        i = 0
+        while i < len(peaks) - 1:
+            if peaks[i + 1].index - peaks[i].index < min_distance:
+                if peaks[i].height >= peaks[i + 1].height:
+                    self.exec_log.append(
+                        f"[INFO] remove the peak {peaks[i + 1].index}"
+                        f"({_d6(peaks[i + 1].height)}) because it is too close "
+                        f"to the peak {peaks[i].index}({_d6(peaks[i].height)})")
+                    del peaks[i + 1]
+                else:
+                    self.exec_log.append(
+                        f"[INFO] remove the peak {peaks[i].index}"
+                        f"({_d6(peaks[i].height)}) because it is too close "
+                        f"to the peak {peaks[i + 1].index}"
+                        f"({_d6(peaks[i + 1].height)})")
+                    del peaks[i]
             else:
-                del peaks[i]
-        else:
-            i += 1
-    return peaks
+                i += 1
 
+    # -- determineTrends (TumorPurityEstimator.cpp:728-751) -------------
+    def determine_trends(self):
+        peaks = self.peaks
+        if not peaks:
+            raise RuntimeError("No peaks found in peaksVec")
+        for i in range(len(peaks) - 1):
+            if peaks[i].height < peaks[i + 1].height:
+                peaks[i].right_trend = "UP"
+                peaks[i + 1].left_trend = "UP"
+            elif peaks[i].height > peaks[i + 1].height:
+                peaks[i].right_trend = "DOWN"
+                peaks[i + 1].left_trend = "DOWN"
+            else:
+                peaks[i].right_trend = "FLAG"
+                peaks[i + 1].left_trend = "FLAG"
 
-def _determine_trends(peaks):
-    """determineTrends (TumorPurityEstimator.cpp:728-751)."""
-    for i in range(len(peaks) - 1):
-        if peaks[i].height < peaks[i + 1].height:
-            peaks[i].right_trend = "UP"
-            peaks[i + 1].left_trend = "UP"
-        elif peaks[i].height > peaks[i + 1].height:
-            peaks[i].right_trend = "DOWN"
-            peaks[i + 1].left_trend = "DOWN"
-        else:
-            peaks[i].right_trend = "FLAG"
-            peaks[i + 1].left_trend = "FLAG"
+    # -- findMainPeakCandidates (TumorPurityEstimator.cpp:758-793) ------
+    def find_main_peak_candidates(self):
+        peaks = self.peaks
+        if not peaks:
+            raise RuntimeError("No peaks found in peaksVec")
+        if len(peaks) == 1:
+            self.exec_log.append("[INFO] Only one peak found")
+            peaks[0].is_main = True
+            self.main_peak_count = 1
+            return
+        for i, p in enumerate(peaks):
+            if i == 0:
+                p.is_main = p.right_trend == "DOWN"
+            elif i == len(peaks) - 1:
+                p.is_main = p.left_trend == "UP"
+            else:
+                p.is_main = p.left_trend == "UP" and p.right_trend == "DOWN"
+            if p.is_main:
+                self.main_peak_count += 1
 
-
-def _find_main_peaks(peaks):
-    """findMainPeakCandidates (TumorPurityEstimator.cpp:758-793)."""
-    if len(peaks) == 1:
-        peaks[0].is_main = True
-        return
-    for i, p in enumerate(peaks):
-        if i == 0:
-            p.is_main = p.right_trend == "DOWN"
-        elif i == len(peaks) - 1:
-            p.is_main = p.left_trend == "UP"
-        else:
-            p.is_main = p.left_trend == "UP" and p.right_trend == "DOWN"
-
-
-def _find_lowest_valley(counts, pct, start, end):
-    """findLowestValley (TumorPurityEstimator.cpp:911-935)."""
-    if start >= end or end > len(counts):
-        return None
-    best = None
-    for i in range(start + 1, end - 1):
-        if counts[i] < counts[i - 1] and counts[i] < counts[i + 1]:
-            if best is None or counts[i] < best[1]:
-                best = (i, counts[i], pct[i])
-    return best
-
-
-def _set_threshold_by_valley(peaks, counts, pct, max_height):
-    """setThresholdByValley (TumorPurityEstimator.cpp:944-1031)."""
-    threshold = 0
-    threshold_pct = 0.0
-    valley = None
-
-    main = [p for p in peaks if p.is_main]
-    if not main:
-        raise RuntimeError("No main peaks found in peaksVec")
-    if len(main) == 1:
-        main_idx = main[0].index
-    else:
-        by_height = sorted(main, key=lambda p: -p.height)
-        main_idx = max(by_height[0].index, by_height[1].index)
-
-    # secondary peak (findSecondaryPeak, TumorPurityEstimator.cpp:850-899)
-    sec_idx = None
-    if peaks[0].index == main_idx:
-        sec_idx = -1
-    else:
-        pi = 0
-        while peaks[pi].index != main_idx:
-            pi += 1
-        pi -= 1
-        if pi == 0:
-            sec_idx = peaks[0].index
-        else:
-            found = False
-            while pi > 0:
-                if peaks[pi].left_trend == "DOWN" and peaks[pi].right_trend == "UP":
-                    sec_idx = peaks[pi].index
+    # -- findLowestValley (TumorPurityEstimator.cpp:911-935) ------------
+    def _find_lowest_valley(self, counts, pct, start, end):
+        if start >= end or end > len(counts):
+            self.exec_log.append(
+                f"[ERROR] (findLowestValley) index out of range: "
+                f"start: {start} end: {end} histogram.size(): {len(counts)}")
+            return False
+        found = False
+        self.valley_height = float(_INT_MAX)
+        for i in range(start + 1, end - 1):
+            if counts[i] < counts[i - 1] and counts[i] < counts[i + 1]:
+                if not found or counts[i] < self.valley_height:
+                    self.valley_index = i
+                    self.valley_height = counts[i]
+                    self.valley_pct = pct[i]
                     found = True
-                    break
-                pi -= 1
-            if not found:
+        return found
+
+    def _reset_valley(self):
+        self.valley_index = 0
+        self.valley_height = 0.0
+        self.valley_pct = 0.0
+
+    def _get_peak(self, index, offset):
+        """getPeak (TumorPurityEstimator.cpp:1037-1056)."""
+        for i, p in enumerate(self.peaks):
+            if p.index == index:
+                return self.peaks[i + offset]
+        raise RuntimeError(f"Peak not found: histo_index: {index} "
+                           f"offset: {offset}")
+
+    # -- setThresholdByValley (TumorPurityEstimator.cpp:944-1031) -------
+    def set_threshold_by_valley(self, counts, pct, max_height):
+        peaks = self.peaks
+        self._reset_valley()
+        self.threshold_pct = 0.0
+        self.threshold = 0
+
+        # findFirstPriorityMainPeak (TumorPurityEstimator.cpp:800-840)
+        main = [p for p in peaks if p.is_main]
+        if not main:
+            raise RuntimeError("No main peaks found in peaksVec")
+        if len(main) == 1:
+            main_idx = main[0].index
+        else:
+            by_height = sorted(main, key=lambda p: -p.height)
+            main_idx = max(by_height[0].index, by_height[1].index)
+        self.main_sel = self._get_peak(main_idx, 0)
+        self.exec_log.append(
+            f"[INFO] found the first main peak :{self.main_sel.index}")
+
+        # findSecondaryPeak (TumorPurityEstimator.cpp:850-905)
+        sec_idx = None
+        found_secondary = False
+        if peaks[0].index == main_idx:
+            self.exec_log.append(
+                "[INFO] the first main peak is the first peak")
+        else:
+            pi = 0
+            while peaks[pi].index != main_idx:
+                pi += 1
+            pi -= 1
+            if pi == 0:
                 sec_idx = peaks[0].index
+                found_secondary = True
+            else:
+                while pi > 0:
+                    if (peaks[pi].left_trend == "DOWN"
+                            and peaks[pi].right_trend == "UP"):
+                        sec_idx = peaks[pi].index
+                        found_secondary = True
+                        break
+                    pi -= 1
+                if not found_secondary:
+                    self.exec_log.append(
+                        "[INFO] no secondary peak found, select the first "
+                        f"peak as the secondary peak: {peaks[0].index}")
+                    sec_idx = peaks[0].index
+                    found_secondary = True
 
-    if sec_idx is not None and sec_idx != -1:
-        sec_i = next(i for i, p in enumerate(peaks) if p.index == sec_idx)
-        next_peak = peaks[sec_i + 1] if sec_i + 1 < len(peaks) else None
-        found_valley = False
-        if next_peak is not None:
-            valley = _find_lowest_valley(counts, pct, sec_idx, next_peak.index)
-            if valley is not None:
-                threshold = valley[0]
-                threshold_pct = valley[2]
-                found_valley = True
-        if threshold_pct >= THRESHOLD_PERCENTAGE_LIMIT or not found_valley:
-            valley = None
-            threshold = 0
-            threshold_pct = 0.0
-            if peaks[0].index != sec_idx and sec_i - 1 >= 0:
-                pre_peak = peaks[sec_i - 1]
-                valley = _find_lowest_valley(counts, pct, pre_peak.index, sec_idx)
-                if valley is not None:
-                    threshold = valley[0]
-                    threshold_pct = valley[2]
+        if found_secondary:
+            self.sec_sel = self._get_peak(sec_idx, 0)
+            self.exec_log.append(
+                f"[INFO] found the secondary peak :{self.sec_sel.index}")
+            self.exec_log.append(
+                "[INFO] check the next peak of the secondary peak")
+            self.sec_next = self._get_peak(sec_idx, 1)
+            found_valley = self._find_lowest_valley(
+                counts, pct, self.sec_sel.index, self.sec_next.index)
+            if found_valley:
+                self.exec_log.append(
+                    f"[INFO] find the lowest height valley: "
+                    f"{self.valley_index}({_d6(self.valley_pct)})")
+                self.threshold_pct = self.valley_pct
+                self.threshold = self.valley_index
+            else:
+                self.exec_log.append("[INFO] no valley found")
 
-    if valley is not None and valley[1] > max_height * 0.7:
-        threshold = 0
-        threshold_pct = 0.0
-    if threshold_pct >= THRESHOLD_PERCENTAGE_LIMIT:
-        threshold = 0
-        threshold_pct = 0.0
-    return threshold
+            if self.threshold_pct >= THRESHOLD_PERCENTAGE_LIMIT \
+                    or not found_valley:
+                self._reset_valley()
+                self.threshold_pct = 0.0
+                self.threshold = 0
+                self.exec_log.append(
+                    f"[INFO] threshold >= {_d6(THRESHOLD_PERCENTAGE_LIMIT)}%, "
+                    f"reset threshold to {self.threshold}"
+                    f"({_d6(self.threshold_pct)})")
+                self.exec_log.append(
+                    "[INFO] check the pre peak of the secondary peak")
+                if self.sec_sel.index != peaks[0].index:
+                    self.sec_pre = self._get_peak(self.sec_sel.index, -1)
+                    self.exec_log.append(
+                        f"[INFO] secondary peak have a pre peak "
+                        f"{self.sec_pre.index}->{self.sec_sel.index}")
+                    found_valley = self._find_lowest_valley(
+                        counts, pct, self.sec_pre.index, self.sec_sel.index)
+                    if found_valley:
+                        self.exec_log.append(
+                            f"[INFO] find the lowest height valley : "
+                            f"{self.valley_index}({_d6(self.valley_pct)})")
+                        self.threshold_pct = self.valley_pct
+                        self.threshold = self.valley_index
+                    else:
+                        self.exec_log.append(
+                            "[INFO] no valley found between the secondary "
+                            "peak and its pre peak")
+                else:
+                    self.exec_log.append("[INFO] no pre peak found")
+        else:
+            self.exec_log.append("[INFO] no secondary peak found")
+
+        # a valley that cannot separate the two distributions
+        if self.valley_height > max_height * 0.7:
+            self.exec_log.append(
+                f"[INFO] valley height is too high, set the threshold to 0: "
+                f"valley height: {_d6(self.valley_height)} "
+                f"max height: {_d6(max_height)}")
+            self.threshold_pct = 0.0
+            self.threshold = 0
+        if self.threshold_pct >= THRESHOLD_PERCENTAGE_LIMIT:
+            self.exec_log.append(
+                f"[INFO] Final threshold over {_d6(THRESHOLD_PERCENTAGE_LIMIT)}"
+                f"%, set to 0: {self.threshold}({_d6(self.threshold_pct)})")
+            self.threshold_pct = 0.0
+            self.threshold = 0
+        self.exec_log.append(
+            f"[INFO] Final threshold: {self.threshold}"
+            f"({_d6(self.threshold_pct)})")
+
+    # -- writePeakValleyLog (TumorPurityEstimator.cpp:1095-1201) --------
+    def write_peak_valley_log(self, result_prefix, counts, pct, s_counts,
+                              s_pct, total_snp_count, data_range, max_height,
+                              min_peak_ratio, peak_threshold, sigma):
+        """Writes _germlineReadHpCountInNorBam_histogram.out. The fixed<<
+        setprecision(2) manipulator set by the smoothed-histogram loop is
+        sticky, so every later double (raw histogram, peak heights, valley
+        percentage) also prints fixed-2."""
+        path = result_prefix + "_germlineReadHpCountInNorBam_histogram.out"
+        with open(path, "w") as f:
+            f.write(f"#total snp count: {total_snp_count}\n")
+            f.write(f"#data range: {data_range[0]} to {data_range[1]}\n")
+            f.write(f"#max height: {_fmt(max_height)}\n")
+            f.write(f"#min peak ratio: {_fmt(min_peak_ratio)}\n")
+            f.write(f"#peak threshold: {_fmt(peak_threshold)}\n")
+            f.write(f"#gaussian filter sigma: {_fmt(sigma)}\n")
+            f.write("#========Execution Log==========\n")
+            for log in self.exec_log:
+                f.write(f"#{log}\n")
+            f.write("\nindex (germline Hp read count in normal bam), "
+                    "height (snp count), percentage\n\n")
+            f.write("#Smoothed Histogram Start\n")
+            for i in range(len(s_counts)):
+                f.write(f"{i}\t{s_counts[i]:.2f}\t{s_pct[i]:.2f}\n")
+            f.write("#Smoothed Histogram End\n\n")
+            f.write("#Histogram Start\n")
+            for i in range(len(counts)):
+                f.write(f"{i}\t{counts[i]:.2f}\t{pct[i]:.2f}\n")
+            f.write("#Histogram End\n\n")
+            f.write("\n#==========Peak Trend Analysis==========\n")
+            f.write(f"#peak count: {len(self.peaks)}\n")
+            f.write(f"#Peak \t{'Position':<10}\t{'Height':<10}\t"
+                    f"{'Left_Trend':<10}\t{'Right_Trend':<10}\n")
+            for i, p in enumerate(self.peaks):
+                f.write(f"{i + 1}\t{p.index:<10}\t{f'{p.height:.2f}':<10}\t"
+                        f"{p.left_trend:<10}\t{p.right_trend:<10}\n")
+            f.write("\n#==========Main Peak Analysis==========\n")
+            if self.main_peak_count == 0:
+                f.write("#main peak count: 0\n")
+            else:
+                f.write(f"#main peak count: {self.main_peak_count}\n")
+                f.write(f"#Peak \t{'Position':<10}\t{'Height':<10}\t"
+                        f"{'Left_Trend':<10}\t{'Right_Trend':<10}\n")
+                # the row label increments for every peak, main or not
+                for i, p in enumerate(self.peaks):
+                    if p.is_main:
+                        f.write(f"{i + 1}\t{p.index:<10}\t"
+                                f"{f'{p.height:.2f}':<10}\t"
+                                f"{p.left_trend:<10}\t{p.right_trend:<10}\n")
+            f.write("\n#==========Selected Peaks & Valleys==========\n")
+            for label, p in (("#first main peak         : ", self.main_sel),
+                             ("#secondary peak          : ", self.sec_sel),
+                             ("#secondary peak next peak: ", self.sec_next),
+                             ("#secondary peak prev peak: ", self.sec_pre)):
+                f.write(f"{label}{p.index}\t{p.height:.2f}\t"
+                        f"{p.left_trend}\t{p.right_trend}\n")
+            f.write(f"#lowest height valley    : {self.valley_index}\t"
+                    f"{self.valley_pct:.2f}\n")
+            f.write(f"#threshold percentage: {self.threshold_pct:.2f}\n")
+            f.write(f"#threshold: {self.threshold}\n")

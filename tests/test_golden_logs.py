@@ -128,7 +128,8 @@ def test_somatic_calling_log(reference_binary, tmp_path):
                    "_densealt_filter.log",
                    "_read_distri_before_inheritance.out",
                    "_read_distri_after_inheritance.out",
-                   "_snp_cover_region.out", "_read_cover_region.bed"):
+                   "_snp_cover_region.out", "_read_cover_region.bed",
+                   "_germlineReadHpCountInNorBam_histogram.out"):
         g = norm(golden + suffix, golden)
         o = norm(ours + suffix, ours)
         assert len(g) == len(o), (suffix, len(g), len(o))
