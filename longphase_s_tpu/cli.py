@@ -113,6 +113,7 @@ def main(argv=None):
         sp.add_argument("--somatic-calling-log", action="store_true")
         sp.add_argument("--truth-vcf", default="")
         sp.add_argument("--truth-bed", default="")
+        sp.add_argument("--benchmark-log", action="store_true")
     mc = sub.add_parser("modcall", help="5mC methylation calling")
     mc.add_argument("-b", "--bam-file", action="append", required=True)
     mc.add_argument("-r", "--reference", required=True)
@@ -164,6 +165,7 @@ def main(argv=None):
             write_somatic_vcf=args.output_somatic_vcf,
             write_calling_log=args.somatic_calling_log,
             truth_vcf=args.truth_vcf, truth_bed=args.truth_bed,
+            write_benchmark_log=args.benchmark_log,
             command=" ".join(sys.argv))
         if args.command == "somatic_haplotag":
             run_somatic_haplotag(cfg)

@@ -232,6 +232,71 @@ class SomaticReadBenchmark:
             return
         self._write_read_log(chr_vec, out_path, self.tagged_somatic_reads)
 
+    def write_total_truth_report(self, chr_vec, out_path):
+        """writeTotalTruthSomaticReadReport (SomaticBenchmark.cpp:748-768):
+        the same read-log layout over the reads covering truth positions."""
+        if not self.enabled:
+            return
+        self._write_read_log(chr_vec, out_path, self.cover_truth_reads)
+
+    def write_tagged_read_report(self, chr_vec, out_path):
+        """writeTaggedReadReport (SomaticBenchmark.cpp:689-710): the read-log
+        layout over every recorded (tagged-pass) read."""
+        if not self.enabled:
+            return
+        self._write_read_log(chr_vec, out_path, self.total_reads)
+
+    def write_pos_allele_count_log(self, chr_vec, out_path, chr_multi):
+        """writePosAlleleCountLog (SomaticBenchmark.cpp:627-681).
+        Positions print as stored (0-based) -- the reference does not add 1."""
+        if not self.enabled:
+            return
+        total = sum(len(self.pos_allele_counts.get(c, {})) for c in chr_vec)
+        with open(out_path, "w") as f:
+            f.write("#############################\n")
+            f.write("# Somatic SNP allele count #\n")
+            f.write("#############################\n")
+            f.write(f"##Benchmark VCF:{self.truth_vcf}\n")
+            f.write(f"##MappingQualityThreshold:{self.mapq_threshold}\n")
+            f.write(f"##Tatal variants:{total}\n")
+            f.write("#CHROM\tPOS\tREF\tALT\tREF_COUNT\tALT_COUNT\tDEL_COUNT\n")
+            for chrom in chr_vec:
+                counts = self.pos_allele_counts.get(chrom, {})
+                for pos in sorted(counts):
+                    truth = chr_multi.get(chrom, {}).get(pos, {}).get(
+                        TRUTH_SOMATIC)
+                    ref = truth.ref if truth is not None else ""
+                    alt = truth.alt if truth is not None else ""
+                    c = counts[pos]
+                    f.write(f"{chrom}\t{pos}\t{ref}\t{alt}\t"
+                            f"{c.ref}\t{c.alt}\t{c.dels}\n")
+
+    def write_bed_region_log(self, chr_vec, chr_multi, in_bed_flags,
+                             out_prefix):
+        """writeBedRegionLog (SomaticBenchmark.cpp:565-607): splits the
+        surviving tumor variants into _var_in_bed.out / _var_out_bed.out.
+        Runs after removeVariantsOutBedRegion, so the out-bed file normally
+        holds only the header -- as in the reference."""
+        if not self.enabled or not self.loaded_bed:
+            return
+        header = "#Chr\tPosition\tRef\tAlt\tVariant_Type\n"
+        with open(out_prefix + "_var_in_bed.out", "w") as fin, \
+                open(out_prefix + "_var_out_bed.out", "w") as fout:
+            fin.write(header)
+            fout.write(header)
+            for chrom in chr_vec:
+                flags = in_bed_flags.get(chrom, {})
+                for pos in sorted(chr_multi.get(chrom, {})):
+                    entry = chr_multi[chrom][pos]
+                    tum = entry.get(TUMOR)
+                    if tum is None:
+                        continue
+                    row = f"{chrom}\t{pos + 1}\t{tum.ref}\t{tum.alt}\tTUMOR\n"
+                    if flags.get(pos, False):
+                        fin.write(row)
+                    else:
+                        fout.write(row)
+
     def _write_read_log(self, chr_vec, out_path, read_vec_map):
         truth_map = {RH_H1_1: 0, RH_H2_1: 0, RH_H3: 0}
         tagged_truth_map = {RH_H1_1: 0, RH_H2_1: 0, RH_H3: 0}

@@ -60,6 +60,7 @@ class SomaticConfig:
     write_calling_log: bool = False
     truth_vcf: str = ""
     truth_bed: str = ""
+    write_benchmark_log: bool = False
     command: str = ""
 
 
@@ -1035,6 +1036,17 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
         write_tag_read_cover_region_log(
             cfg.result_prefix + "_read_cover_region.bed", chr_vec, hp_after,
             chr_length)
+
+    if cfg.write_benchmark_log and benchmark.enabled:
+        # SomaticHaplotagProcess::postprocessForHaplotag (.cpp:245-251)
+        benchmark.write_total_truth_report(
+            chr_vec, cfg.result_prefix + "_total_truth_somatic_read.out")
+        benchmark.write_tagged_read_report(
+            chr_vec, cfg.result_prefix + "_total_tagged_read.out")
+        benchmark.write_pos_allele_count_log(
+            chr_vec, cfg.result_prefix + "_allele_count.out", chr_multi)
+        benchmark.write_bed_region_log(chr_vec, chr_multi, in_bed_flags,
+                                       cfg.result_prefix)
 
     print("-------------------------------------------", file=sys.stderr)
     print(f"total alignment           : {stats.total_alignment}", file=sys.stderr)

@@ -157,15 +157,20 @@ def test_somatic_benchmark_metrics(reference_binary, somatic_fixture,
                     "--tumor-bam-file", somatic_fixture["tumor_bam"],
                     "-r", somatic_fixture["fasta"],
                     "--truth-vcf", truth_vcf, "--truth-bed", truth_bed,
+                    "--benchmark-log",
                     "-o", golden], check=True, capture_output=True, timeout=1200)
     ours = str(tmp_path / "ours")
     run_somatic_haplotag(_cfg(somatic_fixture, phased_normal, ours,
-                              truth_vcf=truth_vcf, truth_bed=truth_bed))
-    with open(golden + "_somatic_haplotag.metrics") as f:
-        g = f.read()
-    with open(ours + "_somatic_haplotag.metrics") as f:
-        o = f.read()
-    assert g == o
+                              truth_vcf=truth_vcf, truth_bed=truth_bed,
+                              write_benchmark_log=True))
+    for suffix in ("_somatic_haplotag.metrics",
+                   "_total_truth_somatic_read.out", "_total_tagged_read.out",
+                   "_allele_count.out", "_var_in_bed.out", "_var_out_bed.out"):
+        with open(golden + suffix) as f:
+            g = f.read()
+        with open(ours + suffix) as f:
+            o = f.read()
+        assert g == o, suffix
     # tags must also match with the BED-restricted variant set
     gt = _tags(golden + ".bam")
     ot = _tags(ours + ".bam")
