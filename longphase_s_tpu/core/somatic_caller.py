@@ -18,7 +18,8 @@ import sys
 from ..io.bam import (BAM_CDEL, BAM_CDIFF, BAM_CEQUAL, BAM_CHARD_CLIP,
                       BAM_CINS, BAM_CMATCH, BAM_CPAD, BAM_CREF_SKIP,
                       BAM_CSOFT_CLIP, SEQ_NT16, FLAG_SECONDARY,
-                      FLAG_SUPPLEMENTARY, FLAG_UNMAP, BamReader)
+                      FLAG_SUPPLEMENTARY, FLAG_UNMAP, BamReader,
+                      region_bounds)
 from ..io.phased_vcf import (NORMAL, PHASED_HETERO, TUMOR, UNPHASED_HETERO,
                              UNPHASED_HOMO, VT_DELETION, VT_INSERTION, VT_SNP)
 from ..models.haplotag import _judge_snp_hap, judge_read_hap
@@ -80,13 +81,16 @@ class FilterParams:
 def iter_somatic_reads(bam: BamReader, chrom: str, chrom_len,
                        positions, quality_threshold: int,
                        tag_supplementary: bool,
-                       mapping_quality_filter: bool = False):
+                       mapping_quality_filter: bool = False,
+                       region: str = ""):
     """ChromosomeProcessor::processSingleChrom read dispatch
     (HaplotagParsingBam.cpp:421-499). Yields (rec, category) where category is
     'process' for reads reaching processRead; other categories mirror the
-    reference's counters."""
+    reference's counters. A ranged ``region`` restricts the iterator the way
+    sam_itr_querys does (HaplotagParsingBam.cpp:448-450)."""
     last_var = positions[-1] if positions else None
-    for rec in bam.fetch(chrom, 0, chrom_len):
+    beg, end = region_bounds(region, chrom_len) if region else (0, chrom_len)
+    for rec in bam.fetch(chrom, beg, end):
         flag = rec.flag
         if mapping_quality_filter and rec.mapq < quality_threshold:
             yield rec, "low_quality"
@@ -213,7 +217,8 @@ def extract_normal_chromosome(bam_path, chrom, chrom_len, positions, variants,
             return variant_base
         for rec, cat in iter_somatic_reads(bam, chrom, chrom_len, positions,
                                            cfg.quality_threshold,
-                                           cfg.tag_supplementary):
+                                           cfg.tag_supplementary,
+                                           region=cfg.region):
             if cat != "process":
                 continue
             walker.begin_read()
@@ -425,7 +430,8 @@ def extract_tumor_chromosome(bam_path, chrom, chrom_len, positions, variants,
             return somatic_pos_info, read_hp_result_set, tumor_pos_read_corr
         for rec, cat in iter_somatic_reads(bam, chrom, chrom_len, positions,
                                            cfg.quality_threshold,
-                                           cfg.tag_supplementary):
+                                           cfg.tag_supplementary,
+                                           region=cfg.region):
             if cat != "process":
                 continue
             walker.begin_read()

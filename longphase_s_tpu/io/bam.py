@@ -102,6 +102,16 @@ class BamRecord:
         c = self.cigar()
         return [(int(x) & 0xF, int(x) >> 4) for x in c]
 
+    def ref_end(self) -> int:
+        """0-based exclusive alignment end (bam_endpos semantics): pos plus
+        reference-consuming op lengths (M/D/N/=/X)."""
+        c = self.cigar()
+        if len(c) == 0:
+            return self.pos + 1
+        ops = c & 0xF
+        consumes = (ops == 0) | (ops == 2) | (ops == 3) | (ops == 7) | (ops == 8)
+        return self.pos + int((c[consumes] >> 4).sum())
+
     def seq_nibbles(self) -> np.ndarray:
         """4-bit codes per base (nt16), decoded to one uint8 per base."""
         off = 32 + self.raw[8] + 4 * self.n_cigar
@@ -296,7 +306,22 @@ class BamReader:
                 continue
             if end is not None and rec.pos >= end:
                 return
+            if start > 0 and rec.ref_end() <= start:
+                continue
             yield rec
+
+
+def region_bounds(region: str, chrom_len: int):
+    """htslib region-string range: ``chr:beg-end`` is 1-based inclusive ->
+    0-based [beg-1, end) (sam_itr_querys semantics, HaplotagParsingBam.cpp:449).
+    Returns (start, end) for :meth:`BamReader.fetch`."""
+    if ":" not in region:
+        return 0, chrom_len
+    rng = region.split(":", 1)[1].replace(",", "")
+    if "-" in rng:
+        b, e = rng.split("-", 1)
+        return max(0, int(b) - 1), int(e)
+    return max(0, int(rng) - 1), chrom_len
 
 
 def _reg2bin(beg: int, end: int) -> int:

@@ -17,7 +17,8 @@ from .. import REFERENCE_VERSION
 from ..core.alleles import homopolymer_length
 from ..io.bam import (BAM_CDEL, BAM_CDIFF, BAM_CEQUAL, BAM_CHARD_CLIP,
                       BAM_CINS, BAM_CMATCH, BAM_CPAD, BAM_CREF_SKIP,
-                      BAM_CSOFT_CLIP, SEQ_NT16, BamReader, BamWriter)
+                      BAM_CSOFT_CLIP, SEQ_NT16, BamReader, BamWriter,
+                      region_bounds)
 from ..io.phased_vcf import (NORMAL, PHASED_HETERO, PhasedVcfReader, VcfInfo,
                              VT_DELETION, VT_INSERTION, VT_SNP)
 from ..utils import StageTimer
@@ -389,7 +390,11 @@ def run_haplotag(cfg: HaplotagConfig) -> ReadStatistics:
             walker = GermlineWalker(positions, variants, ref_string)
             bam2 = BamReader(cfg.bam_file)
             chrom_len = info.chr_length.get(chrom)
-            for rec in bam2.fetch(chrom, 0, chrom_len):
+            # a ranged --region restricts the BAM iterator itself
+            # (HaplotagParsingBam.cpp:448-450 passes it to sam_itr_querys)
+            beg, end = region_bounds(cfg.region, chrom_len) if cfg.region \
+                else (0, chrom_len)
+            for rec in bam2.fetch(chrom, beg, end):
                 stats.total_alignment += 1
                 flag = rec.flag
                 if rec.mapq < cfg.quality_threshold:

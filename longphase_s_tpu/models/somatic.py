@@ -912,7 +912,7 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
             for rec, cat in iter_somatic_reads(
                     bam2, chrom, chr_length.get(chrom), positions,
                     cfg.quality_threshold, cfg.tag_supplementary,
-                    mapping_quality_filter=True):
+                    mapping_quality_filter=True, region=cfg.region):
                 stats.total_alignment += 1
                 if cat == "low_quality":
                     stats.total_lower_quality += 1

@@ -35,6 +35,31 @@ def test_phase_multiple_bams(reference_binary, tmp_path):
     assert_vcfs_match(golden + ".vcf", ours + ".vcf")
 
 
+def test_haplotag_region_range(reference_binary, small_fixture, tmp_path):
+    """Ranged --region chr:start-end restricts the BAM iterator like
+    sam_itr_querys (HaplotagParsingBam.cpp:448-450)."""
+    fix = small_fixture
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["vcf"],
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    third = fix["length"] // 3
+    region = f"{fix['chrom']}:{third}-{2 * third}"
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"],
+                    "--region", region, "-o", golden],
+                   check=True, capture_output=True)
+    ours = str(tmp_path / "ours")
+    run_haplotag(HaplotagConfig(snp_file=phased + ".vcf", bam_file=fix["bam"],
+                                fasta_file=fix["fasta"], result_prefix=ours,
+                                region=region))
+    g = _tags(golden + ".bam")
+    o = _tags(ours + ".bam")
+    assert len(g) == len(o)
+    assert g == o
+
+
 def test_haplotag_region(reference_binary, small_fixture, tmp_path):
     fix = small_fixture
     phased = str(tmp_path / "phased")
