@@ -13,7 +13,10 @@ from . import __version__
 
 
 def _add_phase_parser(sub):
-    p = sub.add_parser("phase", help="run phasing algorithm")
+    # add_help=False frees -h for --svThreshold, matching the reference's
+    # shortopts "h:" (Phasing.cpp:53,85)
+    p = sub.add_parser("phase", help="run phasing algorithm", add_help=False)
+    p.add_argument("--help", action="help")
     p.add_argument("-s", "--snp-file", required=True)
     p.add_argument("-b", "--bam-file", action="append", required=True)
     p.add_argument("-r", "--reference", required=True)
@@ -37,7 +40,10 @@ def _add_phase_parser(sub):
     p.add_argument("-m", "--readConfidence", type=float, default=0.65)
     p.add_argument("-L", "--overlapThreshold", type=float, default=0.2)
     p.add_argument("-w", "--svWindow", type=int, default=20)
-    p.add_argument("--svThreshold", type=float, default=0.1)
+    p.add_argument("-h", "--svThreshold", type=float, default=0.1)
+    # parsed and reported but never consumed by the reference pipeline
+    # (Phasing.cpp:136,351; PhasingProcess.h:25 has no reader)
+    p.add_argument("-x", "--mismatchRate", type=float, default=3)
     p.add_argument("--engine", choices=["oracle", "tpu"], default="tpu")
     return p
 

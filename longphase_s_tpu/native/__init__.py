@@ -22,6 +22,16 @@ _tried = False
 
 
 def build():
+    # prefer libdeflate for BGZF block decode (2-3x zlib); fall back to
+    # zlib-only when the library/headers are absent
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-DUSE_LIBDEFLATE", "-shared",
+             "-fPIC", _SRC_PATH, "-o", _LIB_PATH, "-ldeflate", "-lz"],
+            check=True, capture_output=True)
+        return
+    except subprocess.CalledProcessError:
+        pass
     subprocess.run(
         ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC_PATH,
          "-o", _LIB_PATH, "-lz"],

@@ -10,6 +10,9 @@
 // C ABI for ctypes.
 
 #include <zlib.h>
+#ifdef USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 #include <algorithm>
 #include <atomic>
@@ -113,6 +116,27 @@ static bool read_entire_bgzf(const char* path, std::vector<uint8_t>& out) {
   std::atomic<size_t> next{0};
   std::atomic<bool> failed{false};
   auto worker = [&]() {
+#ifdef USE_LIBDEFLATE
+    // libdeflate one-shot raw-deflate decode: ~2-3x zlib's inflate, and the
+    // per-block ISIZE gives the exact output size it wants.
+    struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || failed.load()) break;
+      const Blk& b = blocks[i];
+      if (b.ulen == 0) continue;
+      const uint8_t* src = raw.data() + b.coff;
+      uint16_t xlen = src[10] | (src[11] << 8);
+      size_t actual = 0;
+      if (libdeflate_deflate_decompress(d, src + 12 + xlen,
+                                        b.clen - 12 - xlen - 8,
+                                        out.data() + b.uoff, b.ulen,
+                                        &actual) != LIBDEFLATE_SUCCESS ||
+          actual != b.ulen)
+        failed.store(true);
+    }
+    libdeflate_free_decompressor(d);
+#else
     for (;;) {
       size_t i = next.fetch_add(1);
       if (i >= blocks.size() || failed.load()) return;
@@ -131,6 +155,7 @@ static bool read_entire_bgzf(const char* path, std::vector<uint8_t>& out) {
       inflateEnd(&zs);
       if (r != Z_STREAM_END && r != Z_OK) failed.store(true);
     }
+#endif
   };
   std::vector<std::thread> ts;
   for (unsigned t = 1; t < n_threads; ++t) ts.emplace_back(worker);

@@ -23,6 +23,7 @@ Outputs per site: assigned flag, haplotype (1|2), block-start rank.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -30,6 +31,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.phase_algo import T_DANGER, T_INDEL, T_MOD, T_SNP
+
+# The environment's sitecustomize imports jax at interpreter startup, so
+# JAX_COMPILATION_CACHE_DIR set later in the process is ignored; force the
+# persistent compile cache through the config API instead (the first remote
+# XLA compile of the scan can take minutes through the TPU tunnel).
+try:
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/lps_tpu_jax_cache"))
+    # persist everything: a tunnel-server cache hit reports a sub-second
+    # "compile" that must still be written locally, because the server cache
+    # can evict (first-ever compiles through the tunnel have taken minutes)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:  # noqa: BLE001 — older jax without these config names
+    pass
 
 I32 = jnp.int32
 
