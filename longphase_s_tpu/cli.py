@@ -92,6 +92,7 @@ def main(argv=None):
     hp.add_argument("-p", "--percentageThreshold", type=float, default=0.6)
     hp.add_argument("--tagSupplementary", action="store_true")
     hp.add_argument("--region", default="")
+    hp.add_argument("--cram", action="store_true")
     hp.add_argument("--log", action="store_true")
     for name in ("somatic_haplotag", "estimate_purity"):
         sp = sub.add_parser(name, help=f"{name.replace('_', ' ')}")
@@ -111,6 +112,7 @@ def main(argv=None):
         sp.add_argument("--tagSupplementary", action="store_true",
                         default=(name == "estimate_purity"))
         sp.add_argument("--region", default="")
+        sp.add_argument("--cram", action="store_true")
         sp.add_argument("--log", action="store_true")
         sp.add_argument("--tumor-purity", type=float, default=None,
                         help="fixed purity (disables automatic estimation)")
@@ -148,7 +150,8 @@ def main(argv=None):
             num_threads=args.threads, quality_threshold=args.qualityThreshold,
             percentage_threshold=args.percentageThreshold,
             tag_supplementary=args.tagSupplementary, region=args.region,
-            write_read_log=args.log, command=" ".join(sys.argv))
+            write_read_log=args.log, output_cram=args.cram,
+            command=" ".join(sys.argv))
         run_haplotag(cfg)
         return 0
     if args.command in ("somatic_haplotag", "estimate_purity"):
@@ -172,6 +175,7 @@ def main(argv=None):
             write_calling_log=args.somatic_calling_log,
             truth_vcf=args.truth_vcf, truth_bed=args.truth_bed,
             write_benchmark_log=args.benchmark_log,
+            output_cram=args.cram,
             command=" ".join(sys.argv))
         if args.command == "somatic_haplotag":
             run_somatic_haplotag(cfg)

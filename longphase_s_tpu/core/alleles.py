@@ -314,18 +314,20 @@ def extract_chromosome(bam_paths: list[str], chrom: str, last_snp_pos: int,
                        mapping_quality: int = 1,
                        sv_entries=None, mod_entries=None,
                        sv_window: int = 20, sv_threshold: float = 0.1,
-                       bam_cache=None):
+                       bam_cache=None, fasta=None):
     """BamParser::direct_detect_alleles (ParsingBam.cpp:1243-1301).
 
     Iterates every BAM over region chr:1-lastSNPPos with the reference's
     record filter (MAPQ / unmapped / secondary / duplicate; supplementary
     kept).
     """
-    from ..io.bam import BamReader
+    from ..io.cram import is_cram, open_alignment
 
     # native fast path (C++ BGZF+BAM decode + CIGAR walk); only covers the
-    # SNP/indel stream — SV/MOD co-phasing falls back to the Python walker
-    if sv_entries is None and mod_entries is None:
+    # SNP/indel stream — SV/MOD co-phasing and CRAM inputs fall back to the
+    # Python walker
+    if sv_entries is None and mod_entries is None and \
+            not any(is_cram(p) for p in bam_paths):
         from .. import native
 
         if native.available():
@@ -368,7 +370,7 @@ def extract_chromosome(bam_paths: list[str], chrom: str, last_snp_pos: int,
     skip_mask = FLAG_UNMAP | FLAG_SECONDARY | FLAG_DUP
     for path in bam_paths:
         extractor.reset_stream()
-        reader = BamReader(path)
+        reader = open_alignment(path, fasta)
         try:
             if chrom not in reader.ref_id:
                 continue

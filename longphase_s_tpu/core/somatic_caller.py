@@ -206,12 +206,13 @@ def _germline_judge_deletion(pos, var, ref_pos, del_len, query_pos, seq,
 
 
 def extract_normal_chromosome(bam_path, chrom, chrom_len, positions, variants,
-                              ref_string, sv_counts, cfg):
+                              ref_string, sv_counts, cfg, fasta=None):
     """Per-chromosome normal-BAM pass. Returns pos -> PosBase."""
     variant_base: dict[int, PosBase] = {}
     walker = ExtractNorWalker(positions, variants, ref_string, variant_base,
                               cfg.quality_threshold)
-    bam = BamReader(bam_path)
+    from ..io.cram import open_alignment
+    bam = open_alignment(bam_path, fasta)
     try:
         if chrom not in bam.ref_id:
             return variant_base
@@ -416,7 +417,7 @@ def classify_reads_by_case(tumor_allele_pos_vec, nor_count_ps, hp_count,
 
 
 def extract_tumor_chromosome(bam_path, chrom, chrom_len, positions, variants,
-                             ref_string, cfg):
+                             ref_string, cfg, fasta=None):
     """Per-chromosome tumor-BAM pass. Returns (somatic_pos_info,
     read_hp_result_set, tumor_pos_read_corr_base_hp)."""
     somatic_pos_info: dict[int, SomaticData] = {}
@@ -424,7 +425,8 @@ def extract_tumor_chromosome(bam_path, chrom, chrom_len, positions, variants,
     tumor_pos_read_corr: dict[int, dict[str, int]] = {}
     walker = ExtractTumWalker(positions, variants, ref_string,
                               somatic_pos_info, cfg.quality_threshold)
-    bam = BamReader(bam_path)
+    from ..io.cram import open_alignment
+    bam = open_alignment(bam_path, fasta)
     try:
         if chrom not in bam.ref_id:
             return somatic_pos_info, read_hp_result_set, tumor_pos_read_corr

@@ -43,6 +43,7 @@ class HaplotagConfig:
     tag_supplementary: bool = False
     region: str = ""
     write_read_log: bool = False
+    output_cram: bool = False
     command: str = ""
 
 
@@ -354,15 +355,20 @@ def run_haplotag(cfg: HaplotagConfig) -> ReadStatistics:
             del chr_multi[chrom]
 
     fasta = FastaFile(cfg.fasta_file)
-    bam = BamReader(cfg.bam_file)
+    from ..io.cram import CramWriter, open_alignment
+    bam = open_alignment(cfg.bam_file, fasta)
     header = bam.header_text
     if not header.endswith("\n") and header:
         header += "\n"
     pg_id = "longphase-s"
     header += (f"@PG\tID:{pg_id}\tPN:longphase-s\tVN:{REFERENCE_VERSION}"
                f"\tCL:{cfg.command}\n")
-    out = BamWriter(cfg.result_prefix + ".bam", header, bam.references,
-                    bam.lengths)
+    if cfg.output_cram:
+        out = CramWriter(cfg.result_prefix + ".cram", header, bam.references,
+                         bam.lengths)
+    else:
+        out = BamWriter(cfg.result_prefix + ".bam", header, bam.references,
+                        bam.lengths)
 
     sv_counts = info.read_sv_hap_count
 
@@ -388,7 +394,7 @@ def run_haplotag(cfg: HaplotagConfig) -> ReadStatistics:
             ref_string = fasta.fetch(chrom, 0, last_phased + 6) \
                 if chrom in fasta.index and last_phased else ""
             walker = GermlineWalker(positions, variants, ref_string)
-            bam2 = BamReader(cfg.bam_file)
+            bam2 = open_alignment(cfg.bam_file, fasta)
             chrom_len = info.chr_length.get(chrom)
             # a ranged --region restricts the BAM iterator itself
             # (HaplotagParsingBam.cpp:448-450 passes it to sam_itr_querys)

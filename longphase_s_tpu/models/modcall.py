@@ -79,9 +79,10 @@ class MethBamParser:
         self.read_start_end: dict[int, list[int]] = {}
         self.first_idx = 0
 
-    def detect(self, bam_path, chrom, chrom_len, reads_out):
+    def detect(self, bam_path, chrom, chrom_len, reads_out, fasta=None):
         tmp_first = self.first_idx
-        bam = BamReader(bam_path)
+        from ..io.cram import open_alignment
+        bam = open_alignment(bam_path, fasta)
         try:
             if chrom not in bam.ref_id:
                 return
@@ -615,7 +616,8 @@ def run_modcall(cfg: ModCallConfig):
             reads: list[ModRead] = []
             for bam_path in cfg.bam_files:
                 parser.first_idx = 0
-                parser.detect(bam_path, chrom, chrom_len, reads)
+                parser.detect(bam_path, chrom, chrom_len, reads,
+                              fasta=fasta)
             parser.calculate_depth()
             mod_reads: list[ModRead] = []
             parser.judge_genotype(reads, mod_reads)

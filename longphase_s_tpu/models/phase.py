@@ -101,8 +101,9 @@ def run_phase(cfg: PhaseConfig) -> dict:
             mod_entries = sorted(meth_set.by_chrom.get(chrom, {}).items())
 
         # flat fast path: native ingest arrays straight to the device tensors
+        from ..io.cram import is_cram
         if cfg.engine == "tpu" and sv_entries is None and mod_entries is None \
-                and not cfg.dot:
+                and not cfg.dot and not any(is_cram(p) for p in cfg.bam_files):
             from .. import native
 
             if native.available():
@@ -167,7 +168,8 @@ def run_phase(cfg: PhaseConfig) -> dict:
             cfg.bam_files, chrom, last_snp, positions, infos, ref_string,
             mapping_quality=cfg.params.mapping_quality,
             sv_entries=sv_entries, mod_entries=mod_entries,
-            sv_window=cfg.params.sv_window, sv_threshold=cfg.params.sv_threshold)
+            sv_window=cfg.params.sv_window, sv_threshold=cfg.params.sv_threshold,
+            fasta=fasta)
 
         if cfg.is_ont:
             filter_ont_snps(variants, alns, ref_string)

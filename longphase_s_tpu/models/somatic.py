@@ -61,6 +61,7 @@ class SomaticConfig:
     truth_vcf: str = ""
     truth_bed: str = ""
     write_benchmark_log: bool = False
+    output_cram: bool = False
     command: str = ""
 
 
@@ -107,7 +108,7 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
                           if chrom in fasta.index and positions else "")
             state.nor_base[chrom] = extract_normal_chromosome(
                 cfg.bam_file, chrom, chr_length.get(chrom), positions,
-                variants, ref_string, sv_counts, cfg)
+                variants, ref_string, sv_counts, cfg, fasta=fasta)
 
     with timer("extracting data from tumor BAM"):
         for chrom in chr_vec:
@@ -119,7 +120,7 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
             (state.somatic_info[chrom], state.read_hp_sets[chrom],
              state.pos_read_corr[chrom]) = extract_tumor_chromosome(
                 cfg.tumor_bam_file, chrom, chr_length.get(chrom), positions,
-                variants, ref_string, cfg)
+                variants, ref_string, cfg, fasta=fasta)
 
     if cfg.estimate_tumor_purity:
         est = PurityEstimator(chr_vec, state.nor_base, state.somatic_info,
@@ -876,14 +877,19 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
             benchmark.remove_variants_out_bed(chr_multi, in_bed_flags)
 
     # ---- tag tumor BAM (SINGLE_THREAD + output) --------------------------
-    bam = BamReader(cfg.tumor_bam_file)
+    from ..io.cram import CramWriter, open_alignment
+    bam = open_alignment(cfg.tumor_bam_file, fasta)
     header = bam.header_text
     if header and not header.endswith("\n"):
         header += "\n"
     header += (f"@PG\tID:longphase-s\tPN:longphase-s\tVN:{REFERENCE_VERSION}"
                f"\tCL:{cfg.command}\n")
-    out = BamWriter(cfg.result_prefix + ".bam", header, bam.references,
-                    bam.lengths)
+    if cfg.output_cram:
+        out = CramWriter(cfg.result_prefix + ".cram", header, bam.references,
+                         bam.lengths)
+    else:
+        out = BamWriter(cfg.result_prefix + ".bam", header, bam.references,
+                        bam.lengths)
 
     log_f = None
     if cfg.write_read_log:
@@ -908,7 +914,7 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
             walker = SomaticTagWalker(positions, variants, ref_string,
                                       somatic_flags.get(chrom, {}),
                                       benchmark=benchmark, chrom=chrom)
-            bam2 = BamReader(cfg.tumor_bam_file)
+            bam2 = open_alignment(cfg.tumor_bam_file, fasta)
             for rec, cat in iter_somatic_reads(
                     bam2, chrom, chr_length.get(chrom), positions,
                     cfg.quality_threshold, cfg.tag_supplementary,

@@ -1,0 +1,101 @@
+"""CRAM interop golden tests.
+
+Both directions against htslib (linked by the reference binary):
+1. our reader decodes an htslib-written CRAM to the same records as the
+   equivalent BAM,
+2. htslib reads a CRAM written by us and produces identical results,
+3. the full pipeline runs with CRAM input and --cram output.
+"""
+
+import subprocess
+
+from longphase_s_tpu.io.bam import BamReader
+from longphase_s_tpu.io.cram import CramReader, CramWriter
+from longphase_s_tpu.io.fasta import FastaFile
+from longphase_s_tpu.models.haplotag import HaplotagConfig, run_haplotag
+from tests.test_golden_haplotag import _tags
+
+
+def _fields(r):
+    return (r.qname, r.flag, r.tid, r.pos, r.mapq, r.cigar_tuples(), r.seq(),
+            r.qual().tolist(), sorted(r.iter_aux()))
+
+
+def _phase_and_tag(reference_binary, fix, tmp_path, extra=()):
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["vcf"],
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    return phased
+
+
+def test_cram_reader_vs_htslib(reference_binary, small_fixture, tmp_path):
+    fix = small_fixture
+    phased = _phase_and_tag(reference_binary, fix, tmp_path)
+    gb = str(tmp_path / "g_bam")
+    gc = str(tmp_path / "g_cram")
+    subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", gb],
+                   check=True, capture_output=True)
+    subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"], "--cram", "-o", gc],
+                   check=True, capture_output=True)
+    fa = FastaFile(fix["fasta"])
+    cr = CramReader(gc + ".cram", fasta=fa)
+    br = BamReader(gb + ".bam")
+    n = 0
+    for a, b in zip(cr, br):
+        assert _fields(a) == _fields(b), f"record {n}"
+        n += 1
+    assert n > 0
+
+
+def test_cram_writer_read_by_htslib(reference_binary, small_fixture, tmp_path):
+    fix = small_fixture
+    phased = _phase_and_tag(reference_binary, fix, tmp_path)
+    # write the fixture BAM as CRAM with our writer
+    br = BamReader(fix["bam"])
+    ours_cram = str(tmp_path / "ours.cram")
+    w = CramWriter(ours_cram, br.header_text, br.references, br.lengths)
+    for rec in br:
+        w.write(rec)
+    w.close()
+    # the reference binary (htslib) must read it and produce identical tags
+    g1 = str(tmp_path / "from_bam")
+    g2 = str(tmp_path / "from_cram")
+    subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", g1],
+                   check=True, capture_output=True)
+    subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                    "-b", ours_cram, "-r", fix["fasta"], "-o", g2],
+                   check=True, capture_output=True)
+    a = _tags(g1 + ".bam")
+    b = _tags(g2 + ".bam")
+    assert len(a) == len(b) and a == b
+
+
+def test_haplotag_cram_in_cram_out(reference_binary, small_fixture, tmp_path):
+    fix = small_fixture
+    phased = _phase_and_tag(reference_binary, fix, tmp_path)
+    # golden: reference with BAM in, BAM out
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", golden],
+                   check=True, capture_output=True)
+    # ours: CRAM input (htslib-written), CRAM output
+    gc = str(tmp_path / "g_cram")
+    subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"], "--cram", "-o", gc],
+                   check=True, capture_output=True)
+    ours = str(tmp_path / "ours")
+    run_haplotag(HaplotagConfig(snp_file=phased + ".vcf",
+                                bam_file=gc + ".cram",
+                                fasta_file=fix["fasta"], result_prefix=ours,
+                                output_cram=True))
+    fa = FastaFile(fix["fasta"])
+    cr = CramReader(ours + ".cram", fasta=fa)
+    got = [(rec.qname, rec.flag, rec.pos, rec.get_tag("HP"),
+            rec.get_tag("PS"), rec.get_tag("PQ")) for rec in cr]
+    want = _tags(golden + ".bam")
+    assert len(got) == len(want)
+    assert got == want
