@@ -257,6 +257,9 @@ def decode_base_mods(rec: "BamRecord", want_code: str = "m"):
 
 class BamReader:
     def __init__(self, path: str):
+        self._path = path
+        self._bai = None
+        self._bai_tried = False
         self._bgzf = BgzfReader(path)
         magic = self._bgzf.read(4)
         if magic != b"BAM\x01":
@@ -273,6 +276,57 @@ class BamReader:
             self.references.append(name)
             self.lengths.append(l_ref)
         self.ref_id = {n: i for i, n in enumerate(self.references)}
+        self._data_voffset = self._bgzf.tell_virtual()
+
+    def _load_bai(self):
+        """Parse the .bai companion (SAM spec section 5.2) once, lazily."""
+        if self._bai_tried:
+            return self._bai
+        self._bai_tried = True
+        import os
+        for cand in (self._path + ".bai",
+                     self._path.rsplit(".", 1)[0] + ".bai"):
+            if os.path.exists(cand):
+                break
+        else:
+            return None
+        with open(cand, "rb") as f:
+            buf = f.read()
+        if buf[:4] != b"BAI\x01":
+            return None
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        refs = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            bins = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", buf, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, cend = struct.unpack_from("<QQ", buf, off)
+                    off += 16
+                    chunks.append((beg, cend))
+                bins[bin_id] = chunks
+            (n_intv,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            intervals = list(struct.unpack_from(f"<{n_intv}Q", buf, off))
+            off += 8 * n_intv
+            refs.append((bins, intervals))
+        self._bai = refs
+        return self._bai
+
+    @staticmethod
+    def _reg2bins(beg, end):
+        end -= 1
+        bins = [0]
+        for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585),
+                            (14, 4681)):
+            bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+        return bins
 
     def close(self):
         self._bgzf.close()
@@ -289,14 +343,29 @@ class BamReader:
             yield BamRecord(raw)
 
     def fetch(self, chrom: str, start: int = 0, end: int | None = None):
-        """Region iteration by linear scan (records overlapping [start, end)).
-
-        Matches htslib region-query semantics used by the reference
-        (ParsingBam.cpp:1273-1279 queries ``chr:1-lastSNPPos``): a record
-        overlaps if ref_start < end and ref_end > start. BAI-based seeking is a
-        planned fast path; correctness does not require it.
+        """Region iteration (records overlapping [start, end)), htslib
+        region-query semantics (the reference queries ``chr:1-lastSNPPos``,
+        ParsingBam.cpp:1273-1279): a record overlaps if ref_start < end and
+        ref_end > start. Uses the .bai index to seek to the first candidate
+        chunk when one is present; falls back to a linear scan otherwise.
         """
         tid = self.ref_id[chrom]
+        bai = self._load_bai()
+        if bai is not None and tid < len(bai):
+            bins, intervals = bai[tid]
+            qend = end if end is not None else (self.lengths[tid]
+                                                or (1 << 29) - 1)
+            chunks = []
+            for b in self._reg2bins(start, max(qend, start + 1)):
+                chunks.extend(bins.get(b, ()))
+            if not chunks:
+                return
+            min_lin = intervals[start >> 14] if (start >> 14) < len(intervals) \
+                else 0
+            cand = [c for c in chunks if c[1] > min_lin] or chunks
+            self._bgzf.seek_virtual(min(c[0] for c in cand))
+        else:
+            self._bgzf.seek_virtual(self._data_voffset)
         for rec in self:
             if rec.tid != tid:
                 if rec.tid > tid >= 0 and rec.tid != -1:
