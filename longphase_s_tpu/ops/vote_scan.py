@@ -171,6 +171,23 @@ def vote_scan_core(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
 vote_scan_jax = jax.jit(
     vote_scan_core, static_argnames=("window", "distance", "edge_threshold_x10"))
 
+
+def _vote_scan_packed(counts_hi16, counts_lo16, gap, vtype, vtype_band,
+                      valid_band, window, distance, edge_threshold_x10):
+    """Transfer-optimized entry for the tunneled single-chip path: counts
+    travel as int16 (halving the upload) and the three outputs come back as
+    one stacked int32 array (one RPC round-trip instead of three)."""
+    assigned, hp, bstart = vote_scan_core(
+        counts_hi16.astype(I32), counts_lo16.astype(I32), gap, vtype,
+        vtype_band, valid_band, window=window, distance=distance,
+        edge_threshold_x10=edge_threshold_x10)
+    return jnp.stack([assigned.astype(I32), hp, bstart])
+
+
+vote_scan_packed_jax = jax.jit(
+    _vote_scan_packed,
+    static_argnames=("window", "distance", "edge_threshold_x10"))
+
 _backend_checked = False
 
 
@@ -221,22 +238,22 @@ def run_vote_scan(packed, params):
     valid_band[:S] = tgt < S
     vtype_band = np.zeros((Sp, W), dtype=np.int8)
     vtype_band[:S] = np.where(tgt < S, packed.vtype[np.minimum(tgt, S - 1)], 0)
-    counts_hi = np.zeros((Sp, W, 4), dtype=np.int32)
-    counts_hi[:S] = packed.counts_hi
-    counts_lo = np.zeros((Sp, W, 4), dtype=np.int32)
-    counts_lo[:S] = packed.counts_lo
+    counts_hi = np.zeros((Sp, W, 4), dtype=np.int16)
+    np.clip(packed.counts_hi, 0, 32767, out=counts_hi[:S])
+    counts_lo = np.zeros((Sp, W, 4), dtype=np.int16)
+    np.clip(packed.counts_lo, 0, 32767, out=counts_lo[:S])
     vtype = np.zeros(Sp, dtype=np.int8)
     vtype[:S] = packed.vtype
 
-    assigned, hp, bstart = vote_scan_jax(
+    out = np.array(vote_scan_packed_jax(
         jnp.asarray(counts_hi), jnp.asarray(counts_lo),
         jnp.asarray(gap), jnp.asarray(vtype),
         jnp.asarray(vtype_band), jnp.asarray(valid_band),
         window=W, distance=params.distance,
-        edge_threshold_x10=float(params.edge_threshold) * 10.0)
-    assigned = np.array(assigned)[:S]
-    hp = np.array(hp)[:S]
-    bstart = np.array(bstart)[:S]
+        edge_threshold_x10=float(params.edge_threshold) * 10.0))
+    assigned = out[0, :S].astype(bool)
+    hp = out[1, :S]
+    bstart = out[2, :S]
     # the last site is never visited by the reference loop
     assigned[S - 1] = False
 
