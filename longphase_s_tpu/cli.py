@@ -75,6 +75,29 @@ def _run_phase(args):
     return 0
 
 
+def _validate_files(program, required, optional=()):
+    """FileValidator semantics (ArgumentManager.cpp:32-66): required files
+    must exist; optional ones only when non-empty. Exits with a clean error
+    instead of a traceback."""
+    import os
+    ok = True
+    for desc, path in required:
+        if not path:
+            print(f"[ERROR] {program}: missing {desc}.", file=sys.stderr)
+            ok = False
+        elif not os.path.exists(path):
+            print(f"[ERROR] {program}: {desc}: {path} not exist.\n",
+                  file=sys.stderr)
+            ok = False
+    for desc, path in optional:
+        if path and not os.path.exists(path):
+            print(f"[ERROR] {program}: {desc}: {path} not exist.\n",
+                  file=sys.stderr)
+            ok = False
+    if not ok:
+        sys.exit(1)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="longphase-s-tpu")
     parser.add_argument("--version", action="version", version=__version__)
@@ -139,8 +162,20 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
     if args.command == "phase":
+        _validate_files("phase",
+                        [("SNP file", args.snp_file),
+                         ("reference file", args.reference)]
+                        + [("BAM file", b) for b in args.bam_file],
+                        [("SV file", args.sv_file),
+                         ("MOD file", args.mod_file)])
         return _run_phase(args)
     if args.command == "haplotag":
+        _validate_files("haplotag",
+                        [("SNP file", args.snp_file),
+                         ("BAM file", args.bam_file),
+                         ("reference file", args.reference)],
+                        [("SV file", args.sv_file),
+                         ("MOD file", args.mod_file)])
         from .models.haplotag import HaplotagConfig, run_haplotag
 
         cfg = HaplotagConfig(
@@ -155,6 +190,16 @@ def main(argv=None):
         run_haplotag(cfg)
         return 0
     if args.command in ("somatic_haplotag", "estimate_purity"):
+        _validate_files(args.command,
+                        [("SNP file", args.snp_file),
+                         ("tumor SNV file", args.tumor_snv_file),
+                         ("BAM file", args.bam_file),
+                         ("tumor BAM file", args.tumor_bam_file),
+                         ("reference file", args.reference)],
+                        [("SV file", args.sv_file),
+                         ("MOD file", args.mod_file),
+                         ("truth VCF file", args.truth_vcf),
+                         ("truth BED file", args.truth_bed)])
         from .models.somatic import (SomaticConfig, run_estimate_purity,
                                      run_somatic_haplotag)
 
@@ -183,6 +228,10 @@ def main(argv=None):
             run_estimate_purity(cfg)
         return 0
     if args.command == "modcall":
+        _validate_files("modcall",
+                        [("reference file", args.reference)]
+                        + [("BAM file", b) for b in args.bam_file],
+                        [("SNP file", args.snp_file)])
         from .models.modcall import ModCallConfig, run_modcall
 
         run_modcall(ModCallConfig(
