@@ -124,6 +124,9 @@ class BgzfReader(io.RawIOBase):
 
 
 class BgzfWriter(io.RawIOBase):
+    # with the native compressor, buffer this much before a parallel flush
+    _NATIVE_FLUSH = 8 << 20
+
     def __init__(self, path_or_fh, level: int = 6):
         if isinstance(path_or_fh, str):
             self._fh = open(path_or_fh, "wb")
@@ -133,9 +136,21 @@ class BgzfWriter(io.RawIOBase):
             self._own = False
         self._level = level
         self._buf = bytearray()
+        try:
+            from .. import native
+            self._native = native if native.available() else None
+        except Exception:  # noqa: BLE001
+            self._native = None
 
     def write(self, data: bytes) -> int:
         self._buf += data
+        if self._native is not None:
+            # parallel multi-block compression (the htslib thread-pool analog)
+            if len(self._buf) >= self._NATIVE_FLUSH:
+                self._fh.write(self._native.bgzf_compress(bytes(self._buf),
+                                                          self._level))
+                self._buf = bytearray()
+            return len(data)
         while len(self._buf) >= 65000:
             self._flush_block(self._buf[:65000])
             del self._buf[:65000]
@@ -160,7 +175,11 @@ class BgzfWriter(io.RawIOBase):
         if self._fh is None:
             return
         if self._buf:
-            self._flush_block(self._buf)
+            if self._native is not None:
+                self._fh.write(self._native.bgzf_compress(bytes(self._buf),
+                                                          self._level))
+            else:
+                self._flush_block(self._buf)
             self._buf = bytearray()
         self._fh.write(BGZF_EOF)
         if self._own:

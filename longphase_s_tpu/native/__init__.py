@@ -127,3 +127,48 @@ def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
         }
     finally:
         lib.lps_result_free(handle)
+
+
+def _bgzf_bind(lib):
+    import ctypes as ct
+    if getattr(lib, "_bgzf_bound", False):
+        return
+    lib._bgzf_bound = True
+    lib.lps_bgzf_compress.restype = ct.c_int64
+    lib.lps_bgzf_compress.argtypes = [ct.c_char_p, ct.c_int64, ct.c_int32,
+                                      ct.POINTER(ct.c_void_p)]
+    lib.lps_bgzf_inflate_file.restype = ct.c_int64
+    lib.lps_bgzf_inflate_file.argtypes = [ct.c_char_p,
+                                          ct.POINTER(ct.c_void_p)]
+    lib.lps_buf_free.argtypes = [ct.c_void_p]
+
+
+def bgzf_compress(data: bytes, level: int = 6) -> bytes:
+    """Parallel BGZF compression of a payload into standard member blocks
+    (no EOF block appended)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    _bgzf_bind(lib)
+    out_p = ctypes.c_void_p()
+    n = lib.lps_bgzf_compress(data, len(data), level, ctypes.byref(out_p))
+    try:
+        return ctypes.string_at(out_p, n)
+    finally:
+        lib.lps_buf_free(out_p)
+
+
+def bgzf_inflate_file(path: str) -> bytes | None:
+    """Inflate an entire BGZF file with the parallel block decoder."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bgzf_bind(lib)
+    out_p = ctypes.c_void_p()
+    n = lib.lps_bgzf_inflate_file(path.encode(), ctypes.byref(out_p))
+    if n < 0:
+        return None
+    try:
+        return ctypes.string_at(out_p, n)
+    finally:
+        lib.lps_buf_free(out_p)

@@ -508,4 +508,99 @@ int64_t lps_result_fill(void* handle, int64_t* obs_pos, int8_t* obs_allele,
 
 void lps_result_free(void* handle) { delete (ExtractResult*)handle; }
 
+// ---------------------------------------------------------------- BGZF out -
+// Parallel BGZF compression (the analog of htslib's hts_tpool-backed bgzf
+// writer): split the payload into <=65280-byte chunks, deflate each across
+// threads, emit standard BGZF member blocks with the BC/BSIZE extra field.
+static const size_t BGZF_CHUNK = 65280;
+
+static size_t deflate_chunk(const uint8_t* src, size_t n, int level,
+                            std::vector<uint8_t>& out) {
+#ifdef USE_LIBDEFLATE
+  struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+  size_t bound = libdeflate_deflate_compress_bound(c, n);
+  out.resize(bound);
+  size_t sz = libdeflate_deflate_compress(c, src, n, out.data(), bound);
+  libdeflate_free_compressor(c);
+  out.resize(sz);
+  return sz;
+#else
+  uLongf bound = compressBound(n) + 64;
+  out.resize(bound);
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)n;
+  zs.next_out = out.data();
+  zs.avail_out = (uInt)bound;
+  deflate(&zs, Z_FINISH);
+  size_t sz = zs.total_out;
+  deflateEnd(&zs);
+  out.resize(sz);
+  return sz;
+#endif
+}
+
+int64_t lps_bgzf_compress(const uint8_t* data, int64_t n, int level,
+                          uint8_t** out_p) {
+  size_t n_chunks = (n + BGZF_CHUNK - 1) / BGZF_CHUNK;
+  if (n == 0) n_chunks = 0;
+  std::vector<std::vector<uint8_t>> blocks(n_chunks);
+  unsigned n_threads = std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+  std::atomic<size_t> next{0};
+  auto worker = [&]() {
+    std::vector<uint8_t> comp;
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= n_chunks) return;
+      const uint8_t* src = data + i * BGZF_CHUNK;
+      size_t len = std::min(BGZF_CHUNK, (size_t)(n - (int64_t)i * BGZF_CHUNK));
+      size_t csz = deflate_chunk(src, len, level, comp);
+      uint32_t crc = crc32(0L, src, (uInt)len);
+      size_t bsize = csz + 26;  // 18 header + data + 8 trailer
+      std::vector<uint8_t>& b = blocks[i];
+      b.resize(bsize);
+      uint8_t* p = b.data();
+      const uint8_t head[16] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0,
+                                0,    0xff, 6, 0, 66, 67, 2, 0};
+      memcpy(p, head, 16);
+      uint16_t bs = (uint16_t)(bsize - 1);
+      memcpy(p + 16, &bs, 2);
+      memcpy(p + 18, comp.data(), csz);
+      memcpy(p + 18 + csz, &crc, 4);
+      uint32_t isize = (uint32_t)len;
+      memcpy(p + 22 + csz, &isize, 4);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (unsigned t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+  size_t total = 0;
+  for (auto& b : blocks) total += b.size();
+  uint8_t* out = (uint8_t*)malloc(total ? total : 1);
+  size_t off = 0;
+  for (auto& b : blocks) {
+    memcpy(out + off, b.data(), b.size());
+    off += b.size();
+  }
+  *out_p = out;
+  return (int64_t)total;
+}
+
+// Inflate an entire BGZF file into one malloc'd buffer (parallel blocks).
+int64_t lps_bgzf_inflate_file(const char* path, uint8_t** out_p) {
+  std::vector<uint8_t> buf;
+  if (!read_entire_bgzf(path, buf)) return -1;
+  uint8_t* out = (uint8_t*)malloc(buf.size() ? buf.size() : 1);
+  memcpy(out, buf.data(), buf.size());
+  *out_p = out;
+  return (int64_t)buf.size();
+}
+
+void lps_buf_free(uint8_t* p) { free(p); }
+
 }  // extern "C"
