@@ -51,6 +51,11 @@ class BgzfReader(io.RawIOBase):
         self._block_data = b""
         self._block_coffset = 0
         self._within = 0
+        try:
+            from .. import native
+            self._native = native if native.available() else None
+        except Exception:  # noqa: BLE001
+            self._native = None
 
     def close(self):
         self._fh.close()
@@ -80,7 +85,14 @@ class BgzfReader(io.RawIOBase):
         cdata = self._fh.read(cdata_len)
         tail = self._fh.read(8)
         isize = struct.unpack("<I", tail[4:8])[0]
-        self._block_data = zlib.decompress(cdata, -15) if isize else b""
+        if not isize:
+            self._block_data = b""
+        else:
+            data = None
+            if self._native is not None:
+                data = self._native.inflate_raw(cdata, isize)
+            self._block_data = data if data is not None \
+                else zlib.decompress(cdata, -15)
         self._within = 0
         return True
 

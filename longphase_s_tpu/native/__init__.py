@@ -141,6 +141,9 @@ def _bgzf_bind(lib):
     lib.lps_bgzf_inflate_file.argtypes = [ct.c_char_p,
                                           ct.POINTER(ct.c_void_p)]
     lib.lps_buf_free.argtypes = [ct.c_void_p]
+    lib.lps_inflate_raw.restype = ct.c_int64
+    lib.lps_inflate_raw.argtypes = [ct.c_char_p, ct.c_int64, ct.c_void_p,
+                                    ct.c_int64]
 
 
 def bgzf_compress(data: bytes, level: int = 6) -> bytes:
@@ -172,3 +175,16 @@ def bgzf_inflate_file(path: str) -> bytes | None:
         return ctypes.string_at(out_p, n)
     finally:
         lib.lps_buf_free(out_p)
+
+
+def inflate_raw(src: bytes, out_size: int) -> bytes | None:
+    """Raw-deflate decode of one BGZF block payload (libdeflate when built)."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bgzf_bind(lib)
+    out = ctypes.create_string_buffer(out_size)
+    n = lib.lps_inflate_raw(src, len(src), out, out_size)
+    if n < 0:
+        return None
+    return out.raw[:n]

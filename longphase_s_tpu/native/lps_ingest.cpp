@@ -603,4 +603,31 @@ int64_t lps_bgzf_inflate_file(const char* path, uint8_t** out_p) {
 
 void lps_buf_free(uint8_t* p) { free(p); }
 
+// One-shot raw-deflate decode with known output size (per-BGZF-block).
+int64_t lps_inflate_raw(const uint8_t* src, int64_t n, uint8_t* out,
+                        int64_t out_n) {
+#ifdef USE_LIBDEFLATE
+  static thread_local struct libdeflate_decompressor* d = nullptr;
+  if (!d) d = libdeflate_alloc_decompressor();
+  size_t actual = 0;
+  if (libdeflate_deflate_decompress(d, src, (size_t)n, out, (size_t)out_n,
+                                    &actual) != LIBDEFLATE_SUCCESS)
+    return -1;
+  return (int64_t)actual;
+#else
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  inflateInit2(&zs, -15);
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)n;
+  zs.next_out = out;
+  zs.avail_out = (uInt)out_n;
+  int r = inflate(&zs, Z_FINISH);
+  int64_t total = zs.total_out;
+  inflateEnd(&zs);
+  if (r != Z_STREAM_END && r != Z_OK) return -1;
+  return total;
+#endif
+}
+
 }  // extern "C"
