@@ -15,6 +15,8 @@ from __future__ import annotations
 import math
 import sys
 
+import numpy as np
+
 from ..io.bam import (BAM_CDEL, BAM_CDIFF, BAM_CEQUAL, BAM_CHARD_CLIP,
                       BAM_CINS, BAM_CMATCH, BAM_CPAD, BAM_CREF_SKIP,
                       BAM_CSOFT_CLIP, SEQ_NT16, FLAG_SECONDARY,
@@ -273,6 +275,72 @@ def _process_cigar_operation(cigars, ci, end, direction, remaining, read_pos,
     return False, ci, remaining, read_pos, ref_pos, 0
 
 
+_SEQ_NT16_ASCII = np.frombuffer(SEQ_NT16.encode("ascii"), dtype=np.uint8)
+
+
+def _order_windows_diff_fast(cigars, ci, seq_ascii, read_len, ref_arr,
+                             read_pos, remaining, ref_pos, direction,
+                             window=100):
+    """Vectorized getOrderWindowsDiffRef (SomaticVarCaller.cpp:654-686).
+
+    Identical step semantics to the scalar loop below (decrement-then-maybe-
+    advance op transitions, N/P/X ops burning steps without moving, the
+    refString[size()] quirk), but M/= runs compare whole segments with numpy.
+    The scalar version is kept as the semantics oracle for the equivalence
+    test."""
+    end = len(cigars)
+    ref_len = len(ref_arr)
+    op = cigars[ci][0]
+    out = []
+    i = 1
+    while i <= window:
+        if remaining <= 1:
+            remaining -= 1
+            ok, ci, remaining, read_pos, ref_pos, op = \
+                _process_cigar_operation(cigars, ci, end, direction,
+                                         remaining, read_pos, ref_pos)
+            if not ok:
+                return out
+            s = 1            # the transition step (already decremented)
+        else:
+            s = min(remaining - 1, window - i + 1)
+            remaining -= s
+        if op in (BAM_CDEL, BAM_CINS, BAM_CREF_SKIP, BAM_CPAD, BAM_CDIFF):
+            i += s
+            continue
+        ks = np.arange(1, s + 1)
+        rp = read_pos + direction * ks
+        fp = ref_pos + direction * ks
+        bad = (rp >= read_len) | (rp < 0) | (fp >= ref_len) | (fp < 0)
+        n_cmp = s if not bad.any() else int(np.argmax(bad))
+        if n_cmp:
+            rpp = rp[:n_cmp]
+            fpp = fp[:n_cmp]
+            mism = np.nonzero(seq_ascii[rpp] != ref_arr[fpp])[0]
+            for k in mism:
+                out.append(((i + int(k)) * direction,
+                            chr(seq_ascii[rpp[k]])))
+        if n_cmp < s:
+            # boundary step, original check order (SomaticVarCaller.cpp:664-681)
+            rpk = int(rp[n_cmp])
+            fpk = int(fp[n_cmp])
+            if rpk > read_len or fpk > ref_len or rpk < 0 or fpk < 0:
+                return out
+            if rpk >= read_len:
+                return out
+            # fpk == ref_len: the quirk mismatch, then keep walking
+            out.append(((i + n_cmp) * direction, chr(seq_ascii[rpk])))
+            remaining += s - (n_cmp + 1)
+            read_pos += direction * (n_cmp + 1)
+            ref_pos += direction * (n_cmp + 1)
+            i += n_cmp + 1
+            continue
+        read_pos += direction * s
+        ref_pos += direction * s
+        i += s
+    return out
+
+
 def _get_order_windows_diff_ref(cigars, ci, seq, read_len, ref_string, read_pos,
                                 remaining, ref_pos, direction, window=100):
     """getOrderWindowsDiffRef (SomaticVarCaller.cpp:654-686)."""
@@ -310,8 +378,30 @@ def _get_order_windows_diff_ref(cigars, ci, seq, read_len, ref_string, read_pos,
 
 def get_windows_diff_ref(cigars, ci, seq, read_len, ref_string, query_pos,
                          read_offset, ref_pos, window=100):
-    """getWindowsDiffRef (SomaticVarCaller.cpp:688-710)."""
+    """getWindowsDiffRef (SomaticVarCaller.cpp:688-710).
+
+    ``seq`` is the read as ASCII uint8, ``ref_string`` the chromosome as
+    ASCII uint8. When the +-window fits entirely inside the current M op and
+    all bounds, a single vectorized compare replaces both directional walks
+    (provably identical: no op transition, no boundary case can trigger)."""
     op, oplen = cigars[ci]
+    if (op in (BAM_CMATCH, BAM_CEQUAL)
+            and read_offset >= window + 1
+            and oplen - read_offset >= window + 1):
+        read_pos = query_pos + read_offset
+        if (read_pos >= window and read_pos + window < read_len
+                and ref_pos >= window and ref_pos + window < len(ref_string)):
+            s_lo = seq[read_pos - window:read_pos + window + 1]
+            r_lo = ref_string[ref_pos - window:ref_pos + window + 1]
+            neq = s_lo != r_lo
+            out = []
+            for k in np.nonzero(neq[:window])[0]:
+                # window index k holds position read_pos-(window-k) = step i
+                out.append((-(window - int(k)), chr(s_lo[k])))
+            out.reverse()  # reverse walk emits i=1..window (descending pos)
+            for k in np.nonzero(neq[window + 1:])[0]:
+                out.append((int(k) + 1, chr(s_lo[window + 1 + k])))
+            return out
     fwd_remaining = 0
     rev_remaining = 0
     read_pos = query_pos + read_offset
@@ -319,10 +409,12 @@ def get_windows_diff_ref(cigars, ci, seq, read_len, ref_string, query_pos,
         fwd_remaining = max(oplen - read_offset, 0)
         rev_remaining = max(read_offset, 0)
     out = []
-    out += _get_order_windows_diff_ref(cigars, ci, seq, read_len, ref_string,
-                                       read_pos, rev_remaining, ref_pos, -1, window)
-    out += _get_order_windows_diff_ref(cigars, ci, seq, read_len, ref_string,
-                                       read_pos, fwd_remaining, ref_pos, 1, window)
+    out += _order_windows_diff_fast(cigars, ci, seq, read_len, ref_string,
+                                    read_pos, rev_remaining, ref_pos, -1,
+                                    window)
+    out += _order_windows_diff_fast(cigars, ci, seq, read_len, ref_string,
+                                    read_pos, fwd_remaining, ref_pos, 1,
+                                    window)
     return out
 
 
@@ -332,6 +424,8 @@ class ExtractTumWalker(CigarWalk):
         super().__init__(positions, variants, ref_string)
         self.somatic_pos_info = somatic_pos_info  # pos -> SomaticData
         self.mpq_thr = mpq_thr
+        self.ref_arr = np.frombuffer(ref_string.encode("latin-1"), np.uint8)
+        self._seq_ascii = None
         self.hp_count = None
         self.variants_hp = None
         self.nor_count_ps = None
@@ -346,11 +440,14 @@ class ExtractTumWalker(CigarWalk):
         self.tum_count_ps = {}
         self.tumor_allele_pos_vec = []
         self.tumor_snp_pos_vec = []
+        self._seq_ascii = None
 
     def process_match(self, pos, entry, base, is_alt, op_len, ci):
         offset = pos - self.ref_pos
+        if self._seq_ascii is None:
+            self._seq_ascii = _SEQ_NT16_ASCII[self.seq]
         offset_base = get_windows_diff_ref(
-            self.cigars, ci, self.seq, self.rec.l_seq, self.ref_string,
+            self.cigars, ci, self._seq_ascii, self.rec.l_seq, self.ref_arr,
             self.query_pos, offset, pos)
         if self.rec.mapq >= self.mpq_thr:
             judge_somatic_snp_hap(pos, entry, base, is_alt, self.hp_count,
