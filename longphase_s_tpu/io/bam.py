@@ -18,6 +18,7 @@ import numpy as np
 from .bgzf import BgzfReader, BgzfWriter
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+_SEQ_NT16_LUT = np.frombuffer(SEQ_NT16.encode("ascii"), dtype=np.uint8)
 CIGAR_OPS = "MIDNSHP=X"
 
 # cigar op codes
@@ -123,7 +124,7 @@ class BamRecord:
         return out
 
     def seq(self) -> str:
-        return "".join(SEQ_NT16[b] for b in self.seq_nibbles())
+        return _SEQ_NT16_LUT[self.seq_nibbles()].tobytes().decode("ascii")
 
     def qual(self) -> np.ndarray:
         off = 32 + self.raw[8] + 4 * self.n_cigar + (self.l_seq + 1) // 2
@@ -216,8 +217,8 @@ def decode_base_mods(rec: "BamRecord", want_code: str = "m"):
         ml = rec.get_tag("Ml")
     ml = ml or []
 
-    seq = rec.seq()
-    n = len(seq)
+    seq_arr = _SEQ_NT16_LUT[rec.seq_nibbles()]
+    n = len(seq_arr)
     out = []
     ml_idx = 0
     for sub in mm.split(";"):
@@ -231,21 +232,31 @@ def decode_base_mods(rec: "BamRecord", want_code: str = "m"):
         base, _strand, codes, _mode = m.groups()
         deltas = [int(d) for d in parts[1:]]
         code_list = [codes] if codes.isdigit() else list(codes)
-        if rec.is_reverse:
-            target = _COMPLEMENT.get(base, base)
-            positions = [i for i in range(n - 1, -1, -1)
-                         if base == "N" or seq[i] == target]
+        if base == "N":
+            positions = np.arange(n)
         else:
-            target = base
-            positions = [i for i in range(n)
-                         if base == "N" or seq[i] == target]
+            target = _COMPLEMENT.get(base, base) if rec.is_reverse else base
+            positions = np.nonzero(seq_arr == ord(target))[0]
+        if rec.is_reverse:
+            positions = positions[::-1]
+        npos = len(positions)
+        if deltas and len(code_list) == 1:
+            # common case fully vectorized: one mod code per subtag
+            idxs = np.cumsum(np.asarray(deltas, np.int64) + 1) - 1
+            if code_list[0] == want_code:
+                for j in np.nonzero(idxs < npos)[0]:
+                    mlp = ml_idx + int(j)
+                    out.append((int(positions[idxs[j]]),
+                                ml[mlp] if mlp < len(ml) else 0))
+            ml_idx += len(deltas)
+            continue
         idx = -1
         for d in deltas:
             idx += d + 1
-            if idx >= len(positions):
+            if idx >= npos:
                 ml_idx += len(code_list)
                 continue
-            pos = positions[idx]
+            pos = int(positions[idx])
             for c in code_list:
                 q = ml[ml_idx] if ml_idx < len(ml) else 0
                 ml_idx += 1
