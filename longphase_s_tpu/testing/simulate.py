@@ -616,3 +616,139 @@ def make_meth_fixture(out_dir: str, seed: int = 7, chrom: str = "chr20",
     return {"fasta": fa, "vcf": vcf_path, "bam": bam, "chrom": chrom,
             "length": length, "variants": variants, "asm_sites": asm_sites,
             "homo_sites": homo_sites, "ref_seq": ref_seq}
+
+
+def write_bam_multi(path, chroms, reads_by_chrom, sample="SAMPLE"):
+    """Multi-reference coordinate-sorted BAM + BAI.
+
+    ``chroms``: list of (name, length); ``reads_by_chrom``: parallel list of
+    read-entry lists (same entry shape as write_bam_with_index)."""
+    from ..io.bam import SEQ_NT16
+
+    header_text = "@HD\tVN:1.6\tSO:coordinate\n"
+    for name, ln in chroms:
+        header_text += f"@SQ\tSN:{name}\tLN:{ln}\n"
+    header_text += f"@RG\tID:rg1\tSM:{sample}\n"
+    fh = open(path, "wb")
+    bgzf = BgzfWriter(fh)
+    text = header_text.encode()
+    bgzf.write(b"BAM\x01" + struct.pack("<i", len(text)) + text)
+    bgzf.write(struct.pack("<i", len(chroms)))
+    for name, ln in chroms:
+        nb = name.encode() + b"\x00"
+        bgzf.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln))
+    bgzf._flush_block(bytes(bgzf._buf))
+    bgzf._buf = bytearray()
+
+    per_ref_records = []
+    for tid, reads in enumerate(reads_by_chrom):
+        records = []
+        for entry in reads:
+            qname, pos, cigar, seq, quals = entry[:5]
+            tags = entry[5] if len(entry) > 5 else b""
+            flag = entry[6] if len(entry) > 6 else 0
+            name_b = qname.encode() + b"\x00"
+            ref_len = sum(ln for op, ln in cigar if op in (0, 2, 3, 7, 8))
+            bin_ = _reg2bin(pos, pos + ref_len)
+            fixed = struct.pack("<iiBBHHHiiii", tid, pos, len(name_b), 60,
+                                bin_, len(cigar), flag, len(seq), -1, -1, 0)
+            cig = b"".join(struct.pack("<I", (ln << 4) | op)
+                           for op, ln in cigar)
+            nib = [SEQ_NT16.index(c) for c in seq.upper()]
+            if len(nib) % 2:
+                nib.append(0)
+            packed = bytes((nib[i] << 4) | nib[i + 1]
+                           for i in range(0, len(nib), 2))
+            body = fixed + name_b + cig + packed + bytes(quals) + tags
+            voff_beg = fh.tell() << 16
+            bgzf.write(struct.pack("<i", len(body)) + body)
+            bgzf._flush_block(bytes(bgzf._buf))
+            bgzf._buf = bytearray()
+            voff_end = fh.tell() << 16
+            records.append((pos, pos + max(ref_len, 1), voff_beg, voff_end))
+        per_ref_records.append(records)
+    bgzf.close()
+
+    with open(path + ".bai", "wb") as f:
+        f.write(b"BAI\x01")
+        f.write(struct.pack("<i", len(chroms)))
+        for (name, chrom_len), records in zip(chroms, per_ref_records):
+            bins: dict[int, list[tuple[int, int]]] = {}
+            n_windows = (chrom_len >> 14) + 1
+            ioff = [0] * n_windows
+            for pos, end, vb, ve in records:
+                b = _reg2bin(pos, end)
+                bins.setdefault(b, []).append((vb, ve))
+                for w in range(pos >> 14, ((end - 1) >> 14) + 1):
+                    if ioff[w] == 0:
+                        ioff[w] = vb
+            merged_bins = {}
+            for b, chunks in bins.items():
+                chunks.sort()
+                out = [list(chunks[0])]
+                for vb, ve in chunks[1:]:
+                    if vb == out[-1][1]:
+                        out[-1][1] = ve
+                    else:
+                        out.append([vb, ve])
+                merged_bins[b] = out
+            prev = 0
+            for w in range(n_windows):
+                if ioff[w] == 0:
+                    ioff[w] = prev
+                else:
+                    prev = ioff[w]
+            f.write(struct.pack("<i", len(merged_bins)))
+            for b in sorted(merged_bins):
+                chunks = merged_bins[b]
+                f.write(struct.pack("<Ii", b, len(chunks)))
+                for vb, ve in chunks:
+                    f.write(struct.pack("<QQ", vb, ve))
+            f.write(struct.pack("<i", n_windows))
+            for v in ioff:
+                f.write(struct.pack("<Q", v))
+
+
+def make_multichrom_fixture(out_dir: str, seed: int = 7, n_chroms: int = 3,
+                            base_length: int = 120000, coverage: int = 12,
+                            read_len: int = 9000, snp_rate: float = 0.0012,
+                            error_rate: float = 0.03, qual: int = 22):
+    """Diploid fixture spanning several chromosomes of different sizes —
+    exercises the per-chromosome pipeline loops (chrVec ordering, per-chrom
+    PS blocks, BAI multi-ref index)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    chroms = []
+    seqs = {}
+    variants_by_chrom = {}
+    reads_by_chrom = []
+    for c in range(n_chroms):
+        name = f"chr{20 + c}"
+        length = base_length + c * 40000
+        ref_seq, variants = simulate_chromosome(rng, length, snp_rate, 0.0)
+        reads = simulate_reads(rng, ref_seq, variants, coverage, read_len,
+                               error_rate, qual, name_prefix=f"c{c}")
+        chroms.append((name, length))
+        seqs[name] = ref_seq
+        variants_by_chrom[name] = variants
+        reads_by_chrom.append(reads)
+
+    fa = os.path.join(out_dir, "ref.fa")
+    write_fasta(fa, seqs)
+    vcf_path = os.path.join(out_dir, "snp.vcf")
+    with open(vcf_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        for name, ln in chroms:
+            f.write(f"##contig=<ID={name},length={ln}>\n")
+        f.write('##FILTER=<ID=PASS,Description="All filters passed">\n')
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE\n")
+        for name, _ln in chroms:
+            for pos, ref_a, alt_a, _hap in variants_by_chrom[name]:
+                f.write(f"{name}\t{pos + 1}\t.\t{ref_a}\t{alt_a}\t50\tPASS"
+                        f"\t.\tGT\t0/1\n")
+    bam = os.path.join(out_dir, "reads.bam")
+    write_bam_multi(bam, chroms, reads_by_chrom)
+    return {"chroms": chroms, "fasta": fa, "vcf": vcf_path, "bam": bam}

@@ -79,3 +79,31 @@ def test_haplotag_region(reference_binary, small_fixture, tmp_path):
     o = _tags(ours + ".bam")
     assert len(g) == len(o)
     assert g == o
+
+
+def test_phase_haplotag_multichrom(reference_binary, tmp_path):
+    """Multi-chromosome fixture: per-chrom pipeline loops, chrVec ordering,
+    multi-ref BAI — phase bit-identical, haplotag record-identical."""
+    from longphase_s_tpu.testing.simulate import make_multichrom_fixture
+
+    fix = make_multichrom_fixture(str(tmp_path / "fix"), seed=55)
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["vcf"],
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", golden],
+                   check=True, capture_output=True)
+    ours = str(tmp_path / "ours")
+    run_phase(PhaseConfig(snp_file=fix["vcf"], bam_files=[fix["bam"]],
+                          fasta_file=fix["fasta"], result_prefix=ours,
+                          engine="tpu", params=PhaseParams()))
+    assert_vcfs_match(golden + ".vcf", ours + ".vcf")
+
+    gh = str(tmp_path / "gh")
+    subprocess.run([reference_binary, "haplotag", "-s", golden + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", gh],
+                   check=True, capture_output=True)
+    oh = str(tmp_path / "oh")
+    run_haplotag(HaplotagConfig(snp_file=golden + ".vcf", bam_file=fix["bam"],
+                                fasta_file=fix["fasta"], result_prefix=oh))
+    g = _tags(gh + ".bam")
+    o = _tags(oh + ".bam")
+    assert len(g) == len(o) and g == o
