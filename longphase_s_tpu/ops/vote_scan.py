@@ -188,6 +188,20 @@ vote_scan_packed_jax = jax.jit(
     _vote_scan_packed,
     static_argnames=("window", "distance", "edge_threshold_x10"))
 
+def _use_pallas() -> bool:
+    """Pallas engine on accelerator backends; lax.scan on CPU (and on
+    explicit LPS_SCAN_ENGINE=xla override)."""
+    eng = os.environ.get("LPS_SCAN_ENGINE", "")
+    if eng == "pallas":
+        return True
+    if eng == "xla":
+        return False
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
 _backend_checked = False
 
 
@@ -245,12 +259,31 @@ def run_vote_scan(packed, params):
     vtype = np.zeros(Sp, dtype=np.int8)
     vtype[:S] = packed.vtype
 
-    out = np.array(vote_scan_packed_jax(
-        jnp.asarray(counts_hi), jnp.asarray(counts_lo),
-        jnp.asarray(gap), jnp.asarray(vtype),
-        jnp.asarray(vtype_band), jnp.asarray(valid_band),
-        window=W, distance=params.distance,
-        edge_threshold_x10=float(params.edge_threshold) * 10.0))
+    out = None
+    if _use_pallas():
+        # Pallas/Mosaic engine: same exact integer math, compiles in seconds
+        # where the unrolled XLA scan has taken minutes through the tunnel
+        try:
+            from .pallas_scan import vote_scan_pallas_packed_jit
+
+            out = np.array(vote_scan_pallas_packed_jit(
+                jnp.asarray(counts_hi), jnp.asarray(counts_lo),
+                jnp.asarray(gap), jnp.asarray(vtype),
+                jnp.asarray(vtype_band), jnp.asarray(valid_band),
+                window=W, distance=params.distance,
+                edge_threshold_x10=float(params.edge_threshold) * 10.0))
+        except Exception as e:  # noqa: BLE001 — fall back to the XLA scan
+            import sys
+
+            print(f"[WARN] pallas scan unavailable ({e!r}); using lax.scan",
+                  file=sys.stderr)
+    if out is None:
+        out = np.array(vote_scan_packed_jax(
+            jnp.asarray(counts_hi), jnp.asarray(counts_lo),
+            jnp.asarray(gap), jnp.asarray(vtype),
+            jnp.asarray(vtype_band), jnp.asarray(valid_band),
+            window=W, distance=params.distance,
+            edge_threshold_x10=float(params.edge_threshold) * 10.0))
     assigned = out[0, :S].astype(bool)
     hp = out[1, :S]
     bstart = out[2, :S]
