@@ -107,3 +107,37 @@ def test_phase_haplotag_multichrom(reference_binary, tmp_path):
     g = _tags(gh + ".bam")
     o = _tags(oh + ".bam")
     assert len(g) == len(o) and g == o
+
+
+def test_cli_end_to_end(reference_binary, small_fixture, tmp_path):
+    """Drive the installed CLI (python -m longphase_s_tpu.cli) end-to-end:
+    phase then haplotag, compared to the reference binary."""
+    import os
+    import sys
+
+    fix = small_fixture
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["vcf"],
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", golden],
+                   check=True, capture_output=True)
+    ours = str(tmp_path / "ours")
+    r = subprocess.run([sys.executable, "-m", "longphase_s_tpu.cli", "phase",
+                        "--pb", "-s", fix["vcf"], "-b", fix["bam"],
+                        "-r", fix["fasta"], "-o", ours],
+                       capture_output=True, env=env)
+    assert r.returncode == 0, r.stderr.decode()
+    assert_vcfs_match(golden + ".vcf", ours + ".vcf")
+
+    gh = str(tmp_path / "gh")
+    subprocess.run([reference_binary, "haplotag", "-s", golden + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", gh],
+                   check=True, capture_output=True)
+    oh = str(tmp_path / "oh")
+    r = subprocess.run([sys.executable, "-m", "longphase_s_tpu.cli",
+                        "haplotag", "-s", ours + ".vcf", "-b", fix["bam"],
+                        "-r", fix["fasta"], "-o", oh],
+                       capture_output=True, env=env)
+    assert r.returncode == 0, r.stderr.decode()
+    assert _tags(gh + ".bam") == _tags(oh + ".bam")
