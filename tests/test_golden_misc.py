@@ -141,3 +141,33 @@ def test_cli_end_to_end(reference_binary, small_fixture, tmp_path):
                        capture_output=True, env=env)
     assert r.returncode == 0, r.stderr.decode()
     assert _tags(gh + ".bam") == _tags(oh + ".bam")
+
+
+def test_degenerate_inputs(reference_binary, small_fixture, tmp_path):
+    """Empty VCF / read-less BAM: both binaries emit the same (pass-through)
+    result rows with exit 0."""
+    from longphase_s_tpu.testing.simulate import write_bam_with_index
+
+    fix = small_fixture
+    empty_vcf = str(tmp_path / "empty.vcf")
+    with open(empty_vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                f"##contig=<ID={fix['chrom']},length={fix['length']}>\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+    noreads = str(tmp_path / "noreads.bam")
+    write_bam_with_index(noreads, fix["chrom"], fix["length"], [])
+
+    for tag, snp, bam in (("emptyvcf", empty_vcf, fix["bam"]),
+                          ("noreads", fix["vcf"], noreads)):
+        golden = str(tmp_path / f"g_{tag}")
+        r = subprocess.run([reference_binary, "phase", "--pb", "-s", snp,
+                            "-b", bam, "-r", fix["fasta"], "-o", golden],
+                           capture_output=True)
+        assert r.returncode == 0
+        ours = str(tmp_path / f"o_{tag}")
+        run_phase(PhaseConfig(snp_file=snp, bam_files=[bam],
+                              fasta_file=fix["fasta"], result_prefix=ours,
+                              engine="tpu", params=PhaseParams()))
+        g = [l for l in open(golden + ".vcf") if not l.startswith("##")]
+        o = [l for l in open(ours + ".vcf") if not l.startswith("##")]
+        assert g == o, tag
