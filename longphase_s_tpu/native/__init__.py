@@ -177,14 +177,22 @@ def bgzf_inflate_file(path: str) -> bytes | None:
         lib.lps_buf_free(out_p)
 
 
+_inflate_tls = threading.local()
+
+
 def inflate_raw(src: bytes, out_size: int) -> bytes | None:
-    """Raw-deflate decode of one BGZF block payload (libdeflate when built)."""
+    """Raw-deflate decode of one BGZF block payload (libdeflate when built).
+    Reuses a thread-local output buffer — create_string_buffer per call costs
+    more than the decode itself at BGZF block sizes."""
     lib = _load()
     if lib is None:
         return None
     _bgzf_bind(lib)
-    out = ctypes.create_string_buffer(out_size)
-    n = lib.lps_inflate_raw(src, len(src), out, out_size)
-    if n < 0:
+    buf = getattr(_inflate_tls, "buf", None)
+    if buf is None or len(buf) < out_size:
+        buf = ctypes.create_string_buffer(max(out_size, 1 << 16))
+        _inflate_tls.buf = buf
+    n = lib.lps_inflate_raw(src, len(src), buf, len(buf))
+    if n < 0 or n != out_size:
         return None
-    return out.raw[:n]
+    return ctypes.string_at(buf, n)
