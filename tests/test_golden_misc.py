@@ -171,3 +171,20 @@ def test_degenerate_inputs(reference_binary, small_fixture, tmp_path):
         g = [l for l in open(golden + ".vcf") if not l.startswith("##")]
         o = [l for l in open(ours + ".vcf") if not l.startswith("##")]
         assert g == o, tag
+
+
+def test_phase_multithreaded_multichrom(reference_binary, tmp_path):
+    """-t 4 over a multi-chromosome fixture: threaded per-chrom processing
+    stays bit-identical to the reference."""
+    from longphase_s_tpu.testing.simulate import make_multichrom_fixture
+
+    fix = make_multichrom_fixture(str(tmp_path / "fix"), seed=91, n_chroms=4)
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["vcf"],
+                    "-b", fix["bam"], "-r", fix["fasta"], "-t", "4",
+                    "-o", golden], check=True, capture_output=True)
+    ours = str(tmp_path / "ours")
+    run_phase(PhaseConfig(snp_file=fix["vcf"], bam_files=[fix["bam"]],
+                          fasta_file=fix["fasta"], result_prefix=ours,
+                          num_threads=4, engine="tpu", params=PhaseParams()))
+    assert_vcfs_match(golden + ".vcf", ours + ".vcf")
