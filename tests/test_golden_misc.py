@@ -188,3 +188,51 @@ def test_phase_multithreaded_multichrom(reference_binary, tmp_path):
                           fasta_file=fix["fasta"], result_prefix=ours,
                           num_threads=4, engine="tpu", params=PhaseParams()))
     assert_vcfs_match(golden + ".vcf", ours + ".vcf")
+
+
+def test_haplotag_flagged_reads(reference_binary, tmp_path):
+    """Secondary/supplementary/duplicate-flagged reads: filter behavior and
+    --tagSupplementary must match the reference."""
+    import numpy as np
+
+    from longphase_s_tpu.testing.simulate import (make_fixture, simulate_reads,
+                                                  write_bam_with_index)
+
+    fix = make_fixture(str(tmp_path / "fix"), seed=66, length=100000,
+                       coverage=10, read_len=8000, snp_rate=0.0012,
+                       error_rate=0.03, qual=22)
+    # re-flag a spread of reads: supplementary, secondary, duplicate, qcfail
+    reads = []
+    for i, entry in enumerate(fix["reads"]):
+        entry = list(entry)
+        while len(entry) < 7:
+            entry.append(b"" if len(entry) == 5 else 0)
+        if i % 11 == 3:
+            entry[6] = 0x800            # supplementary
+        elif i % 11 == 5:
+            entry[6] = 0x100            # secondary
+        elif i % 11 == 7:
+            entry[6] = 0x400            # duplicate
+        reads.append(tuple(entry))
+    bam = str(tmp_path / "flagged.bam")
+    write_bam_with_index(bam, fix["chrom"], fix["length"], reads)
+
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["vcf"],
+                    "-b", bam, "-r", fix["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    for sup in (False, True):
+        args = ["--tagSupplementary"] if sup else []
+        golden = str(tmp_path / f"golden{int(sup)}")
+        subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                        "-b", bam, "-r", fix["fasta"], *args, "-o", golden],
+                       check=True, capture_output=True)
+        ours = str(tmp_path / f"ours{int(sup)}")
+        run_haplotag(HaplotagConfig(snp_file=phased + ".vcf", bam_file=bam,
+                                    fasta_file=fix["fasta"],
+                                    result_prefix=ours,
+                                    tag_supplementary=sup))
+        g = _tags(golden + ".bam")
+        o = _tags(ours + ".bam")
+        assert len(g) == len(o), (sup, len(g), len(o))
+        assert g == o, f"tagSupplementary={sup}"
