@@ -236,3 +236,23 @@ def test_haplotag_flagged_reads(reference_binary, tmp_path):
         o = _tags(ours + ".bam")
         assert len(g) == len(o), (sup, len(g), len(o))
         assert g == o, f"tagSupplementary={sup}"
+
+
+def test_gzipped_vcf_inputs(reference_binary, small_fixture, tmp_path):
+    """BGZF-compressed VCF inputs accepted identically (compressParser path,
+    ParsingBam.cpp:66-118)."""
+    import gzip
+
+    fix = small_fixture
+    gz_vcf = str(tmp_path / "snp.vcf.gz")
+    with open(fix["vcf"], "rb") as fin, gzip.open(gz_vcf, "wb") as fout:
+        fout.write(fin.read())
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", gz_vcf,
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", golden],
+                   check=True, capture_output=True)
+    ours = str(tmp_path / "ours")
+    run_phase(PhaseConfig(snp_file=gz_vcf, bam_files=[fix["bam"]],
+                          fasta_file=fix["fasta"], result_prefix=ours,
+                          engine="tpu", params=PhaseParams()))
+    assert_vcfs_match(golden + ".vcf", ours + ".vcf")
