@@ -99,3 +99,37 @@ def test_haplotag_cram_in_cram_out(reference_binary, small_fixture, tmp_path):
     want = _tags(golden + ".bam")
     assert len(got) == len(want)
     assert got == want
+
+
+def test_somatic_cram_input(reference_binary, tmp_path):
+    """Somatic pipeline with CRAM tumor input (htslib-written) matches the
+    BAM-input run."""
+    from longphase_s_tpu.models.somatic import (SomaticConfig,
+                                                run_somatic_haplotag)
+    from longphase_s_tpu.testing.simulate import make_somatic_fixture
+
+    fix = make_somatic_fixture(str(tmp_path / "fix"), seed=31, length=150000,
+                               purity=0.6, n_somatic=10, n_artifacts=3)
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["normal_vcf"],
+                    "-b", fix["normal_bam"], "-r", fix["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    # write the tumor BAM as CRAM with our writer (htslib-readable)
+    br = BamReader(fix["tumor_bam"])
+    tumor_cram = str(tmp_path / "tumor.cram")
+    w = CramWriter(tumor_cram, br.header_text, br.references, br.lengths)
+    for rec in br:
+        w.write(rec)
+    w.close()
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "somatic_haplotag", "-s", phased + ".vcf",
+                    "--tumor-snv-file", fix["tumor_vcf"],
+                    "-b", fix["normal_bam"], "--tumor-bam-file", fix["tumor_bam"],
+                    "-r", fix["fasta"], "-o", golden],
+                   check=True, capture_output=True, timeout=1200)
+    ours = str(tmp_path / "ours")
+    run_somatic_haplotag(SomaticConfig(
+        snp_file=phased + ".vcf", tumor_snv_file=fix["tumor_vcf"],
+        bam_file=fix["normal_bam"], tumor_bam_file=tumor_cram,
+        fasta_file=fix["fasta"], result_prefix=ours))
+    assert _tags(golden + ".bam") == _tags(ours + ".bam")
