@@ -143,13 +143,12 @@ class ExtractNorWalker(CigarWalk):
         if self.rec.mapq >= self.mpq_thr and nor is not None and \
                 nor.gt == PHASED_HETERO:
             cigars = self.cigars
-            ci_next_ok = ci + 1 < len(cigars)
-
-            def at_op_end_with(want_op, _pos=pos, _len=op_len,
-                               _rp=self.ref_pos, _ci=ci):
-                return (_rp + _len - 1 == _pos and cigars[_ci + 1][0] == want_op)
-            hook = at_op_end_with if ci_next_ok else None
-            _judge_snp_hap(nor, base, hook, self.hp_count, self.variants_hp,
+            if ci + 1 < len(cigars):
+                next_op = cigars[ci + 1][0] \
+                    if self.ref_pos + op_len - 1 == pos else -1
+            else:
+                next_op = None
+            _judge_snp_hap(nor, base, next_op, self.hp_count, self.variants_hp,
                            self.nor_count_ps, pos)
 
     def process_deletion(self, pos, entry, op_len, ci, state):

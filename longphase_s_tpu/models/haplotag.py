@@ -69,11 +69,11 @@ class ReadStatistics:
         self.hp_count[hp] = self.hp_count.get(hp, 0) + 1
 
 
-def _judge_snp_hap(var, base, at_op_end_with, hp_count, variants_hp, count_ps, pos):
+def _judge_snp_hap(var, base, next_op, hp_count, variants_hp, count_ps, pos):
     """GermlineHaplotagStrategy::judgeSnpHap (HaplotagStrategy.cpp:20-130).
 
-    ``at_op_end_with`` is a callable(op) -> bool: variant sits at the last
-    ref base of the current M op AND the next CIGAR op is ``op``.
+    ``next_op`` is the CIGAR op following the current M op when the variant
+    sits at the op's last reference base (IsAltIndel context), else None.
     """
     if var.variant_type == VT_SNP:
         if base == var.ref or base == var.alt:
@@ -88,10 +88,10 @@ def _judge_snp_hap(var, base, at_op_end_with, hp_count, variants_hp, count_ps, p
                 hp_count[2] += 1
                 variants_hp[pos] = 1
             count_ps[var.phased_set] = count_ps.get(var.phased_set, 0) + 1
-    elif var.variant_type == VT_INSERTION and at_op_end_with is not None:
+    elif var.variant_type == VT_INSERTION and next_op is not None:
         hp1_long = len(var.hp1) != 1
         hp2_long = len(var.hp2) != 1
-        if at_op_end_with(BAM_CINS):
+        if next_op == BAM_CINS:
             if hp1_long and not hp2_long:
                 hp_count[1] += 1
                 variants_hp[pos] = 0
@@ -106,10 +106,10 @@ def _judge_snp_hap(var, base, at_op_end_with, hp_count, variants_hp, count_ps, p
                 hp_count[1] += 1
                 variants_hp[pos] = 0
         count_ps[var.phased_set] = count_ps.get(var.phased_set, 0) + 1
-    elif var.variant_type == VT_DELETION and at_op_end_with is not None:
+    elif var.variant_type == VT_DELETION and next_op is not None:
         hp1_long = len(var.hp1) != 1
         hp2_long = len(var.hp2) != 1
-        if at_op_end_with(BAM_CDEL):
+        if next_op == BAM_CDEL:
             if hp1_long and not hp2_long:
                 hp_count[1] += 1
                 variants_hp[pos] = 0
@@ -168,12 +168,12 @@ class GermlineWalker:
                         entry = variants[pos]
                         var = entry.get(NORMAL)
                         if var is not None:
-                            def at_op_end_with(want_op, _pos=pos, _len=length,
-                                               _rp=ref_pos, _ci=ci):
-                                return (_rp + _len - 1 == _pos
-                                        and cigars[_ci + 1][0] == want_op)
-                            hook = at_op_end_with if ci + 1 < n_cigar else None
-                            _judge_snp_hap(var, base, hook, hp_count,
+                            if ci + 1 < n_cigar:
+                                next_op = cigars[ci + 1][0] \
+                                    if ref_pos + length - 1 == pos else -1
+                            else:
+                                next_op = None
+                            _judge_snp_hap(var, base, next_op, hp_count,
                                            variants_hp, count_ps, pos)
                     vi += 1
                 query_pos += length
