@@ -43,6 +43,12 @@ BAM_FMREVERSE = 0x20
 BAM_FREAD1 = 0x40
 
 DEFAULT_SUB_MATRIX = "CGTNAGTNACTNACGNACGT"
+
+# ASCII -> nt16 code lookup (unknown bases -> N=15), case-insensitive
+_NT16_CODE = np.full(256, 15, np.uint8)
+for _i, _c in enumerate(SEQ_NT16):
+    _NT16_CODE[ord(_c)] = _i
+    _NT16_CODE[ord(_c.lower())] = _i
 _BASE_IDX = {"A": 0, "C": 1, "G": 2, "T": 3, "N": 4,
              "a": 0, "c": 1, "g": 2, "t": 3, "n": 4}
 
@@ -1213,18 +1219,12 @@ class CramReader:
                  name, b"\x00"]
         for op, ln in r.cigar:
             parts.append(struct.pack("<I", (ln << 4) | op))
-        # pack sequence into nibbles
-        nib = bytearray((l_seq + 1) // 2)
-        seq = r.seq.decode("latin-1").upper()
-        for i, base in enumerate(seq):
-            code = SEQ_NT16.find(base)
-            if code < 0:
-                code = 15
-            if i % 2 == 0:
-                nib[i // 2] = code << 4
-            else:
-                nib[i // 2] |= code
-        parts.append(bytes(nib))
+        # pack sequence into nibbles (vectorized: ASCII -> nt16 LUT -> pairs)
+        codes = _NT16_CODE[np.frombuffer(r.seq, np.uint8)]
+        if l_seq % 2:
+            codes = np.concatenate([codes, np.zeros(1, np.uint8)])
+        nib = (codes[0::2] << 4) | codes[1::2]
+        parts.append(nib.tobytes())
         parts.append(r.qual if len(r.qual) == l_seq else b"\xff" * l_seq)
         parts.append(tags)
         return BamRecord(b"".join(parts))
@@ -1235,18 +1235,30 @@ class CramReader:
 # ---------------------------------------------------------------------------
 
 def _gzip_block(data):
+    try:
+        from .. import native
+        out = native.gzip_oneshot(data, 6)
+        if out is not None:
+            return out
+    except Exception:  # noqa: BLE001
+        pass
     co = zlib.compressobj(6, zlib.DEFLATED, 31)
     return co.compress(data) + co.flush()
 
 
+_RANS_ENCODE_MAX = 1 << 16  # python rANS encoder is per-byte; gzip above this
+
+
 def _encode_block(method, ctype, content_id, raw):
     """Serialize one block, choosing the smaller of raw/gzip/rans when asked
-    for compression (method is the *preferred* method)."""
+    for compression (method is the *preferred* method). rANS is only tried
+    for small blocks — the pure-Python encoder walks every byte, so large
+    payloads (sequence/quality streams) go through zlib's C deflate."""
     data = raw
     used = RAW
     if method != RAW and len(raw) > 0:
         best = raw
-        if method == RANS:
+        if method == RANS and len(raw) <= _RANS_ENCODE_MAX:
             r = _rans_encode_o0(raw)
             if r is not None and len(r) < len(best):
                 best, used = r, RANS
@@ -1331,12 +1343,14 @@ class CramWriter:
     via 'b'/'S'/'I' features), readable by htslib. API mirrors BamWriter."""
 
     RECORDS_PER_CONTAINER = 10000
+    BASES_PER_CONTAINER = 32 << 20  # cap container size for long reads
 
     def __init__(self, path, header_text, references, lengths):
         self._path = path
         self._f = open(path, "wb")
         self._f.write(b"CRAM\x03\x00" + path.encode("latin-1")[-20:].ljust(20, b"\x00"))
         self._recs = []
+        self._bases = 0
         self._cur_tid = None
         self._counter = 0
         self._index = []   # (ref, start, span, cont_off, slice_off, slice_sz)
@@ -1372,9 +1386,11 @@ class CramWriter:
     def write(self, rec: BamRecord):
         tid = rec.tid
         if self._recs and (tid != self._cur_tid
-                           or len(self._recs) >= self.RECORDS_PER_CONTAINER):
+                           or len(self._recs) >= self.RECORDS_PER_CONTAINER
+                           or self._bases >= self.BASES_PER_CONTAINER):
             self.flush()
         self._cur_tid = tid
+        self._bases += rec.l_seq
         self._recs.append(rec.to_bytes())  # includes appended aux tags
 
     def flush(self):
@@ -1382,6 +1398,7 @@ class CramWriter:
             return
         recs = [BamRecord(r) for r in self._recs]
         self._recs = []
+        self._bases = 0
         self._write_data_container(recs, self._cur_tid
                                    if self._cur_tid is not None else -1)
 

@@ -144,6 +144,9 @@ def _bgzf_bind(lib):
     lib.lps_inflate_raw.restype = ct.c_int64
     lib.lps_inflate_raw.argtypes = [ct.c_char_p, ct.c_int64, ct.c_void_p,
                                     ct.c_int64]
+    lib.lps_gzip.restype = ct.c_int64
+    lib.lps_gzip.argtypes = [ct.c_char_p, ct.c_int64, ct.c_int32,
+                             ct.POINTER(ct.c_void_p)]
 
 
 def bgzf_compress(data: bytes, level: int = 6) -> bytes:
@@ -196,3 +199,19 @@ def inflate_raw(src: bytes, out_size: int) -> bytes | None:
     if n < 0 or n != out_size:
         return None
     return ctypes.string_at(buf, n)
+
+
+def gzip_oneshot(data: bytes, level: int = 6) -> bytes | None:
+    """Whole-buffer gzip member via libdeflate (CRAM block compression)."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bgzf_bind(lib)
+    out_p = ctypes.c_void_p()
+    n = lib.lps_gzip(data, len(data), level, ctypes.byref(out_p))
+    if n < 0:
+        return None
+    try:
+        return ctypes.string_at(out_p, n)
+    finally:
+        lib.lps_buf_free(out_p)

@@ -603,6 +603,42 @@ int64_t lps_bgzf_inflate_file(const char* path, uint8_t** out_p) {
 
 void lps_buf_free(uint8_t* p) { free(p); }
 
+// One-shot whole-buffer gzip member (libdeflate when built, zlib otherwise).
+int64_t lps_gzip(const uint8_t* data, int64_t n, int level, uint8_t** out_p) {
+#ifdef USE_LIBDEFLATE
+  struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+  size_t bound = libdeflate_gzip_compress_bound(c, (size_t)n);
+  uint8_t* out = (uint8_t*)malloc(bound);
+  size_t sz = libdeflate_gzip_compress(c, data, (size_t)n, out, bound);
+  libdeflate_free_compressor(c);
+  if (sz == 0) {
+    free(out);
+    return -1;
+  }
+  *out_p = out;
+  return (int64_t)sz;
+#else
+  uLongf bound = compressBound(n) + 64;
+  uint8_t* out = (uint8_t*)malloc(bound);
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8, Z_DEFAULT_STRATEGY);
+  zs.next_in = const_cast<uint8_t*>(data);
+  zs.avail_in = (uInt)n;
+  zs.next_out = out;
+  zs.avail_out = (uInt)bound;
+  int r = deflate(&zs, Z_FINISH);
+  int64_t sz = zs.total_out;
+  deflateEnd(&zs);
+  if (r != Z_STREAM_END) {
+    free(out);
+    return -1;
+  }
+  *out_p = out;
+  return sz;
+#endif
+}
+
 // One-shot raw-deflate decode with known output size (per-BGZF-block).
 int64_t lps_inflate_raw(const uint8_t* src, int64_t n, uint8_t* out,
                         int64_t out_n) {

@@ -83,6 +83,63 @@ def run_case(mode, seed, work):
         if bam_tags(gh + ".bam") != bam_tags(oh + ".bam"):
             return "haplotag tags differ"
         return None
+    if mode == "svmod":
+        fix = make_fixture(
+            os.path.join(work, "fix"), seed=seed,
+            length=120000 + (rng_bits % 5) * 30000,
+            coverage=12 + seed % 10, read_len=6000 + (rng_bits % 4) * 2500,
+            snp_rate=0.001 + (seed % 4) * 0.0004,
+            error_rate=0.01 + (seed % 3) * 0.02, qual=18 + (seed % 3) * 8,
+            n_svs=2 + seed % 7, n_mods=2 + (seed >> 2) % 8)
+        golden = os.path.join(work, "golden")
+        subprocess.run([REF, "phase", "--pb", "-s", fix["vcf"],
+                        "--sv-file", fix["sv_vcf"], "--mod-file",
+                        fix["mod_vcf"], "-b", fix["bam"], "-r", fix["fasta"],
+                        "-o", golden], check=True, capture_output=True,
+                       timeout=300)
+        ours = os.path.join(work, "ours")
+        run_phase(PhaseConfig(
+            snp_file=fix["vcf"], bam_files=[fix["bam"]],
+            fasta_file=fix["fasta"], result_prefix=ours,
+            sv_file=fix["sv_vcf"], mod_file=fix["mod_vcf"], engine="tpu",
+            params=PhaseParams()))
+        for suffix in (".vcf", "_SV.vcf", "_mod.vcf"):
+            if vcf_rows(golden + suffix) != vcf_rows(ours + suffix):
+                return f"phase{suffix} differs"
+        gh = os.path.join(work, "gh")
+        subprocess.run([REF, "haplotag", "-s", golden + ".vcf",
+                        "--sv-file", golden + "_SV.vcf",
+                        "--mod-file", golden + "_mod.vcf",
+                        "-b", fix["bam"], "-r", fix["fasta"], "-o", gh],
+                       check=True, capture_output=True, timeout=300)
+        oh = os.path.join(work, "oh")
+        run_haplotag(HaplotagConfig(
+            snp_file=golden + ".vcf", sv_file=golden + "_SV.vcf",
+            mod_file=golden + "_mod.vcf", bam_file=fix["bam"],
+            fasta_file=fix["fasta"], result_prefix=oh))
+        if bam_tags(gh + ".bam") != bam_tags(oh + ".bam"):
+            return "haplotag svmod tags differ"
+        return None
+    if mode == "modcall":
+        from longphase_s_tpu.models.modcall import ModCallConfig, run_modcall
+        from longphase_s_tpu.testing.simulate import make_meth_fixture
+
+        fix = make_meth_fixture(
+            os.path.join(work, "fix"), seed=seed,
+            length=100000 + (rng_bits % 4) * 40000,
+            coverage=10 + seed % 16, read_len=5000 + (rng_bits % 4) * 2500,
+            n_asm=4 + seed % 12, n_homo_mod=2 + (seed >> 3) % 8)
+        golden = os.path.join(work, "golden")
+        subprocess.run([REF, "modcall", "-b", fix["bam"], "-r", fix["fasta"],
+                        "-o", golden], check=True, capture_output=True,
+                       timeout=300)
+        ours = os.path.join(work, "ours")
+        run_modcall(ModCallConfig(bam_files=[fix["bam"]],
+                                  fasta_file=fix["fasta"], snp_file="",
+                                  result_prefix=ours))
+        if vcf_rows(golden + ".vcf") != vcf_rows(ours + ".vcf"):
+            return "modcall VCF differs"
+        return None
     if mode == "somatic":
         purity = 0.15 + (seed % 8) * 0.1
         fix = make_somatic_fixture(
@@ -127,7 +184,7 @@ def main():
     workdir = sys.argv[1]
     n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     os.makedirs(workdir, exist_ok=True)
-    modes = ["pb", "ont", "indels", "somatic"]
+    modes = ["pb", "ont", "indels", "somatic", "svmod", "modcall"]
     fails = 0
     for seed in range(1000, 1000 + n_seeds):
         for mode in modes:
