@@ -186,7 +186,8 @@ def main():
     os.makedirs(workdir, exist_ok=True)
     modes = ["pb", "ont", "indels", "somatic", "svmod", "modcall"]
     fails = 0
-    for seed in range(1000, 1000 + n_seeds):
+    base = int(os.environ.get('FUZZ_BASE', '1000'))
+    for seed in range(base, base + n_seeds):
         for mode in modes:
             tag = f"{mode}_{seed}"
             case_dir = os.path.join(workdir, tag)
