@@ -169,7 +169,14 @@ class AlleleExtractor:
                 if mod_pos is not None and m < v and m < s:
                     # modification head is minimal (ParsingBam.cpp:1373-1395)
                     entry = mods[mi][1].get(qname)
-                    if entry is not None and m < v:
+                    # reference quirk (ParsingBam.cpp:1380): the inner
+                    # `modPos < variantPos` check is NOT end()-guarded;
+                    # libstdc++'s *map::end() deterministically reads the
+                    # tree's node count, so an exhausted SNP iterator makes
+                    # variantPos == len(SNP map) and mods past the last SNP
+                    # are silently dropped from the read.
+                    stale_v = positions[vi] if vi < n else n
+                    if entry is not None and mod_pos < stale_v:
                         entry_rev, is_modify = entry
                         if entry_rev == is_rev:
                             strand = QUAL_MOD_REV if is_rev else QUAL_MOD_FWD

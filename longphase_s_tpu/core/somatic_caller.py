@@ -638,7 +638,9 @@ def get_dense_tumor_snp_interval(somatic_pos_info, read_hp_result_set,
                 raise SystemExit(f"readID not found in readHpResultSet: {read_id}")
             alt_mean += r.hp3
         if alt_mean != 0:
-            alt_mean /= read_count
+            # C++ accumulates in float: integer sums are float32-exact, so
+            # only the division rounds — mirror it (SomaticVarCaller.cpp:1266)
+            alt_mean = float(np.float32(alt_mean) / np.float32(read_count))
         if pos not in somatic_pos_info:
             raise SystemExit(f"somaticPosInfo not found: {pos}")
         somatic_pos_info[pos].mean_alt_per_var_read = alt_mean
