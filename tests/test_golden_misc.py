@@ -123,10 +123,13 @@ def test_cli_end_to_end(reference_binary, small_fixture, tmp_path):
                     "-b", fix["bam"], "-r", fix["fasta"], "-o", golden],
                    check=True, capture_output=True)
     ours = str(tmp_path / "ours")
+    # timeout: when the remote-TPU tunnel is unhealthy, jax import inside
+    # the subprocess can hang in the axon plugin's client (even with
+    # JAX_PLATFORMS=cpu) — fail fast instead of wedging the suite
     r = subprocess.run([sys.executable, "-m", "longphase_s_tpu.cli", "phase",
                         "--pb", "-s", fix["vcf"], "-b", fix["bam"],
                         "-r", fix["fasta"], "-o", ours],
-                       capture_output=True, env=env)
+                       capture_output=True, env=env, timeout=300)
     assert r.returncode == 0, r.stderr.decode()
     assert_vcfs_match(golden + ".vcf", ours + ".vcf")
 
@@ -138,7 +141,7 @@ def test_cli_end_to_end(reference_binary, small_fixture, tmp_path):
     r = subprocess.run([sys.executable, "-m", "longphase_s_tpu.cli",
                         "haplotag", "-s", ours + ".vcf", "-b", fix["bam"],
                         "-r", fix["fasta"], "-o", oh],
-                       capture_output=True, env=env)
+                       capture_output=True, env=env, timeout=300)
     assert r.returncode == 0, r.stderr.decode()
     assert _tags(gh + ".bam") == _tags(oh + ".bam")
 
