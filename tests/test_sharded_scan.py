@@ -39,3 +39,42 @@ def test_sharded_scan_matches_single(seed, S):
     np.testing.assert_array_equal(np.array(a1), np.array(a2))
     np.testing.assert_array_equal(np.array(h1), np.array(h2))
     np.testing.assert_array_equal(np.array(b1), np.array(b2))
+
+
+def test_chrom_mesh_matches_per_chromosome():
+    """Chromosome-data-parallel step (jit + NamedSharding over the 8-device
+    mesh) is element-equal to running each chromosome block alone."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from longphase_s_tpu.ops.vote_scan import vote_scan_jax
+    from longphase_s_tpu.parallel.mesh import make_mesh, make_sharded_phase_step
+
+    B, S, W = 8, 128, 35
+    rng = np.random.default_rng(7)
+    ch = rng.integers(0, 25, (B, S, W, 4)).astype(np.int32)
+    cl = rng.integers(0, 6, (B, S, W, 4)).astype(np.int32)
+    gap = rng.integers(1, 400000, (B, S)).astype(np.int32)
+    vt = rng.integers(0, 5, (B, S)).astype(np.int8)
+    tvt = rng.integers(0, 5, (B, S, W)).astype(np.int8)
+    vb = np.broadcast_to(
+        (np.arange(S)[:, None] + np.arange(1, W + 1)[None, :]) < S,
+        (B, S, W)).copy()
+
+    mesh = make_mesh(jax.devices()[:B])
+    step = make_sharded_phase_step(mesh, window=W, distance=300000,
+                                   edge_threshold_x10=7.0)
+    assigned, hp, bstart, total = step(ch, cl, gap, vt, tvt, vb)
+
+    total_single = 0
+    for b in range(B):
+        a1, h1, s1 = vote_scan_jax(
+            jnp.asarray(ch[b]), jnp.asarray(cl[b]), jnp.asarray(gap[b]),
+            jnp.asarray(vt[b]), jnp.asarray(tvt[b]), jnp.asarray(vb[b]),
+            window=W, distance=300000, edge_threshold_x10=7.0)
+        assert (np.array(assigned[b]) == np.array(a1)).all()
+        assert (np.array(hp[b]) == np.array(h1)).all()
+        assert (np.array(bstart[b]) == np.array(s1)).all()
+        total_single += int(np.array(a1).sum())
+    assert int(total) == total_single
