@@ -724,6 +724,7 @@ class CramReader:
     """BamReader-compatible reader for CRAM 3.x files."""
 
     def __init__(self, path, fasta=None):
+        self._path = path
         with open(path, "rb") as f:
             self._buf = f.read()
         if self._buf[:4] != b"CRAM":
@@ -817,9 +818,52 @@ class CramReader:
                 continue  # EOF container (or empty)
             yield from self._decode_container(blocks, meta)
 
+    def _load_crai(self):
+        """Parse the .crai companion once: gzipped text lines
+        ref, start, span, container_offset, slice_offset, slice_size."""
+        if getattr(self, "_crai_tried", False):
+            return self._crai
+        self._crai_tried = True
+        self._crai = None
+        import gzip
+        import os
+        path = getattr(self, "_path", None)
+        if not path or not os.path.exists(path + ".crai"):
+            return None
+        try:
+            by_ref = {}
+            with gzip.open(path + ".crai", "rt") as f:
+                for line in f:
+                    parts = line.split("\t")
+                    if len(parts) < 6:
+                        continue
+                    ref, rstart, span, coff = (int(parts[0]), int(parts[1]),
+                                               int(parts[2]), int(parts[3]))
+                    by_ref.setdefault(ref, []).append((rstart, span, coff))
+            self._crai = by_ref
+        except Exception:  # noqa: BLE001 — unreadable index: fall back
+            self._crai = None
+        return self._crai
+
+    def _iter_containers_at(self, offsets):
+        for off in sorted(set(offsets)):
+            _end, blocks, meta = self._read_container(off)
+            if meta["num_records"]:
+                yield from self._decode_container(blocks, meta)
+
     def fetch(self, chrom, start=0, end=None):
         tid = self.ref_id[chrom]
-        for rec in self:
+        crai = self._load_crai()
+        if crai is not None:
+            slices = crai.get(tid, [])
+            qend = end if end is not None else 1 << 60
+            offsets = [coff for rstart, span, coff in slices
+                       if rstart <= qend and (span == 0
+                                              or rstart + span > start)]
+            source = self._iter_containers_at(offsets)
+        else:
+            source = iter(self)
+        for rec in source:
             if rec.tid != tid:
                 if rec.tid > tid >= 0 and rec.tid != -1:
                     return
