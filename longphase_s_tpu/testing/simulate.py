@@ -752,3 +752,73 @@ def make_multichrom_fixture(out_dir: str, seed: int = 7, n_chroms: int = 3,
     bam = os.path.join(out_dir, "reads.bam")
     write_bam_multi(bam, chroms, reads_by_chrom)
     return {"chroms": chroms, "fasta": fa, "vcf": vcf_path, "bam": bam}
+
+
+def make_multichrom_somatic_fixture(out_dir: str, seed: int = 7,
+                                    n_chroms: int = 2,
+                                    base_length: int = 150000,
+                                    purity: float = 0.5,
+                                    n_somatic: int = 12, n_artifacts: int = 4):
+    """Tumor/normal fixture spanning several chromosomes — exercises the
+    somatic pipeline's per-chromosome loops (chrVec from the tumor VCF,
+    per-chrom extraction/calling/tagging, multi-ref BAMs)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    chroms = []
+    seqs = {}
+    per_chrom = []
+    for c in range(n_chroms):
+        name = f"chr{20 + c}"
+        length = base_length + c * 50000
+        sub = make_somatic_fixture(
+            os.path.join(out_dir, f"_c{c}"), seed=seed + 101 * c, chrom=name,
+            length=length, purity=purity, n_somatic=n_somatic,
+            n_artifacts=n_artifacts)
+        chroms.append((name, length))
+        with open(sub["fasta"]) as f:
+            seq = "".join(l.strip() for l in f if not l.startswith(">"))
+        seqs[name] = seq
+        per_chrom.append(sub)
+
+    fa = os.path.join(out_dir, "ref.fa")
+    write_fasta(fa, seqs)
+
+    def merge_vcfs(key, out_name):
+        out = os.path.join(out_dir, out_name)
+        with open(out, "w") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            for name, ln in chroms:
+                f.write(f"##contig=<ID={name},length={ln}>\n")
+            f.write('##FILTER=<ID=PASS,Description="All filters passed">\n')
+            f.write('##FORMAT=<ID=GT,Number=1,Type=String,'
+                    'Description="Genotype">\n')
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                    "\tSAMPLE\n")
+            for sub in per_chrom:
+                for line in open(sub[key]):
+                    if not line.startswith("#"):
+                        f.write(line)
+        return out
+
+    nvcf = merge_vcfs("normal_vcf", "normal_snp.vcf")
+    tvcf = merge_vcfs("tumor_vcf", "tumor_snv.vcf")
+
+    def merge_bams(key, out_name):
+        from ..io.bam import BamReader
+        out = os.path.join(out_dir, out_name)
+        reads_by_chrom = []
+        for tid, sub in enumerate(per_chrom):
+            entries = []
+            for rec in BamReader(sub[key]):
+                entries.append((rec.qname, rec.pos, rec.cigar_tuples(),
+                                rec.seq(), bytes(rec.qual()),
+                                rec.raw[rec._aux_offset():], rec.flag))
+            reads_by_chrom.append(entries)
+        write_bam_multi(out, chroms, reads_by_chrom)
+        return out
+
+    nbam = merge_bams("normal_bam", "normal.bam")
+    tbam = merge_bams("tumor_bam", "tumor.bam")
+    return {"fasta": fa, "normal_vcf": nvcf, "tumor_vcf": tvcf,
+            "normal_bam": nbam, "tumor_bam": tbam, "chroms": chroms}

@@ -176,3 +176,35 @@ def test_somatic_benchmark_metrics(reference_binary, somatic_fixture,
     ot = _tags(ours + ".bam")
     mism = [(a, b) for a, b in zip(gt, ot) if a != b]
     assert not mism, f"{len(mism)} differing records; first 3: {mism[:3]}"
+
+
+def test_somatic_multichrom(reference_binary, tmp_path):
+    """Multi-chromosome somatic pipeline: per-chrom loops end-to-end."""
+    from longphase_s_tpu.testing.simulate import make_multichrom_somatic_fixture
+
+    fix = make_multichrom_somatic_fixture(str(tmp_path / "fix"), seed=81)
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["normal_vcf"],
+                    "-b", fix["normal_bam"], "-r", fix["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "somatic_haplotag", "-s", phased + ".vcf",
+                    "--tumor-snv-file", fix["tumor_vcf"],
+                    "-b", fix["normal_bam"],
+                    "--tumor-bam-file", fix["tumor_bam"],
+                    "-r", fix["fasta"], "--output-somatic-vcf", "-o", golden],
+                   check=True, capture_output=True, timeout=1200)
+    ours = str(tmp_path / "ours")
+    run_somatic_haplotag(SomaticConfig(
+        snp_file=phased + ".vcf", tumor_snv_file=fix["tumor_vcf"],
+        bam_file=fix["normal_bam"], tumor_bam_file=fix["tumor_bam"],
+        fasta_file=fix["fasta"], result_prefix=ours, write_somatic_vcf=True))
+    with open(golden + "_purity.out") as f:
+        g = f.read()
+    with open(ours + "_purity.out") as f:
+        o = f.read()
+    assert g == o
+    g = [l for l in open(golden + "_sc.vcf") if not l.startswith("##")]
+    o = [l for l in open(ours + "_sc.vcf") if not l.startswith("##")]
+    assert g == o
+    assert _tags(golden + ".bam") == _tags(ours + ".bam")
