@@ -9,6 +9,8 @@ active (rare; interval filtering is stateful and cheap there).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .matrix import PackedChromosome, _remap_qual
@@ -67,14 +69,12 @@ def filter_overlap_flat(names: list[str], first_pos, last_pos,
     return keep
 
 
-def pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names: list[str],
-              params: PhaseParams) -> PackedChromosome | None:
-    """pack_chromosome from flat arrays (vectorized; bincount accumulation)."""
-    if len(obs_pos) == 0:
-        return None
-    W = params.connect_adjacent
+def merge_observations(obs_pos, obs_allele, obs_qual, aln_offsets, names,
+                       params: PhaseParams):
+    """Merged-read observation stream shared by the host bincount packer and
+    the fused device packer: returns (positions, vtype, rank, m_read, m_rank,
+    m_allele, m_qok)."""
     sizes = np.diff(aln_offsets)
-
     obs_vtype, obs_q = _remap_qual(obs_allele, obs_qual)
     positions = np.unique(obs_pos)
     S = len(positions)
@@ -87,10 +87,23 @@ def pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names: list[str],
     _uniq, read_id = np.unique(name_arr, return_inverse=True)
     obs_read = np.repeat(read_id, sizes)
     order = np.lexsort((obs_pos, obs_read))
-    m_read = obs_read[order]
+    m_read = obs_read[order].astype(np.int32)
     m_rank = rank[order]
     m_allele = obs_allele[order].astype(np.int64)
     m_qok = obs_q[order] >= params.base_quality
+    return positions, vtype, rank, m_read, m_rank, m_allele, m_qok
+
+
+def pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names: list[str],
+              params: PhaseParams) -> PackedChromosome | None:
+    """pack_chromosome from flat arrays (vectorized; bincount accumulation)."""
+    if len(obs_pos) == 0:
+        return None
+    W = params.connect_adjacent
+    positions, vtype, rank, m_read, m_rank, m_allele, m_qok = \
+        merge_observations(obs_pos, obs_allele, obs_qual, aln_offsets, names,
+                           params)
+    S = len(positions)
 
     N = len(m_rank)
     lin_parts_hi = []
@@ -191,11 +204,45 @@ def phase_chromosome_flat(flat: dict, cnv_vec, chrom: str, params: PhaseParams,
         names = [n for n, k in zip(names, keep) if k]
         A = len(names)
 
-    packed = pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names, params)
+    # fused device path: merged observations go straight to the device;
+    # pair counts are built on-chip and feed the scan in one jit call
+    from ..ops.vote_scan import _use_pallas, assemble_blocks, ensure_backend
+    packed = None
+    ps = None
+    if len(obs_pos) and os.environ.get("LPS_FUSED", "1") != "0" \
+            and _use_pallas():
+        try:
+            from ..ops.fused import run_fused_pack_scan
+
+            ensure_backend()
+            positions, vtype, rank, m_read, m_rank, m_allele, m_qok = \
+                merge_observations(obs_pos, obs_allele, obs_qual, aln_offsets,
+                                   names, params)
+            assigned, hp, bstart = run_fused_pack_scan(
+                m_read, m_rank, m_allele, m_qok, positions, vtype, params,
+                use_pallas=True)
+            ps, ori = assemble_blocks(positions, assigned, hp, bstart)
+            packed = PackedChromosome(
+                positions=positions, vtype=vtype, counts_hi=None,
+                counts_lo=None, aln_offsets=np.asarray(aln_offsets, np.int64),
+                aln_rank=rank, aln_allele=np.asarray(obs_allele, np.int8),
+                aln_names=names, window=params.connect_adjacent)
+        except Exception as e:  # noqa: BLE001 — fall back to the host packer
+            import sys
+
+            print(f"[WARN] fused pack+scan unavailable ({e!r}); "
+                  "using host packer", file=sys.stderr)
+            packed = None
+            ps = None
+
+    if ps is None:
+        packed = pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names,
+                           params)
+        if packed is None:
+            return {}, {}, None
+        ps, ori = run_vote_scan(packed, params)
     if packed is None:
         return {}, {}, None
-
-    ps, ori = run_vote_scan(packed, params)
     ps, ori, read_hp = read_correction_packed(packed, ps, ori, params)
 
     result: dict[str, tuple[str, int]] = {}

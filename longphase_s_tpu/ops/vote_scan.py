@@ -287,10 +287,15 @@ def run_vote_scan(packed, params):
     assigned = out[0, :S].astype(bool)
     hp = out[1, :S]
     bstart = out[2, :S]
-    # the last site is never visited by the reference loop
-    assigned[S - 1] = False
+    return assemble_blocks(packed.positions, assigned, hp, bstart)
 
-    # --- block assembly (host; cheap) ------------------------------------
+
+def assemble_blocks(positions, assigned, hp, bstart):
+    """Block assembly from raw scan outputs (PhasingGraph.cpp:423-467),
+    including the reference's "last site never processed" rule."""
+    S = len(positions)
+    assigned = assigned.copy()
+    assigned[S - 1] = False
     ps = np.zeros(S, dtype=np.int64)
     ori = np.zeros(S, dtype=np.int8)
     members = np.nonzero(assigned)[0]
@@ -305,7 +310,7 @@ def run_vote_scan(packed, params):
         if re - rs <= 1:
             continue
         idx = members[rs:re]
-        block_ps = packed.positions[mb[rs]] + 1
+        block_ps = positions[mb[rs]] + 1
         ps[idx] = block_ps
         flips = (hp[idx][1:] != hp[idx][:-1]).astype(np.int8)
         o = np.concatenate([[0], np.cumsum(flips) % 2]).astype(np.int8)
