@@ -157,6 +157,7 @@ def run_case(mode, seed, work):
                         "-b", fix["normal_bam"],
                         "--tumor-bam-file", fix["tumor_bam"],
                         "-r", fix["fasta"], "--output-somatic-vcf",
+                        "--somatic-calling-log",
                         "-o", golden], check=True, capture_output=True,
                        timeout=600)
         ours = os.path.join(work, "ours")
@@ -164,7 +165,22 @@ def run_case(mode, seed, work):
             snp_file=phased + ".vcf", tumor_snv_file=fix["tumor_vcf"],
             bam_file=fix["normal_bam"], tumor_bam_file=fix["tumor_bam"],
             fasta_file=fix["fasta"], result_prefix=ours,
-            write_somatic_vcf=True))
+            write_somatic_vcf=True, write_calling_log=True))
+        # the calling logs carry the full float surface (VAFs, z-scores,
+        # ratios) — byte-compare them all
+        for sfx in ("_somatic_var.out", "_dense_tumor_snp_interval.log",
+                    "_somatic_filter.log", "_read_count_filter.log",
+                    "_messy_read_filter.log",
+                    "_read_distri_scaller.out",
+                    "_germlineReadHpCountInNorBam_histogram.out"):
+            g, o = golden + sfx, ours + sfx
+            if os.path.exists(g) != os.path.exists(o):
+                return f"{sfx} presence differs"
+            if os.path.exists(g):
+                gl = [l.replace(golden, "P") for l in open(g)]
+                ol = [l.replace(ours, "P") for l in open(o)]
+                if gl != ol:
+                    return f"{sfx} differs"
         g_has = os.path.exists(golden + "_purity.out")
         o_has = os.path.exists(ours + "_purity.out")
         if g_has != o_has:
