@@ -69,11 +69,15 @@ class FilterParams:
             tier = (0.117, 1, 1.0, 1.0, 8.0, 0.035, 1.0, 8.0, 0.049, 4.0, 3.043)
         else:
             tier = (0.130, 1, 1.0, 1.0, 8.0, 0.020, 1.0, 8.0, 0.025, 8.0, 1.953)
-        (self.nor_vaf_max, self.nor_depth_min, self.messy_ratio_thr,
+        # SomaticVarFilterParams fields are C++ float (SomaticVarCaller.h:
+        # 59-104); keep the float32-exact values so threshold comparisons
+        # round identically
+        (self.nor_vaf_max, _depth, self.messy_ratio_thr,
          self.read_count_min, self.hapcon_read_count_max, self.hapcon_vaf_max,
          self.hapcon_somatic_read_min, self.interval_read_count_max,
          self.interval_vaf_max, self.interval_snp_count_min,
-         self.zscore_max) = tier
+         self.zscore_max) = (float(np.float32(v)) for v in tier)
+        self.nor_depth_min = int(tier[1])
 
 
 # ---------------------------------------------------------------------------
@@ -698,7 +702,8 @@ def get_dense_tumor_snp_interval(somatic_pos_info, read_hp_result_set,
         for pos, z in zscores.items():
             sd = somatic_pos_info[pos]
             sd.in_dense_interval = True
-            sd.z_score = abs(z)
+            # SomaticData.zScore is a C++ float (HaplotagType.h:262)
+            sd.z_score = float(np.float32(abs(z)))
             sd.interval_snp_count = count
         for pos, d in mdist.items():
             somatic_pos_info[pos].min_distance = d
