@@ -597,10 +597,12 @@ def extract_tumor_chromosome(bam_path, chrom, chrom_len, positions, variants,
             sd.case_read_count = total_clean + sd.mixed_hp_read
             if sd.case_read_count != 0:
                 denom = float(total_clean) + float(sd.mixed_hp_read)
-                sd.mixed_hp_ratio = sd.mixed_hp_read / denom
-                sd.pure_h1_1_ratio = sd.pure_h1_1_read / denom
-                sd.pure_h2_1_ratio = sd.pure_h2_1_read / denom
-                sd.pure_h3_ratio = sd.pure_h3_read / denom
+                # float32 divisions (SomaticVarCaller.cpp:548-551)
+                fd = np.float32(denom)
+                sd.mixed_hp_ratio = float(np.float32(sd.mixed_hp_read) / fd)
+                sd.pure_h1_1_ratio = float(np.float32(sd.pure_h1_1_read) / fd)
+                sd.pure_h2_1_ratio = float(np.float32(sd.pure_h2_1_read) / fd)
+                sd.pure_h3_ratio = float(np.float32(sd.pure_h3_read) / fd)
             calculate_base_common_info(sd.base, tum.alt, tum.variant_type)
             h1 = sd.base.read_hp_count.get(RH_H1, 0)
             h2 = sd.base.read_hp_count.get(RH_H2, 0)

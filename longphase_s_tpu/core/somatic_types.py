@@ -81,7 +81,10 @@ class PosBase:
 
 
 def _vaf(alt: int, depth: int) -> float:
-    return 0.0 if depth == 0 or alt == 0 else alt / depth
+    """base_analysis::calculateVAF — float32 division (HaplotagStrategy.h:164)."""
+    import numpy as np
+    return 0.0 if depth == 0 or alt == 0 else \
+        float(np.float32(alt) / np.float32(depth))
 
 
 def _imbalance(h1: int, h2: int, total: int) -> float:
@@ -109,8 +112,10 @@ def calculate_base_common_info(base: PosBase, tumor_alt: str, variant_type: int)
     base.vaf = _vaf(alt, base.depth)
     base.mpq_vaf = _vaf(mpq_alt, base.mpq_depth)
     base.non_del_vaf = _vaf(alt, base.depth - base.del_count)
+    import numpy as np
     base.low_mpq_read_ratio = (0.0 if base.depth == 0
-                               else (base.depth - base.mpq_depth) / base.depth)
+                               else float(np.float32(base.depth - base.mpq_depth)
+                                          / np.float32(base.depth)))
     base.del_ratio = _vaf(base.del_count, base.depth)
     h1 = base.read_hp_count.get(RH_H1, 0)
     h2 = base.read_hp_count.get(RH_H2, 0)

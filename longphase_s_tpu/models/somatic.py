@@ -250,7 +250,8 @@ def write_somatic_var_log(cfg: SomaticConfig, state: SomaticCallState,
                     f"{d(sd.pure_h3_ratio)}\t{d(sd.mixed_hp_ratio)}\t\t"
                     f"{d(nb.vaf)}\t{d(sd.base.vaf)}\t\t"
                     f"{d(nb.mpq_vaf)}\t{d(sd.base.mpq_vaf)}\t\t"
-                    f"{d(nb.mpq_vaf - nb.vaf)}\t{d(sd.base.mpq_vaf - sd.base.vaf)}\t\t"
+                    f"{d(_f32sub(nb.mpq_vaf, nb.vaf))}\t"
+                    f"{d(_f32sub(sd.base.mpq_vaf, sd.base.vaf))}\t\t"
                     f"{nb.depth}\t{sd.base.depth}\t{sd.base.depth - nb.depth}\t"
                     f"{nb.del_count}\t{sd.base.del_count}\t"
                     f"{d(nb.del_ratio)}\t{d(sd.base.del_ratio)}\t"
@@ -453,6 +454,12 @@ def write_read_hp_detail_log(cfg, state, chr_vec):
 # ---------------------------------------------------------------------------
 # ReadHpDistriLog family (haplotag/HaplotagLogging.{h,cpp})
 # ---------------------------------------------------------------------------
+
+def _f32sub(a, b):
+    """float - float in float32 (the reference's substract locals,
+    SomaticVarCaller.cpp:1767,1772)."""
+    return float(np.float32(a) - np.float32(b))
+
 
 def _f3(x):
     """C++ fixed<<setprecision(3) rendering of a float, including NaN."""
