@@ -14,13 +14,17 @@ from dataclasses import dataclass, field
 
 from .somatic_types import RH_H1, RH_H2
 
-# LCVF constants (TumorPurityEstimator.h:280-284)
+import numpy as _np
+
+# LCVF constants (TumorPurityEstimator.h:280-284) — declared `constexpr
+# float`, so boundary compares happen against the float32 value of 0.7
+# (0.69999998...), which flips decisions for exact-0.7 ratios
 IMBALANCE_MIN = 0.0
 IMBALANCE_NOR_MIN = 0.0
-IMBALANCE_NOR_MAX = 0.7
-PCT_GERMLINE_NOR_MAX = 0.7
+IMBALANCE_NOR_MAX = float(_np.float32(0.7))
+PCT_GERMLINE_NOR_MAX = float(_np.float32(0.7))
 READ_COUNT_NOR_MIN = 5
-THRESHOLD_PERCENTAGE_LIMIT = 0.3
+THRESHOLD_PERCENTAGE_LIMIT = 0.3  # double in PeakProcessor
 
 
 @dataclass
