@@ -58,7 +58,8 @@ class FilterParams:
         self.densealt_same_count_min = 3
 
     def set_with_purity(self, purity: float):
-        self.tumor_purity = purity
+        # SomaticVarFilterParams.tumorPurity is a C++ float
+        self.tumor_purity = float(np.float32(purity))
         if 0.9 <= purity <= 1.0:
             tier = (0.13, 1, 1.0, 3.0, 12.0, 0.144, 0.0, 12.0, 0.189, 4.0, 5.233)
         elif 0.7 <= purity < 0.9:
