@@ -195,6 +195,27 @@ class BamRecord:
 
 
 _COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N", "U": "A"}
+# nt16 codes for unambiguous bases (htslib seq_nt16_table); ambiguity codes
+# deliberately don't match a single-base MM target, same as the ASCII compare.
+_NT16_OF_BASE = {"A": 1, "C": 2, "G": 4, "T": 8, "U": 8, "N": 15}
+
+
+def _mod_tags(rec: "BamRecord"):
+    """One aux walk fetching MM/Mm (str) and ML/Ml (uint8 array) together."""
+    mm = None
+    ml = None
+    for t, typ, start, end in rec.iter_aux():
+        if mm is None and typ == "Z" and t in ("MM", "Mm"):
+            mm = rec.raw[start + 3:end - 1].decode("ascii")
+        elif ml is None and typ == "B" and t in ("ML", "Ml"):
+            if rec.raw[start + 3] == ord("C"):
+                ml = np.frombuffer(rec.raw, dtype=np.uint8,
+                                   count=end - start - 8, offset=start + 8)
+            else:  # non-uint8 ML is out of spec; decode generically
+                ml = np.asarray(rec.get_tag(t))
+        if mm is not None and ml is not None:
+            break
+    return mm, ml
 
 
 def decode_base_mods(rec: "BamRecord", want_code: str = "m"):
@@ -207,18 +228,16 @@ def decode_base_mods(rec: "BamRecord", want_code: str = "m"):
     """
     import re
 
-    mm = rec.get_tag("MM")
-    if mm is None:
-        mm = rec.get_tag("Mm")
+    mm, ml = _mod_tags(rec)
     if not mm:
         return []
-    ml = rec.get_tag("ML")
     if ml is None:
-        ml = rec.get_tag("Ml")
-    ml = ml or []
+        ml = np.zeros(0, np.uint8)
+    n_ml = len(ml)
 
-    seq_arr = _SEQ_NT16_LUT[rec.seq_nibbles()]
-    n = len(seq_arr)
+    nib = rec.seq_nibbles()
+    n = len(nib)
+    reverse = rec.is_reverse
     out = []
     ml_idx = 0
     for sub in mm.split(";"):
@@ -235,19 +254,21 @@ def decode_base_mods(rec: "BamRecord", want_code: str = "m"):
         if base == "N":
             positions = np.arange(n)
         else:
-            target = _COMPLEMENT.get(base, base) if rec.is_reverse else base
-            positions = np.nonzero(seq_arr == ord(target))[0]
-        if rec.is_reverse:
+            target = _COMPLEMENT.get(base, base) if reverse else base
+            positions = np.nonzero(nib == _NT16_OF_BASE[target])[0]
+        if reverse:
             positions = positions[::-1]
         npos = len(positions)
         if deltas and len(code_list) == 1:
             # common case fully vectorized: one mod code per subtag
-            idxs = np.cumsum(np.asarray(deltas, np.int64) + 1) - 1
             if code_list[0] == want_code:
-                for j in np.nonzero(idxs < npos)[0]:
-                    mlp = ml_idx + int(j)
-                    out.append((int(positions[idxs[j]]),
-                                ml[mlp] if mlp < len(ml) else 0))
+                idxs = np.cumsum(np.asarray(deltas, np.int64) + 1) - 1
+                js = np.nonzero(idxs < npos)[0]
+                sel = positions[idxs[js]]
+                mlp = ml_idx + js
+                quals = np.where(mlp < n_ml, ml[np.minimum(mlp, n_ml - 1)], 0) \
+                    if n_ml else np.zeros(len(js), np.uint8)
+                out.extend(zip(sel.tolist(), quals.tolist()))
             ml_idx += len(deltas)
             continue
         idx = -1
@@ -258,7 +279,7 @@ def decode_base_mods(rec: "BamRecord", want_code: str = "m"):
                 continue
             pos = int(positions[idx])
             for c in code_list:
-                q = ml[ml_idx] if ml_idx < len(ml) else 0
+                q = int(ml[ml_idx]) if ml_idx < n_ml else 0
                 ml_idx += 1
                 if c == want_code:
                     out.append((pos, q))
