@@ -47,13 +47,14 @@ _AUX_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I", "f
 class BamRecord:
     """Lazy view over one alignment record's raw bytes (without block_size)."""
 
-    __slots__ = ("raw", "_qname", "_cigar", "_extra")
+    __slots__ = ("raw", "_qname", "_cigar", "_extra", "_nib")
 
     def __init__(self, raw: bytes):
         self.raw = raw
         self._qname = None
         self._cigar = None
         self._extra = b""  # appended aux bytes (for tagging)
+        self._nib = None
 
     # fixed fields -------------------------------------------------------
     @property
@@ -115,12 +116,15 @@ class BamRecord:
 
     def seq_nibbles(self) -> np.ndarray:
         """4-bit codes per base (nt16), decoded to one uint8 per base."""
+        if self._nib is not None:
+            return self._nib
         off = 32 + self.raw[8] + 4 * self.n_cigar
         n = self.l_seq
         packed = np.frombuffer(self.raw, dtype=np.uint8, count=(n + 1) // 2, offset=off)
         out = np.empty(n, dtype=np.uint8)
         out[0::2] = packed >> 4
         out[1::2] = packed[: n // 2] & 0xF
+        self._nib = out
         return out
 
     def seq(self) -> str:
