@@ -1,13 +1,20 @@
 #!/usr/bin/env python
-"""End-to-round benchmark: germline phase pipeline throughput.
+"""End-of-round benchmark: all five pipelines vs the reference binary.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Emits one JSON line per pipeline:
+    {"metric": "<name>_reads_per_s", "value": N, "unit": "alignments/s",
+     "vs_baseline": ours_throughput / reference_throughput}
+followed by a final aggregate line (geometric mean of the per-pipeline
+vs_baseline ratios) — the driver records the tail, so all six lines land in
+BENCH_r{N}.json.
 
-Workload: synthetic diploid chromosome (4 Mbp, ~30x long reads, 5% error),
-full `phase` pipeline (BAM decode -> allele extraction -> pack -> vote scan
-on device -> read correction -> VCF write). Metric = alignments processed per
-second. Baseline = the reference C++ binary (longphase-s) on the same fixture
-and host, measured once and cached (re-measured when the binary is present).
+Workloads (cached under .bench_cache, reference baselines cached alongside
+and re-measured whenever the binary is present):
+  phase            4 Mbp diploid chromosome, ~30x long reads, 5% error
+  haplotag         same BAM tagged with the reference's phased VCF
+  somatic_haplotag 1.5 Mbp tumor/normal pair (25x/30x, purity 0.6)
+  estimate_purity  same tumor/normal pair, reference-default q=20 flags
+  modcall          2 Mbp MM/ML-tagged BAM, 25x
 """
 
 from __future__ import annotations
@@ -22,88 +29,294 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lps_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-REF_BIN = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".refbuild", "longphase-s")
-FIXTURE_CFG = dict(seed=20, length=4_000_000, coverage=30, read_len=12000,
-                   snp_rate=0.001, error_rate=0.05, qual=20)
-# reference binary reads/s measured on this container (4-core) when the
-# binary is unavailable at bench time; refreshed whenever it IS available.
-FALLBACK_BASELINE_READS_PER_S = None  # set after first measurement
+ROOT = os.path.dirname(os.path.abspath(__file__))
+BENCH_DIR = os.path.join(ROOT, ".bench_cache")
+REF_BIN = os.path.join(ROOT, ".refbuild", "longphase-s")
+NTHREADS = os.cpu_count() or 4
+
+PHASE_CFG = dict(seed=20, length=4_000_000, coverage=30, read_len=12000,
+                 snp_rate=0.001, error_rate=0.05, qual=20)
+SOMATIC_CFG = dict(seed=21, length=1_500_000, normal_coverage=25,
+                   tumor_coverage=30, purity=0.6, n_somatic=120,
+                   n_artifacts=30, read_len=12000, snp_rate=0.0012,
+                   error_rate=0.02, qual=25)
+METH_CFG = dict(seed=22, length=2_000_000, coverage=25, read_len=10000,
+                snp_rate=0.0012, n_asm=160, n_homo_mod=80, qual=30)
 
 
-def get_fixture():
-    from longphase_s_tpu.testing.simulate import make_fixture
-
+def _cached_fixture(name, cfg, maker):
     os.makedirs(BENCH_DIR, exist_ok=True)
-    marker = os.path.join(BENCH_DIR, "fixture.json")
+    marker = os.path.join(BENCH_DIR, f"fixture_{name}.json")
+    want = {k: str(v) for k, v in cfg.items()}
     if os.path.exists(marker):
         with open(marker) as f:
             meta = json.load(f)
-        if meta.get("cfg") == {k: str(v) for k, v in FIXTURE_CFG.items()} and \
-                os.path.exists(meta["bam"]):
+        if meta.get("cfg") == want and all(
+                os.path.exists(meta[k]) for k in meta.get("paths", [])):
             return meta
-    fix = make_fixture(os.path.join(BENCH_DIR, "fix"), **FIXTURE_CFG)
-    meta = {"cfg": {k: str(v) for k, v in FIXTURE_CFG.items()},
-            "fasta": fix["fasta"], "vcf": fix["vcf"], "bam": fix["bam"],
-            "chrom": fix["chrom"], "n_reads": len(fix["reads"])}
+    fix = maker(os.path.join(BENCH_DIR, name), **cfg)
+    paths = [k for k, v in fix.items()
+             if isinstance(v, str) and os.path.isfile(v)]
+    meta = {k: v for k, v in fix.items()
+            if k in paths or isinstance(v, (int, float))}
+    meta["chrom"] = fix.get("chrom")
+    meta["cfg"] = want
+    meta["paths"] = paths
+    if "reads" in fix:
+        meta["n_reads"] = len(fix["reads"])
     with open(marker, "w") as f:
         json.dump(meta, f)
     return meta
 
 
-def measure_ours(meta) -> tuple[float, int]:
-    from longphase_s_tpu.core.phase_algo import PhaseParams
-    from longphase_s_tpu.models.phase import PhaseConfig, run_phase
-
-    out_prefix = os.path.join(BENCH_DIR, "ours")
-    cfg = PhaseConfig(snp_file=meta["vcf"], bam_files=[meta["bam"]],
-                      fasta_file=meta["fasta"], result_prefix=out_prefix,
-                      engine="tpu", params=PhaseParams())
-    run_phase(cfg)  # warm-up: jit compile (persistent-cached) + page cache
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.monotonic()
-        run_phase(cfg)
-        best = min(best, time.monotonic() - t0)
-    return best, meta["n_reads"]
+def get_phase_fixture():
+    from longphase_s_tpu.testing.simulate import make_fixture
+    return _cached_fixture("fix", PHASE_CFG, make_fixture)
 
 
-def measure_reference(meta) -> float | None:
-    cache = os.path.join(BENCH_DIR, "baseline.json")
+def get_somatic_fixture():
+    from longphase_s_tpu.testing.simulate import make_somatic_fixture
+    meta = _cached_fixture("fix_somatic", SOMATIC_CFG, make_somatic_fixture)
+    # count alignments once (normal + tumor) for the throughput metric
+    if "n_alignments" not in meta:
+        from longphase_s_tpu.io.bam import BamReader
+        n = 0
+        for p in (meta["normal_bam"], meta["tumor_bam"]):
+            r = BamReader(p)
+            n += sum(1 for _ in r)
+            r.close()
+        meta["n_alignments"] = n
+        with open(os.path.join(BENCH_DIR, "fixture_fix_somatic.json"), "w") as f:
+            json.dump(meta, f)
+    return meta
+
+
+def get_meth_fixture():
+    from longphase_s_tpu.testing.simulate import make_meth_fixture
+    meta = _cached_fixture("fix_meth", METH_CFG, make_meth_fixture)
+    if "n_alignments" not in meta:
+        from longphase_s_tpu.io.bam import BamReader
+        r = BamReader(meta["bam"])
+        meta["n_alignments"] = sum(1 for _ in r)
+        r.close()
+        with open(os.path.join(BENCH_DIR, "fixture_fix_meth.json"), "w") as f:
+            json.dump(meta, f)
+    return meta
+
+
+def get_phased_vcf(phase_meta):
+    """Phased normal VCF used as haplotag input (reference output when the
+    binary is available so both sides tag from identical phasing)."""
+    out = os.path.join(BENCH_DIR, "phased_input")
+    vcf = out + ".vcf"
+    if os.path.exists(vcf) and os.path.getmtime(vcf) > os.path.getmtime(
+            phase_meta["bam"]):
+        return vcf
     if os.path.exists(REF_BIN):
-        out_prefix = os.path.join(BENCH_DIR, "golden")
-        nthreads = os.cpu_count() or 4
-        cmd = [REF_BIN, "phase", "--pb", "-s", meta["vcf"], "-b", meta["bam"],
-               "-r", meta["fasta"], "-o", out_prefix, "-t", str(nthreads)]
+        subprocess.run([REF_BIN, "phase", "--pb", "-s", phase_meta["vcf"],
+                        "-b", phase_meta["bam"], "-r", phase_meta["fasta"],
+                        "-o", out, "-t", str(NTHREADS)],
+                       check=True, capture_output=True, timeout=3600)
+    else:
+        from longphase_s_tpu.core.phase_algo import PhaseParams
+        from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+        run_phase(PhaseConfig(snp_file=phase_meta["vcf"],
+                              bam_files=[phase_meta["bam"]],
+                              fasta_file=phase_meta["fasta"],
+                              result_prefix=out, engine="tpu",
+                              params=PhaseParams()))
+    return vcf
+
+
+def get_phased_somatic_vcf(som_meta):
+    out = os.path.join(BENCH_DIR, "phased_normal_somatic")
+    vcf = out + ".vcf"
+    if os.path.exists(vcf) and os.path.getmtime(vcf) > os.path.getmtime(
+            som_meta["normal_bam"]):
+        return vcf
+    if os.path.exists(REF_BIN):
+        subprocess.run([REF_BIN, "phase", "--pb", "-s", som_meta["normal_vcf"],
+                        "-b", som_meta["normal_bam"], "-r", som_meta["fasta"],
+                        "-o", out, "-t", str(NTHREADS)],
+                       check=True, capture_output=True, timeout=3600)
+    else:
+        from longphase_s_tpu.core.phase_algo import PhaseParams
+        from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+        run_phase(PhaseConfig(snp_file=som_meta["normal_vcf"],
+                              bam_files=[som_meta["normal_bam"]],
+                              fasta_file=som_meta["fasta"],
+                              result_prefix=out, engine="tpu",
+                              params=PhaseParams()))
+    return vcf
+
+
+def _best_of(fn, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def _measure_reference(name, cmd, cache_key):
+    """Best-of-2 reference run; cached so bench works without the binary."""
+    cache = os.path.join(BENCH_DIR, f"baseline_{name}.json")
+    if os.path.exists(REF_BIN):
         elapsed = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
             subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
             elapsed = min(elapsed, time.monotonic() - t0)
         with open(cache, "w") as f:
-            json.dump({"elapsed_s": elapsed, "n_reads": meta["n_reads"],
-                       "threads": nthreads}, f)
+            json.dump({"elapsed_s": elapsed, "threads": NTHREADS,
+                       "key": cache_key}, f)
         return elapsed
     if os.path.exists(cache):
         with open(cache) as f:
-            return json.load(f)["elapsed_s"]
+            data = json.load(f)
+        if data.get("key") == cache_key:
+            return data["elapsed_s"]
     return None
 
 
+def bench_phase(results):
+    from longphase_s_tpu.core.phase_algo import PhaseParams
+    from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+
+    meta = get_phase_fixture()
+    out = os.path.join(BENCH_DIR, "ours_phase")
+    cfg = PhaseConfig(snp_file=meta["vcf"], bam_files=[meta["bam"]],
+                      fasta_file=meta["fasta"], result_prefix=out,
+                      engine="tpu", params=PhaseParams())
+    run_phase(cfg)  # warm-up: jit compile + page cache
+    ours_s = _best_of(lambda: run_phase(cfg))
+    ref_s = _measure_reference(
+        "phase",
+        [REF_BIN, "phase", "--pb", "-s", meta["vcf"], "-b", meta["bam"],
+         "-r", meta["fasta"], "-o", os.path.join(BENCH_DIR, "golden_phase"),
+         "-t", str(NTHREADS)],
+        json.dumps(PHASE_CFG, sort_keys=True))
+    results.append(("phase", meta["n_reads"], ours_s, ref_s))
+
+
+def bench_haplotag(results):
+    from longphase_s_tpu.models.haplotag import HaplotagConfig, run_haplotag
+
+    meta = get_phase_fixture()
+    phased = get_phased_vcf(meta)
+    out = os.path.join(BENCH_DIR, "ours_haplotag")
+    cfg = HaplotagConfig(snp_file=phased, bam_file=meta["bam"],
+                         fasta_file=meta["fasta"], result_prefix=out,
+                         num_threads=NTHREADS)
+    run_haplotag(cfg)  # warm-up
+    ours_s = _best_of(lambda: run_haplotag(cfg))
+    ref_s = _measure_reference(
+        "haplotag",
+        [REF_BIN, "haplotag", "-s", phased, "-b", meta["bam"],
+         "-r", meta["fasta"], "-o", os.path.join(BENCH_DIR, "golden_haplotag"),
+         "-t", str(NTHREADS)],
+        json.dumps(PHASE_CFG, sort_keys=True))
+    results.append(("haplotag", meta["n_reads"], ours_s, ref_s))
+
+
+def bench_somatic(results):
+    from longphase_s_tpu.models.somatic import SomaticConfig, run_somatic_haplotag
+
+    meta = get_somatic_fixture()
+    phased = get_phased_somatic_vcf(meta)
+    out = os.path.join(BENCH_DIR, "ours_somatic")
+    cfg = SomaticConfig(snp_file=phased, tumor_snv_file=meta["tumor_vcf"],
+                        bam_file=meta["normal_bam"],
+                        tumor_bam_file=meta["tumor_bam"],
+                        fasta_file=meta["fasta"], result_prefix=out,
+                        num_threads=NTHREADS)
+    run_somatic_haplotag(cfg)  # warm-up
+    ours_s = _best_of(lambda: run_somatic_haplotag(cfg), n=2)
+    ref_s = _measure_reference(
+        "somatic_haplotag",
+        [REF_BIN, "somatic_haplotag", "-s", phased,
+         "--tumor-snv-file", meta["tumor_vcf"], "-b", meta["normal_bam"],
+         "--tumor-bam-file", meta["tumor_bam"], "-r", meta["fasta"],
+         "-o", os.path.join(BENCH_DIR, "golden_somatic"),
+         "-t", str(NTHREADS)],
+        json.dumps(SOMATIC_CFG, sort_keys=True))
+    results.append(("somatic_haplotag", meta["n_alignments"], ours_s, ref_s))
+
+
+def bench_purity(results):
+    from longphase_s_tpu.models.somatic import SomaticConfig, run_estimate_purity
+
+    meta = get_somatic_fixture()
+    phased = get_phased_somatic_vcf(meta)
+    out = os.path.join(BENCH_DIR, "ours_purity")
+    cfg = SomaticConfig(snp_file=phased, tumor_snv_file=meta["tumor_vcf"],
+                        bam_file=meta["normal_bam"],
+                        tumor_bam_file=meta["tumor_bam"],
+                        fasta_file=meta["fasta"], result_prefix=out,
+                        quality_threshold=20, tag_supplementary=True,
+                        num_threads=NTHREADS)
+    run_estimate_purity(cfg)  # warm-up
+    ours_s = _best_of(lambda: run_estimate_purity(cfg), n=2)
+    ref_s = _measure_reference(
+        "estimate_purity",
+        [REF_BIN, "estimate_purity", "-s", phased,
+         "--tumor-snv-file", meta["tumor_vcf"], "-b", meta["normal_bam"],
+         "--tumor-bam-file", meta["tumor_bam"], "-r", meta["fasta"],
+         "-o", os.path.join(BENCH_DIR, "golden_purity"),
+         "-t", str(NTHREADS)],
+        json.dumps(SOMATIC_CFG, sort_keys=True))
+    results.append(("estimate_purity", meta["n_alignments"], ours_s, ref_s))
+
+
+def bench_modcall(results):
+    from longphase_s_tpu.models.modcall import ModCallConfig, run_modcall
+
+    meta = get_meth_fixture()
+    out = os.path.join(BENCH_DIR, "ours_modcall")
+    cfg = ModCallConfig(bam_files=[meta["bam"]], fasta_file=meta["fasta"],
+                        snp_file=meta["vcf"], result_prefix=out,
+                        num_threads=NTHREADS)
+    run_modcall(cfg)  # warm-up
+    ours_s = _best_of(lambda: run_modcall(cfg), n=2)
+    ref_s = _measure_reference(
+        "modcall",
+        [REF_BIN, "modcall", "-b", meta["bam"], "-r", meta["fasta"],
+         "-s", meta["vcf"], "-o", os.path.join(BENCH_DIR, "golden_modcall"),
+         "-t", str(NTHREADS)],
+        json.dumps(METH_CFG, sort_keys=True))
+    results.append(("modcall", meta["n_alignments"], ours_s, ref_s))
+
+
 def main():
-    meta = get_fixture()
-    ours_s, n_reads = measure_ours(meta)
-    ref_s = measure_reference(meta)
-    reads_per_s = n_reads / ours_s
-    vs_baseline = None
-    if ref_s:
-        vs_baseline = (n_reads / ref_s) and (reads_per_s / (n_reads / ref_s))
-    print(json.dumps({
-        "metric": "phase_reads_per_s",
-        "value": round(reads_per_s, 2),
-        "unit": "alignments/s",
-        "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
-    }))
+    results = []  # (name, n_units, ours_s, ref_s|None)
+    for fn in (bench_phase, bench_haplotag, bench_somatic, bench_purity,
+               bench_modcall):
+        try:
+            fn(results)
+        except Exception as e:  # one broken pipeline must not hide the rest
+            print(f"bench {fn.__name__} failed: {e!r}", file=sys.stderr)
+            results.append((fn.__name__.replace("bench_", ""), 0,
+                            float("nan"), None))
+
+    lines = []
+    ratios = []
+    for name, n_units, ours_s, ref_s in results:
+        value = round(n_units / ours_s, 2) if ours_s and ours_s == ours_s else None
+        vs = None
+        if ref_s and ours_s and ours_s == ours_s:
+            vs = round(ref_s / ours_s, 4)
+            ratios.append(vs)
+        lines.append({"metric": f"{name}_reads_per_s", "value": value,
+                      "unit": "alignments/s", "vs_baseline": vs})
+    geo = None
+    if ratios:
+        import math
+        geo = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4)
+    lines.append({"metric": "overall_speedup_geomean", "value": geo,
+                  "unit": "x_vs_reference", "vs_baseline": geo})
+    for line in lines:
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":
