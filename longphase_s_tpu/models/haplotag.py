@@ -327,6 +327,11 @@ def write_germline_log_row(f, rec, chrom, hp_count, variants_hp, count_ps,
 def run_haplotag(cfg: HaplotagConfig) -> ReadStatistics:
     from ..io.fasta import FastaFile
 
+    from .haplotag_fast import run_haplotag_fast
+    fast = run_haplotag_fast(cfg)
+    if fast is not None:
+        return fast
+
     timer = StageTimer()
     stats = ReadStatistics()
 

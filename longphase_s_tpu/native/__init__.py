@@ -38,6 +38,12 @@ def build():
         check=True, capture_output=True)
 
 
+def _src_hash() -> str:
+    import hashlib
+    with open(_SRC_PATH, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _load():
     global _lib, _tried
     with _lock:
@@ -45,9 +51,18 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH) or \
-                    os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH):
+            # rebuild when the recorded source hash doesn't match (mtimes are
+            # unreliable after a fresh clone)
+            stamp = _LIB_PATH + ".srchash"
+            want = _src_hash()
+            have = None
+            if os.path.exists(stamp):
+                with open(stamp) as f:
+                    have = f.read().strip()
+            if not os.path.exists(_LIB_PATH) or have != want:
                 build()
+                with open(stamp, "w") as f:
+                    f.write(want)
             lib = ctypes.CDLL(_LIB_PATH)
         except Exception:  # noqa: BLE001 — no compiler / load failure
             return None
@@ -199,6 +214,192 @@ def inflate_raw(src: bytes, out_size: int) -> bytes | None:
     if n < 0 or n != out_size:
         return None
     return ctypes.string_at(buf, n)
+
+
+def _tag_bind(lib):
+    import ctypes as ct
+    if getattr(lib, "_tag_bound", False):
+        return
+    lib._tag_bound = True
+    lib.lps_bam_load.restype = ct.c_void_p
+    lib.lps_bam_load.argtypes = [ct.c_char_p]
+    lib.lps_bam_free.argtypes = [ct.c_void_p]
+    lib.lps_bam_tid.restype = ct.c_int32
+    lib.lps_bam_tid.argtypes = [ct.c_void_p, ct.c_char_p]
+    lib.lps_bam_n_records.restype = ct.c_int64
+    lib.lps_bam_n_records.argtypes = [ct.c_void_p]
+    lib.lps_tag_walk.restype = ct.c_void_p
+    lib.lps_tag_walk.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.c_int64, ct.c_int64,
+        ct.c_int64, ct.c_void_p, ct.c_int64,
+        ct.c_char_p, ct.c_int64,
+        ct.c_int32, ct.c_int32, ct.c_int32, ct.c_void_p, ct.c_int32,
+    ]
+    lib.lps_tag_sizes.restype = ct.c_int64
+    lib.lps_tag_sizes.argtypes = [ct.c_void_p] + [ct.c_void_p] * 5
+    lib.lps_tag_fill.restype = ct.c_int64
+    lib.lps_tag_fill.argtypes = [ct.c_void_p] + [ct.c_void_p] * 18
+    lib.lps_tag_free.argtypes = [ct.c_void_p]
+    lib.lps_tag_write.restype = ct.c_int64
+    lib.lps_tag_write.argtypes = [
+        ct.c_void_p, ct.c_char_p, ct.c_int64,
+        ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ct.c_void_p, ct.c_char_p, ct.c_void_p, ct.c_char_p, ct.c_int32,
+    ]
+
+
+class NativeBam:
+    """Whole-file native BAM handle: one parallel BGZF inflate + record index,
+    reused across per-chromosome walks and the tag rewrite."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        _tag_bind(lib)
+        self._lib = lib
+        self._h = lib.lps_bam_load(path.encode())
+        if not self._h:
+            raise RuntimeError(f"lps_bam_load failed for {path}")
+        self.path = path
+
+    def close(self):
+        if self._h:
+            self._lib.lps_bam_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter shutdown
+            pass
+
+    def tid(self, chrom: str) -> int:
+        return self._lib.lps_bam_tid(self._h, chrom.encode())
+
+    def tag_walk(self, chrom: str, beg: int, end: int, positions,
+                 last_var: int | None, ref_string: str,
+                 quality_threshold: int, mapq_filter: bool,
+                 tag_supplementary: bool, want_window=None, window: int = 100):
+        """Run the native observation walk; returns dict of numpy arrays or
+        None when the chromosome is absent. Raises on unsupported CIGAR ops
+        (reference exits)."""
+        tid = self.tid(chrom)
+        if tid < 0:
+            return None
+        var_pos = np.ascontiguousarray(positions, dtype=np.int64)
+        ref_b = ref_string.encode("ascii")
+        ww = None
+        if want_window is not None:
+            ww = np.ascontiguousarray(want_window, dtype=np.uint8)
+        handle = self._lib.lps_tag_walk(
+            self._h, tid, beg, -1 if end is None else end,
+            len(var_pos), var_pos.ctypes.data,
+            -1 if last_var is None else last_var,
+            ref_b, len(ref_b), quality_threshold, int(mapq_filter),
+            int(tag_supplementary),
+            ww.ctypes.data if ww is not None else None, window)
+        if not handle:
+            return None
+        lib = self._lib
+        try:
+            n_aln = ctypes.c_int64()
+            n_obs = ctypes.c_int64()
+            names_len = ctypes.c_int64()
+            n_wd = ctypes.c_int64()
+            error = ctypes.c_int32()
+            lib.lps_tag_sizes(handle, ctypes.byref(n_aln), ctypes.byref(n_obs),
+                              ctypes.byref(names_len), ctypes.byref(n_wd),
+                              ctypes.byref(error))
+            if error.value:
+                raise SystemExit(
+                    "Alignment find unsupported CIGAR operation")
+            A, O, W = n_aln.value, n_obs.value, n_wd.value
+            out = {
+                "rec_idx": np.empty(A, np.int64),
+                "category": np.empty(A, np.uint8),
+                "flag": np.empty(A, np.uint16),
+                "mapq": np.empty(A, np.uint8),
+                "pos": np.empty(A, np.int64),
+                "end_ref_pos": np.empty(A, np.int64),
+                "end_query_pos": np.empty(A, np.int64),
+                "name_off": np.empty(A + 1, np.int64),
+                "obs_aln": np.empty(O, np.int32),
+                "obs_var": np.empty(O, np.int32),
+                "obs_kind": np.empty(O, np.uint8),
+                "obs_base": np.empty(O, np.uint8),
+                "obs_flags": np.empty(O, np.uint8),
+                "obs_aux": np.empty(O, np.int32),
+                "wd_obs": np.empty(W, np.int64),
+                "wd_off": np.empty(W, np.int16),
+                "wd_base": np.empty(W, np.uint8),
+            }
+            names = ctypes.create_string_buffer(max(names_len.value, 1))
+            lib.lps_tag_fill(
+                handle, out["rec_idx"].ctypes.data, out["category"].ctypes.data,
+                out["flag"].ctypes.data, out["mapq"].ctypes.data,
+                out["pos"].ctypes.data, out["end_ref_pos"].ctypes.data,
+                out["end_query_pos"].ctypes.data, out["name_off"].ctypes.data,
+                names, out["obs_aln"].ctypes.data, out["obs_var"].ctypes.data,
+                out["obs_kind"].ctypes.data, out["obs_base"].ctypes.data,
+                out["obs_flags"].ctypes.data, out["obs_aux"].ctypes.data,
+                out["wd_obs"].ctypes.data, out["wd_off"].ctypes.data,
+                out["wd_base"].ctypes.data)
+            out["names"] = names.raw[:names_len.value].decode("ascii")
+            return out
+        finally:
+            lib.lps_tag_free(handle)
+
+    def tag_write(self, header_text: str, rec_indices, mode, hp_int, ps, pq,
+                  hp_strs, out_path: str, level: int = 6) -> bool:
+        """Write a BAM with per-record tag surgery (modes: 0 passthrough,
+        1 strip, 2 germline HP:i/PS:i/PQ:i, 3 somatic HP:Z[/PS:i]/PQ:i)."""
+        rec_indices = np.ascontiguousarray(rec_indices, np.int64)
+        mode = np.ascontiguousarray(mode, np.uint8)
+        hp_int = np.ascontiguousarray(hp_int, np.int32)
+        ps = np.ascontiguousarray(ps, np.int64)
+        pq = np.ascontiguousarray(pq, np.int32)
+        blob = "".join(hp_strs).encode("ascii")
+        off = np.zeros(len(hp_strs) + 1, np.int64)
+        np.cumsum([len(s) for s in hp_strs], out=off[1:])
+        hdr = header_text.encode("ascii")
+        n = self._lib.lps_tag_write(
+            self._h, hdr, len(hdr), len(rec_indices),
+            rec_indices.ctypes.data, mode.ctypes.data, hp_int.ctypes.data,
+            ps.ctypes.data, pq.ctypes.data, blob, off.ctypes.data,
+            out_path.encode(), level)
+        return n >= 0
+
+
+_bam_cache: dict[str, tuple[float, "NativeBam"]] = {}
+_bam_cache_lock = threading.Lock()
+
+PS_OMIT = -(2**63)  # sentinel: omit PS tag in somatic mode
+
+
+def open_native_bam(path: str) -> "NativeBam | None":
+    """Cached whole-file handle (keyed by path+mtime, max 2 entries)."""
+    if _load() is None:
+        return None
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return None
+    with _bam_cache_lock:
+        ent = _bam_cache.get(path)
+        if ent is not None and ent[0] == mtime:
+            return ent[1]
+        try:
+            nb = NativeBam(path)
+        except Exception:  # noqa: BLE001
+            return None
+        _bam_cache[path] = (mtime, nb)
+        while len(_bam_cache) > 2:
+            k = next(iter(_bam_cache))
+            if k == path:
+                k = next(it for it in _bam_cache if it != path)
+            _bam_cache.pop(k)[1].close()
+        return nb
 
 
 def gzip_oneshot(data: bytes, level: int = 6) -> bytes | None:

@@ -639,6 +639,585 @@ int64_t lps_gzip(const uint8_t* data, int64_t n, int level, uint8_t** out_p) {
 #endif
 }
 
+}  // extern "C"
+
+// ===========================================================================
+// Tagging/extraction runtime: whole-BAM handle + generic variant-site
+// observation walk + tag rewrite. Behavioral contracts:
+//   CigarParser::parsingCigar        (reference HaplotagParsingBam.cpp:541-647)
+//   ChromosomeProcessor dispatch     (reference HaplotagParsingBam.cpp:421-499)
+//   getWindowsDiffRef                (reference SomaticVarCaller.cpp:654-710)
+//   bam_aux_append HP/PS/PQ          (reference HaplotagProcess.cpp:357-361)
+// Reimplemented from the BAM spec + the repo's Python oracles (cigar_walk.py,
+// somatic_caller.py); no reference code used.
+// ===========================================================================
+
+namespace {
+
+struct BamHandle {
+  std::vector<uint8_t> data;       // whole inflated BAM
+  size_t header_off = 0;           // offset of l_text field
+  size_t records_off = 0;          // offset of first alignment record
+  std::vector<std::string> ref_names;
+  std::vector<int64_t> ref_lens;
+  std::vector<size_t> rec_off;     // offset of each record body (after size)
+  std::vector<uint32_t> rec_len;
+  std::vector<int64_t> tid_first, tid_last;  // record-index range per tid
+};
+
+struct TagResult {
+  std::vector<int64_t> rec_idx;
+  std::vector<uint8_t> category;  // 0=process 1=lowq 2=unmap 3=sec 4=supp 5=empty 6=other
+  std::vector<uint16_t> flag;
+  std::vector<uint8_t> mapq;
+  std::vector<int64_t> pos;
+  std::vector<int64_t> end_ref_pos;
+  std::vector<int64_t> end_query_pos;
+  std::vector<int64_t> name_off;  // A+1
+  std::string names;
+  std::vector<int32_t> obs_aln;
+  std::vector<int32_t> obs_var;
+  std::vector<uint8_t> obs_kind;   // 0=match 1=in-deletion
+  std::vector<uint8_t> obs_base;   // ASCII base
+  std::vector<uint8_t> obs_flags;  // b0 has_next, b1 alt_ins, b2 alt_del, b3 hp>=3
+  std::vector<int32_t> obs_aux;    // deletion: cigar op index
+  std::vector<int64_t> wd_obs;
+  std::vector<int16_t> wd_off;
+  std::vector<uint8_t> wd_base;
+  int32_t error = 0;
+};
+
+static inline int64_t ref_end_of(const uint8_t* rec) {
+  int64_t pos = rd_i32(rec + 4);
+  uint16_t n_cigar = rd_u16(rec + 12);
+  if (n_cigar == 0) return pos + 1;
+  const uint8_t* cigar = rec + 32 + rec[8];
+  int64_t span = 0;
+  for (uint32_t i = 0; i < n_cigar; ++i) {
+    uint32_t cv = rd_u32(cigar + 4ull * i);
+    int op = cv & 0xF;
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) span += cv >> 4;
+  }
+  return pos + span;
+}
+
+// getOrderWindowsDiffRef (SomaticVarCaller.cpp:654-686) — one directional
+// walk from the variant, recording read-vs-ref mismatch offsets.
+static void order_windows_diff(const uint8_t* cigar, uint32_t n_cigar,
+                               int64_t ci, const uint8_t* seq, int64_t l_seq,
+                               const char* ref, int64_t ref_len,
+                               int64_t read_pos, int64_t remaining,
+                               int64_t ref_pos, int dir, int window,
+                               int64_t obs_idx, TagResult* res) {
+  uint32_t cv = rd_u32(cigar + 4ull * ci);
+  int op = cv & 0xF;
+  for (int i = 1; i <= window; ++i) {
+    remaining -= 1;
+    if (remaining == 0 || remaining == -1) {
+      // processCigarOperation (SomaticVarCaller.cpp:627-653)
+      bool ok = false;
+      int64_t cj = ci + dir;
+      while (cj >= 0 && cj < (int64_t)n_cigar) {
+        uint32_t nv = rd_u32(cigar + 4ull * cj);
+        int nop = nv & 0xF;
+        int64_t nlen = nv >> 4;
+        if (nop == 0 || nop == 3 || nop == 6 || nop == 7 || nop == 8) {
+          remaining += nlen;
+          op = nop;
+          ok = true;
+          break;
+        } else if (nop == 1) {
+          read_pos += nlen * dir;
+        } else if (nop == 2) {
+          ref_pos += nlen * dir;
+        } else {
+          break;  // soft/hard clip or unknown
+        }
+        cj += dir;
+      }
+      if (!ok) return;
+      ci = cj;
+    }
+    if (op == 2 || op == 1 || op == 3 || op == 6 || op == 8) continue;
+    read_pos += dir;
+    ref_pos += dir;
+    if (read_pos > l_seq || ref_pos > ref_len || read_pos < 0 || ref_pos < 0)
+      return;
+    if (read_pos >= l_seq) return;
+    uint8_t nib = (read_pos & 1) ? (seq[read_pos >> 1] & 0xF)
+                                 : (seq[read_pos >> 1] >> 4);
+    char read_base = SEQ_NT16[nib];
+    if (ref_pos == ref_len) {
+      // reference quirk: refString[size()] yields '\0' -> always a mismatch
+      res->wd_obs.push_back(obs_idx);
+      res->wd_off.push_back((int16_t)(i * dir));
+      res->wd_base.push_back((uint8_t)read_base);
+      continue;
+    }
+    if (read_base != ref[ref_pos]) {
+      res->wd_obs.push_back(obs_idx);
+      res->wd_off.push_back((int16_t)(i * dir));
+      res->wd_base.push_back((uint8_t)read_base);
+    }
+  }
+}
+
+// getWindowsDiffRef (SomaticVarCaller.cpp:688-710): both directions.
+static void windows_diff(const uint8_t* cigar, uint32_t n_cigar, int64_t ci,
+                         const uint8_t* seq, int64_t l_seq, const char* ref,
+                         int64_t ref_len, int64_t query_pos,
+                         int64_t read_offset, int64_t vpos, int window,
+                         int64_t obs_idx, TagResult* res) {
+  uint32_t cv = rd_u32(cigar + 4ull * ci);
+  int op = cv & 0xF;
+  int64_t oplen = cv >> 4;
+  int64_t fwd_remaining = 0, rev_remaining = 0;
+  int64_t read_pos = query_pos + read_offset;
+  if (op != 1) {
+    fwd_remaining = std::max<int64_t>(oplen - read_offset, 0);
+    rev_remaining = std::max<int64_t>(read_offset, 0);
+  }
+  // reverse walk first (emits i=1..window at descending positions), then fwd
+  order_windows_diff(cigar, n_cigar, ci, seq, l_seq, ref, ref_len, read_pos,
+                     rev_remaining, vpos, -1, window, obs_idx, res);
+  order_windows_diff(cigar, n_cigar, ci, seq, l_seq, ref, ref_len, read_pos,
+                     fwd_remaining, vpos, 1, window, obs_idx, res);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* lps_bam_load(const char* path) {
+  auto* h = new BamHandle();
+  if (!read_entire_bgzf(path, h->data) || h->data.size() < 12 ||
+      memcmp(h->data.data(), "BAM\1", 4) != 0) {
+    delete h;
+    return nullptr;
+  }
+  const std::vector<uint8_t>& d = h->data;
+  size_t p = 4;
+  h->header_off = p;
+  int32_t l_text = rd_i32(&d[p]);
+  p += 4 + (size_t)l_text;
+  int32_t n_ref = rd_i32(&d[p]);
+  p += 4;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    int32_t l_name = rd_i32(&d[p]);
+    p += 4;
+    h->ref_names.emplace_back((const char*)&d[p], (size_t)l_name - 1);
+    p += (size_t)l_name;
+    h->ref_lens.push_back(rd_i32(&d[p]));
+    p += 4;
+  }
+  h->records_off = p;
+  h->tid_first.assign(n_ref, -1);
+  h->tid_last.assign(n_ref, -1);
+  while (p + 4 <= d.size()) {
+    int32_t block_size = rd_i32(&d[p]);
+    size_t rp = p + 4;
+    p = rp + (size_t)block_size;
+    if (p > d.size()) break;
+    int32_t tid = rd_i32(&d[rp]);
+    int64_t idx = (int64_t)h->rec_off.size();
+    h->rec_off.push_back(rp);
+    h->rec_len.push_back((uint32_t)block_size);
+    if (tid >= 0 && tid < n_ref) {
+      if (h->tid_first[tid] < 0) h->tid_first[tid] = idx;
+      h->tid_last[tid] = idx + 1;
+    }
+  }
+  return h;
+}
+
+void lps_bam_free(void* hp) { delete (BamHandle*)hp; }
+
+int32_t lps_bam_tid(void* hp, const char* chrom) {
+  auto* h = (BamHandle*)hp;
+  for (size_t i = 0; i < h->ref_names.size(); ++i)
+    if (h->ref_names[i] == chrom) return (int32_t)i;
+  return -1;
+}
+
+int64_t lps_bam_n_records(void* hp) {
+  return (int64_t)((BamHandle*)hp)->rec_off.size();
+}
+
+// Generic variant-site observation walk over one chromosome region.
+// Returns a TagResult* handle.
+void* lps_tag_walk(void* hp, int32_t tid, int64_t beg, int64_t end,
+                   int64_t n_var, const int64_t* var_pos, int64_t last_var,
+                   const char* ref_string, int64_t ref_len,
+                   int32_t quality_threshold, int32_t mapq_filter,
+                   int32_t tag_supplementary, const uint8_t* want_window,
+                   int32_t window) {
+  auto* h = (BamHandle*)hp;
+  auto* res = new TagResult();
+  res->name_off.push_back(0);
+  if (tid < 0 || tid >= (int64_t)h->tid_first.size() || h->tid_first[tid] < 0)
+    return res;
+  int64_t lo = h->tid_first[tid], hi = h->tid_last[tid];
+
+  // select records: fetch(chrom, beg, end) overlap semantics
+  std::vector<int64_t> sel;
+  for (int64_t ri = lo; ri < hi; ++ri) {
+    const uint8_t* rec = &h->data[h->rec_off[ri]];
+    if (rd_i32(rec) != tid) continue;
+    int64_t pos = rd_i32(rec + 4);
+    if (end >= 0 && pos >= end) break;
+    if (beg > 0 && ref_end_of(rec) <= beg) continue;
+    sel.push_back(ri);
+  }
+
+  unsigned n_threads = std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+  if (sel.size() < 256) n_threads = 1;
+  size_t chunk = (sel.size() + n_threads - 1) / n_threads;
+  std::vector<TagResult> parts(n_threads);
+
+  auto walk_range = [&](size_t b, size_t e, TagResult* out) {
+    for (size_t si = b; si < e; ++si) {
+      int64_t ri = sel[si];
+      const uint8_t* rec = &h->data[h->rec_off[ri]];
+      int64_t pos = rd_i32(rec + 4);
+      uint8_t l_read_name = rec[8];
+      uint8_t mapq = rec[9];
+      uint16_t n_cigar = rd_u16(rec + 12);
+      uint16_t flag = rd_u16(rec + 14);
+      int32_t l_seq = rd_i32(rec + 16);
+      const char* qname = (const char*)(rec + 32);
+      const uint8_t* cigar = rec + 32 + l_read_name;
+      const uint8_t* seq = cigar + 4ull * n_cigar;
+
+      uint8_t cat;
+      if (mapq_filter && mapq < quality_threshold) cat = 1;
+      else if (flag & 0x4) cat = 2;
+      else if (flag & 0x100) cat = 3;
+      else if ((flag & 0x800) && !tag_supplementary) cat = 4;
+      else if (last_var < 0) cat = 5;
+      else if (pos <= last_var) cat = 0;
+      else cat = 6;
+
+      int32_t aln = (int32_t)out->rec_idx.size();
+      out->rec_idx.push_back(ri);
+      out->category.push_back(cat);
+      out->flag.push_back(flag);
+      out->mapq.push_back(mapq);
+      out->pos.push_back(pos);
+      out->names.append(qname, l_read_name - 1);
+      out->name_off.push_back((int64_t)out->names.size());
+
+      int64_t ref_pos = pos, query_pos = 0;
+      if (cat == 0) {
+        // CigarParser::parsingCigar walk
+        const int64_t* vp0 = std::lower_bound(var_pos, var_pos + n_var, pos);
+        int64_t vi = vp0 - var_pos;
+        for (uint32_t ci = 0; ci < n_cigar; ++ci) {
+          uint32_t cv = rd_u32(cigar + 4ull * ci);
+          int op = cv & 0xF;
+          int64_t oplen = cv >> 4;
+          while (vi < n_var && var_pos[vi] < ref_pos) ++vi;
+          if (op == 0 || op == 7 || op == 8) {  // M/=/X
+            while (vi < n_var && var_pos[vi] < ref_pos + oplen) {
+              int64_t vpos = var_pos[vi];
+              int64_t offset = vpos - ref_pos;
+              if (offset >= 0) {
+                int64_t qp = query_pos + offset;
+                uint8_t nib = (qp < l_seq)
+                                  ? ((qp & 1) ? (seq[qp >> 1] & 0xF)
+                                              : (seq[qp >> 1] >> 4))
+                                  : 15;
+                uint8_t fl = 0;
+                if (ci + 1u < n_cigar) {
+                  fl |= 1;
+                  if (ref_pos + oplen - 1 == vpos) {
+                    int nop = rd_u32(cigar + 4ull * (ci + 1)) & 0xF;
+                    if (nop == 1) fl |= 2;
+                    if (nop == 2) fl |= 4;
+                  }
+                }
+                int64_t obs_idx = (int64_t)out->obs_var.size();
+                out->obs_aln.push_back(aln);
+                out->obs_var.push_back((int32_t)vi);
+                out->obs_kind.push_back(0);
+                out->obs_base.push_back((uint8_t)SEQ_NT16[nib]);
+                out->obs_flags.push_back(fl);
+                out->obs_aux.push_back((int32_t)ci);
+                if (want_window && want_window[vi])
+                  windows_diff(cigar, n_cigar, ci, seq, l_seq, ref_string,
+                               ref_len, query_pos, offset, vpos, window,
+                               obs_idx, out);
+              }
+              ++vi;
+            }
+            query_pos += oplen;
+            ref_pos += oplen;
+          } else if (op == 1) {  // I
+            query_pos += oplen;
+          } else if (op == 2) {  // D
+            while (vi < n_var && var_pos[vi] < ref_pos + oplen) {
+              int64_t vpos = var_pos[vi];
+              uint8_t nib = (query_pos < l_seq)
+                                ? ((query_pos & 1) ? (seq[query_pos >> 1] & 0xF)
+                                                   : (seq[query_pos >> 1] >> 4))
+                                : 15;
+              uint8_t fl = 0;
+              if (ref_len > 0 && vpos < ref_len &&
+                  homopolymer_length(vpos, ref_string, ref_len) >= 3)
+                fl |= 8;
+              out->obs_aln.push_back(aln);
+              out->obs_var.push_back((int32_t)vi);
+              out->obs_kind.push_back(1);
+              out->obs_base.push_back((uint8_t)SEQ_NT16[nib]);
+              out->obs_flags.push_back(fl);
+              out->obs_aux.push_back((int32_t)ci);
+              ++vi;
+            }
+            ref_pos += oplen;
+          } else if (op == 3) {  // N
+            ref_pos += oplen;
+          } else if (op == 4) {  // S
+            query_pos += oplen;
+          } else if (op == 5 || op == 6) {  // H/P
+          } else {
+            out->error = 1;
+            return;
+          }
+        }
+      }
+      out->end_ref_pos.push_back(ref_pos);
+      out->end_query_pos.push_back(query_pos);
+    }
+  };
+
+  for (auto& part : parts) part.name_off.push_back(0);
+  std::vector<std::thread> ts;
+  for (unsigned t = 1; t < n_threads; ++t) {
+    size_t b = t * chunk;
+    size_t e = std::min(sel.size(), (t + 1) * chunk);
+    if (b < e) ts.emplace_back(walk_range, b, e, &parts[t]);
+  }
+  walk_range(0, std::min(sel.size(), chunk), &parts[0]);
+  for (auto& t : ts) t.join();
+
+  for (auto& part : parts) {
+    int64_t aln_base = (int64_t)res->rec_idx.size();
+    int64_t obs_base = (int64_t)res->obs_var.size();
+    int64_t name_base = (int64_t)res->names.size();
+    res->rec_idx.insert(res->rec_idx.end(), part.rec_idx.begin(),
+                        part.rec_idx.end());
+    res->category.insert(res->category.end(), part.category.begin(),
+                         part.category.end());
+    res->flag.insert(res->flag.end(), part.flag.begin(), part.flag.end());
+    res->mapq.insert(res->mapq.end(), part.mapq.begin(), part.mapq.end());
+    res->pos.insert(res->pos.end(), part.pos.begin(), part.pos.end());
+    res->end_ref_pos.insert(res->end_ref_pos.end(), part.end_ref_pos.begin(),
+                            part.end_ref_pos.end());
+    res->end_query_pos.insert(res->end_query_pos.end(),
+                              part.end_query_pos.begin(),
+                              part.end_query_pos.end());
+    for (size_t i = 1; i < part.name_off.size(); ++i)
+      res->name_off.push_back(part.name_off[i] + name_base);
+    res->names += part.names;
+    for (int32_t a : part.obs_aln) res->obs_aln.push_back(a + (int32_t)aln_base);
+    res->obs_var.insert(res->obs_var.end(), part.obs_var.begin(),
+                        part.obs_var.end());
+    res->obs_kind.insert(res->obs_kind.end(), part.obs_kind.begin(),
+                         part.obs_kind.end());
+    res->obs_base.insert(res->obs_base.end(), part.obs_base.begin(),
+                         part.obs_base.end());
+    res->obs_flags.insert(res->obs_flags.end(), part.obs_flags.begin(),
+                          part.obs_flags.end());
+    res->obs_aux.insert(res->obs_aux.end(), part.obs_aux.begin(),
+                        part.obs_aux.end());
+    for (int64_t w : part.wd_obs) res->wd_obs.push_back(w + obs_base);
+    res->wd_off.insert(res->wd_off.end(), part.wd_off.begin(),
+                       part.wd_off.end());
+    res->wd_base.insert(res->wd_base.end(), part.wd_base.begin(),
+                        part.wd_base.end());
+    if (part.error) res->error = part.error;
+  }
+  return res;
+}
+
+int64_t lps_tag_sizes(void* rp, int64_t* n_aln, int64_t* n_obs,
+                      int64_t* names_len, int64_t* n_wd, int32_t* error) {
+  auto* r = (TagResult*)rp;
+  if (!r) return -1;
+  *n_aln = (int64_t)r->rec_idx.size();
+  *n_obs = (int64_t)r->obs_var.size();
+  *names_len = (int64_t)r->names.size();
+  *n_wd = (int64_t)r->wd_obs.size();
+  *error = r->error;
+  return 0;
+}
+
+int64_t lps_tag_fill(void* rp, int64_t* rec_idx, uint8_t* category,
+                     uint16_t* flag, uint8_t* mapq, int64_t* pos,
+                     int64_t* end_ref_pos, int64_t* end_query_pos,
+                     int64_t* name_off, char* names, int32_t* obs_aln,
+                     int32_t* obs_var, uint8_t* obs_kind, uint8_t* obs_base,
+                     uint8_t* obs_flags, int32_t* obs_aux, int64_t* wd_obs,
+                     int16_t* wd_off, uint8_t* wd_base) {
+  auto* r = (TagResult*)rp;
+  if (!r) return -1;
+  memcpy(rec_idx, r->rec_idx.data(), r->rec_idx.size() * 8);
+  memcpy(category, r->category.data(), r->category.size());
+  memcpy(flag, r->flag.data(), r->flag.size() * 2);
+  memcpy(mapq, r->mapq.data(), r->mapq.size());
+  memcpy(pos, r->pos.data(), r->pos.size() * 8);
+  memcpy(end_ref_pos, r->end_ref_pos.data(), r->end_ref_pos.size() * 8);
+  memcpy(end_query_pos, r->end_query_pos.data(), r->end_query_pos.size() * 8);
+  memcpy(name_off, r->name_off.data(), r->name_off.size() * 8);
+  memcpy(names, r->names.data(), r->names.size());
+  memcpy(obs_aln, r->obs_aln.data(), r->obs_aln.size() * 4);
+  memcpy(obs_var, r->obs_var.data(), r->obs_var.size() * 4);
+  memcpy(obs_kind, r->obs_kind.data(), r->obs_kind.size());
+  memcpy(obs_base, r->obs_base.data(), r->obs_base.size());
+  memcpy(obs_flags, r->obs_flags.data(), r->obs_flags.size());
+  memcpy(obs_aux, r->obs_aux.data(), r->obs_aux.size() * 4);
+  memcpy(wd_obs, r->wd_obs.data(), r->wd_obs.size() * 8);
+  memcpy(wd_off, r->wd_off.data(), r->wd_off.size() * 2);
+  memcpy(wd_base, r->wd_base.data(), r->wd_base.size());
+  return 0;
+}
+
+void lps_tag_free(void* rp) { delete (TagResult*)rp; }
+
+// Tag rewrite: emit a BAM with per-record HP/PS/PQ aux surgery.
+//   mode 0: passthrough; 1: strip HP/PS/PQ only;
+//   2: strip + HP:i + PS:i + PQ:i (germline);
+//   3: strip + HP:Z <hp_str> [+ PS:i unless ps==INT64_MIN] + PQ:i (somatic).
+int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
+                      int64_t n_out, const int64_t* rec_indices,
+                      const uint8_t* mode, const int32_t* hp_int,
+                      const int64_t* ps, const int32_t* pq,
+                      const char* hp_str_blob, const int64_t* hp_str_off,
+                      const char* out_path, int32_t level) {
+  auto* h = (BamHandle*)hp;
+  // header block
+  std::vector<uint8_t> head;
+  head.insert(head.end(), {'B', 'A', 'M', 1});
+  int32_t l_text = (int32_t)header_len;
+  head.insert(head.end(), (uint8_t*)&l_text, (uint8_t*)&l_text + 4);
+  head.insert(head.end(), (const uint8_t*)header_text,
+              (const uint8_t*)header_text + header_len);
+  int32_t n_ref = (int32_t)h->ref_names.size();
+  head.insert(head.end(), (uint8_t*)&n_ref, (uint8_t*)&n_ref + 4);
+  for (int32_t i = 0; i < n_ref; ++i) {
+    int32_t l_name = (int32_t)h->ref_names[i].size() + 1;
+    head.insert(head.end(), (uint8_t*)&l_name, (uint8_t*)&l_name + 4);
+    head.insert(head.end(), h->ref_names[i].begin(), h->ref_names[i].end());
+    head.push_back(0);
+    int32_t l_ref = (int32_t)h->ref_lens[i];
+    head.insert(head.end(), (uint8_t*)&l_ref, (uint8_t*)&l_ref + 4);
+  }
+
+  // record payload with aux surgery
+  std::vector<uint8_t> body;
+  body.reserve(h->data.size());
+  static const int aux_size[256] = {0};
+  auto type_size = [](uint8_t t) -> int {
+    switch (t) {
+      case 'A': case 'c': case 'C': return 1;
+      case 's': case 'S': return 2;
+      case 'i': case 'I': case 'f': return 4;
+      default: return -1;
+    }
+  };
+  (void)aux_size;
+  for (int64_t oi = 0; oi < n_out; ++oi) {
+    int64_t ri = rec_indices[oi];
+    const uint8_t* rec = &h->data[h->rec_off[ri]];
+    uint32_t rlen = h->rec_len[ri];
+    uint8_t m = mode[oi];
+    size_t body_rec_start = body.size();
+    body.resize(body.size() + 4);  // block_size placeholder
+    if (m == 0) {
+      body.insert(body.end(), rec, rec + rlen);
+    } else {
+      // copy up to aux, then filter aux entries
+      uint16_t n_cigar = rd_u16(rec + 12);
+      int32_t l_seq = rd_i32(rec + 16);
+      size_t aux_off =
+          32 + rec[8] + 4ull * n_cigar + ((size_t)l_seq + 1) / 2 + l_seq;
+      body.insert(body.end(), rec, rec + std::min((size_t)rlen, aux_off));
+      size_t i = aux_off;
+      while (i + 3 <= rlen) {
+        size_t start = i;
+        char c0 = rec[i], c1 = rec[i + 1];
+        uint8_t t = rec[i + 2];
+        i += 3;
+        int ts = type_size(t);
+        if (ts > 0) {
+          i += ts;
+        } else if (t == 'Z' || t == 'H') {
+          while (i < rlen && rec[i] != 0) ++i;
+          ++i;
+        } else if (t == 'B') {
+          int ss = type_size(rec[i]);
+          uint32_t cnt = rd_u32(rec + i + 1);
+          i += 5 + (size_t)(ss > 0 ? ss : 0) * cnt;
+        } else {
+          break;  // malformed; copy rest verbatim
+        }
+        bool is_hp_ps_pq =
+            (c0 == 'H' && c1 == 'P') || (c0 == 'P' && c1 == 'S') ||
+            (c0 == 'P' && c1 == 'Q');
+        if (!is_hp_ps_pq)
+          body.insert(body.end(), rec + start, rec + std::min((size_t)rlen, i));
+      }
+      auto app_int = [&](char a, char b, int32_t v) {
+        body.push_back(a);
+        body.push_back(b);
+        body.push_back('i');
+        body.insert(body.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+      };
+      if (m == 2) {
+        app_int('H', 'P', hp_int[oi]);
+        app_int('P', 'S', (int32_t)ps[oi]);
+        app_int('P', 'Q', pq[oi]);
+      } else if (m == 3) {
+        body.push_back('H');
+        body.push_back('P');
+        body.push_back('Z');
+        const char* s = hp_str_blob + hp_str_off[oi];
+        const char* e = hp_str_blob + hp_str_off[oi + 1];
+        body.insert(body.end(), s, e);
+        body.push_back(0);
+        if (ps[oi] != INT64_MIN) app_int('P', 'S', (int32_t)ps[oi]);
+        app_int('P', 'Q', pq[oi]);
+      }
+    }
+    int32_t bsz = (int32_t)(body.size() - body_rec_start - 4);
+    memcpy(&body[body_rec_start], &bsz, 4);
+  }
+
+  // compress header+body as one payload, parallel BGZF, plus EOF block
+  std::vector<uint8_t> payload;
+  payload.reserve(head.size() + body.size());
+  payload.insert(payload.end(), head.begin(), head.end());
+  payload.insert(payload.end(), body.begin(), body.end());
+  uint8_t* comp = nullptr;
+  int64_t comp_n = lps_bgzf_compress(payload.data(), (int64_t)payload.size(),
+                                     level, &comp);
+  FILE* f = fopen(out_path, "wb");
+  if (!f) {
+    free(comp);
+    return -1;
+  }
+  bool ok = fwrite(comp, 1, (size_t)comp_n, f) == (size_t)comp_n;
+  static const uint8_t EOF_BLOCK[28] = {
+      0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+      0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+  ok = ok && fwrite(EOF_BLOCK, 1, 28, f) == 28;
+  fclose(f);
+  free(comp);
+  return ok ? comp_n : -1;
+}
+
 // One-shot raw-deflate decode with known output size (per-BGZF-block).
 int64_t lps_inflate_raw(const uint8_t* src, int64_t n, uint8_t* out,
                         int64_t out_n) {
