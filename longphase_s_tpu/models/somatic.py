@@ -79,6 +79,23 @@ def _last_var_pos(variants_sorted, variants, genome_sample):
     return 0
 
 
+def _native_bams(cfg):
+    """Native handles for the normal/tumor BAMs, or (None, None) entries when
+    the native path is unavailable (CRAM input, no compiler, opt-out)."""
+    import os
+
+    from .. import native
+    from ..io.cram import is_cram
+
+    if os.environ.get("LPS_NO_NATIVE_TAG"):
+        return None, None
+    nor = None if is_cram(cfg.bam_file) else \
+        native.open_native_bam(cfg.bam_file)
+    tum = None if is_cram(cfg.tumor_bam_file) else \
+        native.open_native_bam(cfg.tumor_bam_file)
+    return nor, tum
+
+
 class SomaticCallState:
     """Holds per-chromosome caller outputs shared between stages."""
 
@@ -99,6 +116,8 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
     """SomaticVarCaller::variantCalling (SomaticVarCaller.cpp:796-905)."""
     state = SomaticCallState()
 
+    nor_nb, tum_nb = _native_bams(cfg)
+
     with timer("extracting data from normal BAM"):
         for chrom in chr_vec:
             variants = chr_multi.get(chrom, {})
@@ -106,9 +125,15 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
             last = _last_var_pos(positions, variants, NORMAL)
             ref_string = (fasta.fetch(chrom, 0, last + 6)
                           if chrom in fasta.index and positions else "")
-            state.nor_base[chrom] = extract_normal_chromosome(
-                cfg.bam_file, chrom, chr_length.get(chrom), positions,
-                variants, ref_string, sv_counts, cfg, fasta=fasta)
+            if nor_nb is not None:
+                from ..core.somatic_fast import extract_normal_chromosome_fast
+                state.nor_base[chrom] = extract_normal_chromosome_fast(
+                    nor_nb, chrom, chr_length.get(chrom), positions,
+                    variants, ref_string, sv_counts, cfg)
+            else:
+                state.nor_base[chrom] = extract_normal_chromosome(
+                    cfg.bam_file, chrom, chr_length.get(chrom), positions,
+                    variants, ref_string, sv_counts, cfg, fasta=fasta)
 
     with timer("extracting data from tumor BAM"):
         for chrom in chr_vec:
@@ -117,10 +142,17 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
             last = _last_var_pos(positions, variants, TUMOR)
             ref_string = (fasta.fetch(chrom, 0, last + 6)
                           if chrom in fasta.index and positions else "")
-            (state.somatic_info[chrom], state.read_hp_sets[chrom],
-             state.pos_read_corr[chrom]) = extract_tumor_chromosome(
-                cfg.tumor_bam_file, chrom, chr_length.get(chrom), positions,
-                variants, ref_string, cfg, fasta=fasta)
+            if tum_nb is not None:
+                from ..core.somatic_fast import extract_tumor_chromosome_fast
+                (state.somatic_info[chrom], state.read_hp_sets[chrom],
+                 state.pos_read_corr[chrom]) = extract_tumor_chromosome_fast(
+                    tum_nb, chrom, chr_length.get(chrom), positions,
+                    variants, ref_string, cfg)
+            else:
+                (state.somatic_info[chrom], state.read_hp_sets[chrom],
+                 state.pos_read_corr[chrom]) = extract_tumor_chromosome(
+                    cfg.tumor_bam_file, chrom, chr_length.get(chrom), positions,
+                    variants, ref_string, cfg, fasta=fasta)
 
     if cfg.estimate_tumor_purity:
         est = PurityEstimator(chr_vec, state.nor_base, state.somatic_info,
@@ -683,6 +715,156 @@ def write_somatic_vcf(tumor_snv_file, out_path, chr_multi, somatic_flags,
 # Somatic tagging pass
 # ---------------------------------------------------------------------------
 
+def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
+                      somatic_flags, nor_info, fasta, stats):
+    """Vectorized tumor-BAM tagging (SomaticHaplotagChrProcessor +
+    SomaticHaplotagStrategy, SomaticHaplotagProcess.cpp:310-536) over the
+    native walk; writes HP:Z/PS:i/PQ:i with the native tag writer."""
+    from .. import native
+    from ..core.somatic_fast import (build_somatic_tables, judge_somatic_reads,
+                                     nor_ps_aggregate, obs_is_alt,
+                                     somatic_match_votes)
+    from ..io.bam import region_bounds
+
+    hdr_reader = BamReader(cfg.tumor_bam_file)
+    header = hdr_reader.header_text
+    if header and not header.endswith("\n"):
+        header += "\n"
+    header += (f"@PG\tID:longphase-s\tPN:longphase-s\tVN:{REFERENCE_VERSION}"
+               f"\tCL:{cfg.command}\n")
+    ref_ids = hdr_reader.ref_id
+    hdr_reader.close()
+    sv_counts = nor_info.read_sv_hap_count
+
+    all_rec, all_mode, all_ps, all_pq = [], [], [], []
+    hp_strs: list[str] = []
+
+    for chrom in chr_vec:
+        if chrom not in ref_ids:
+            continue
+        variants = chr_multi.get(chrom, {})
+        positions = sorted(variants)
+        last = _last_var_pos(positions, variants, TUMOR)
+        ref_string = (fasta.fetch(chrom, 0, last + 6)
+                      if chrom in fasta.index and positions else "")
+        chrom_len = chr_length.get(chrom)
+        beg, end = region_bounds(cfg.region, chrom_len) if cfg.region \
+            else (0, chrom_len)
+        last_var = positions[-1] if positions else None
+        walk = tum_nb.tag_walk(chrom, beg, end, positions, last_var,
+                               ref_string, cfg.quality_threshold, True,
+                               cfg.tag_supplementary)
+        if walk is None:
+            continue
+        t = build_somatic_tables(positions, variants)
+        flags = somatic_flags.get(chrom, {})
+        n_var = len(positions)
+        is_som = np.zeros(n_var, bool)
+        derive = np.zeros(n_var, np.int8)
+        for i, p in enumerate(positions):
+            if p in flags:
+                is_som[i] = True
+                derive[i] = flags[p]
+
+        vi = walk["obs_var"]
+        al = walk["obs_aln"]
+        A = len(walk["category"])
+        is_alt = obs_is_alt(walk, t)
+        votes = somatic_match_votes(walk, t, is_alt, "haplotag",
+                                    is_somatic=is_som)
+        h1_cnt = np.bincount(al[votes["h1"]], minlength=A).astype(np.int64)
+        h2_cnt = np.bincount(al[votes["h2"]], minlength=A).astype(np.int64)
+        h3_cnt = np.bincount(al[votes["h3"]], minlength=A).astype(np.int64)
+        n_ps, min_ps, _triples = nor_ps_aggregate(walk, t, votes["cps_nor"])
+
+        if sv_counts:
+            names = walk["names"]
+            noff = walk["name_off"]
+            for a in np.flatnonzero(walk["category"] == 0):
+                entry = sv_counts.get(names[noff[a]:noff[a + 1]])
+                if entry is not None:
+                    h1_cnt[a] += entry[0]
+                    h2_cnt[a] += entry[1]
+
+        hp, pq, _nsim, high_sim, cross, without = judge_somatic_reads(
+            h1_cnt, h2_cnt, h3_cnt, n_ps, cfg.percentage_threshold)
+
+        # inheritHaplotype (SomaticHaplotagProcess.cpp:461-527)
+        h3_idx = np.flatnonzero(votes["h3"])
+        dv = derive[vi[h3_idx]]
+        d1 = np.bincount(al[h3_idx[dv == GERMLINE_H1]],
+                         minlength=A).astype(np.int64)
+        d2 = np.bincount(al[h3_idx[dv == GERMLINE_H2]],
+                         minlength=A).astype(np.int64)
+        mx = np.maximum(d1, d2).astype(np.float32)
+        mn = np.minimum(d1, d2).astype(np.float32)
+        with np.errstate(invalid="ignore"):
+            sim = np.where(mx > 0, mx / (mx + mn), np.float32(0.0))
+        inherit = (hp == RH_H3) & (sim >= cfg.percentage_threshold)
+        hp[inherit & (d1 > d2)] = RH_H1_1
+        hp[inherit & ~(d1 > d2)] = RH_H2_1
+
+        cat = walk["category"]
+        flag = walk["flag"]
+        stats.total_alignment += A
+        cat_counts = np.bincount(cat, minlength=7)
+        stats.total_lower_quality += int(cat_counts[1])
+        stats.total_unmapped += int(cat_counts[2])
+        stats.total_secondary += int(cat_counts[3])
+        stats.total_supplementary += int(cat_counts[4])
+        stats.total_empty_variant += int(cat_counts[5])
+        stats.total_other_case += int(cat_counts[6])
+        proc = cat == 0
+        stats.total_supplementary += int(
+            np.count_nonzero(proc & ((flag & 0x800) != 0)))
+        stats.total_high_similarity += int(np.count_nonzero(high_sim[proc]))
+        stats.total_cross_two_block += int(np.count_nonzero(cross[proc]))
+        stats.total_without_variant += int(np.count_nonzero(without[proc]))
+        tagged = proc & (hp != RH_UNTAG)
+        n_tag = int(np.count_nonzero(tagged))
+        stats.total_tag_count += n_tag
+        stats.total_untag_count += A - n_tag
+        for cls in (RH_H1, RH_H2, RH_H1_1, RH_H2_1, RH_H3):
+            n = int(np.count_nonzero(tagged & (hp == cls)))
+            if n:
+                stats.hp_count[cls] = stats.hp_count.get(cls, 0) + n
+        n_untag_proc = int(np.count_nonzero(proc)) - n_tag
+        if n_untag_proc:
+            stats.hp_count[RH_UNTAG] = \
+                stats.hp_count.get(RH_UNTAG, 0) + n_untag_proc
+
+        # PS value (SomaticHaplotagProcess.cpp:409-430)
+        ps = min_ps.copy()
+        germline_tag = tagged & ((hp == RH_H1) | (hp == RH_H2))
+        somatic_tag = tagged & ~germline_tag
+        ps[germline_tag & (n_ps == 0)] = 0
+        ps[somatic_tag & (n_ps == 0)] = native.PS_OMIT
+
+        mode = np.zeros(A, np.uint8)
+        mode[proc] = 1
+        mode[tagged] = 3
+        all_rec.append(walk["rec_idx"])
+        all_mode.append(mode)
+        all_ps.append(ps)
+        all_pq.append(pq)
+        hp_strs.extend(READ_HP_STR[int(h)] if m == 3 else ""
+                       for h, m in zip(hp, mode))
+
+    if all_rec:
+        rec = np.concatenate(all_rec)
+        ok = tum_nb.tag_write(header, rec, np.concatenate(all_mode),
+                              np.zeros(len(rec), np.int32),
+                              np.concatenate(all_ps), np.concatenate(all_pq),
+                              hp_strs, cfg.result_prefix + ".bam")
+    else:
+        ok = tum_nb.tag_write(header, np.zeros(0, np.int64),
+                              np.zeros(0, np.uint8), np.zeros(0, np.int32),
+                              np.zeros(0, np.int64), np.zeros(0, np.int32),
+                              [], cfg.result_prefix + ".bam")
+    if not ok:
+        raise RuntimeError("native tag write failed")
+
+
 class SomaticTagWalker(CigarWalk):
     """SomaticHaplotagCigarParser (SomaticHaplotagProcess.cpp:538-579)."""
 
@@ -884,6 +1066,15 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
             benchmark.remove_variants_out_bed(chr_multi, in_bed_flags)
 
     # ---- tag tumor BAM (SINGLE_THREAD + output) --------------------------
+    _nor_nb, tum_nb = _native_bams(cfg)
+    if tum_nb is not None and not (cfg.write_read_log or cfg.write_calling_log
+                                   or benchmark.enabled or cfg.output_cram):
+        with timer("tag read"):
+            _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
+                              somatic_flags, nor_info, fasta, stats)
+        _print_somatic_report(stats)
+        return stats
+
     from ..io.cram import CramWriter, open_alignment
     bam = open_alignment(cfg.tumor_bam_file, fasta)
     header = bam.header_text
@@ -1061,6 +1252,11 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
         benchmark.write_bed_region_log(chr_vec, chr_multi, in_bed_flags,
                                        cfg.result_prefix)
 
+    _print_somatic_report(stats)
+    return stats
+
+
+def _print_somatic_report(stats):
     print("-------------------------------------------", file=sys.stderr)
     print(f"total alignment           : {stats.total_alignment}", file=sys.stderr)
     print(f"total tagged alignments   : {stats.total_tag_count}", file=sys.stderr)
@@ -1068,7 +1264,6 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
         print(f"    L----total HP{READ_HP_STR[hp]}     : "
               f"{stats.hp_count.get(hp, 0)}", file=sys.stderr)
     print(f"total untagged            : {stats.total_untag_count}", file=sys.stderr)
-    return stats
 
 
 def run_estimate_purity(cfg: SomaticConfig) -> float:
@@ -1091,6 +1286,7 @@ def run_estimate_purity(cfg: SomaticConfig) -> float:
     fasta = FastaFile(cfg.fasta_file)
 
     state = SomaticCallState()
+    nor_nb, tum_nb = _native_bams(cfg)
     with timer("extracting data from normal BAM"):
         for chrom in chr_vec:
             variants = chr_multi.get(chrom, {})
@@ -1098,9 +1294,15 @@ def run_estimate_purity(cfg: SomaticConfig) -> float:
             last = _last_var_pos(positions, variants, NORMAL)
             ref_string = (fasta.fetch(chrom, 0, last + 6)
                           if chrom in fasta.index and positions else "")
-            state.nor_base[chrom] = extract_normal_chromosome(
-                cfg.bam_file, chrom, chr_length.get(chrom), positions,
-                variants, ref_string, nor_info.read_sv_hap_count, cfg)
+            if nor_nb is not None:
+                from ..core.somatic_fast import extract_normal_chromosome_fast
+                state.nor_base[chrom] = extract_normal_chromosome_fast(
+                    nor_nb, chrom, chr_length.get(chrom), positions,
+                    variants, ref_string, nor_info.read_sv_hap_count, cfg)
+            else:
+                state.nor_base[chrom] = extract_normal_chromosome(
+                    cfg.bam_file, chrom, chr_length.get(chrom), positions,
+                    variants, ref_string, nor_info.read_sv_hap_count, cfg)
     with timer("extracting data from tumor BAM"):
         for chrom in chr_vec:
             variants = chr_multi.get(chrom, {})
@@ -1108,10 +1310,17 @@ def run_estimate_purity(cfg: SomaticConfig) -> float:
             last = _last_var_pos(positions, variants, TUMOR)
             ref_string = (fasta.fetch(chrom, 0, last + 6)
                           if chrom in fasta.index and positions else "")
-            (state.somatic_info[chrom], state.read_hp_sets[chrom],
-             state.pos_read_corr[chrom]) = extract_tumor_chromosome(
-                cfg.tumor_bam_file, chrom, chr_length.get(chrom), positions,
-                variants, cfg=cfg, ref_string=ref_string)
+            if tum_nb is not None:
+                from ..core.somatic_fast import extract_tumor_chromosome_fast
+                (state.somatic_info[chrom], state.read_hp_sets[chrom],
+                 state.pos_read_corr[chrom]) = extract_tumor_chromosome_fast(
+                    tum_nb, chrom, chr_length.get(chrom), positions,
+                    variants, ref_string, cfg)
+            else:
+                (state.somatic_info[chrom], state.read_hp_sets[chrom],
+                 state.pos_read_corr[chrom]) = extract_tumor_chromosome(
+                    cfg.tumor_bam_file, chrom, chr_length.get(chrom), positions,
+                    variants, cfg=cfg, ref_string=ref_string)
 
     est = PurityEstimator(chr_vec, state.nor_base, state.somatic_info,
                           cfg.write_calling_log, cfg.result_prefix)
