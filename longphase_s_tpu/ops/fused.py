@@ -85,6 +85,177 @@ fused_pack_scan_jit = jax.jit(
                      "use_pallas", "interpret"))
 
 
+def device_assemble_blocks(assigned, hp, bstart, positions, S: int):
+    """Block assembly on device (vectorized assemble_blocks,
+    PhasingGraph.cpp:423-467): contiguous member runs sharing a block start,
+    single-member runs dropped, orientation = parity of hp flips within the
+    run. Element-exact vs ops.vote_scan.assemble_blocks."""
+    S_pad = assigned.shape[0]
+    idx = jnp.arange(S_pad, dtype=I32)
+    member = assigned & (idx != S - 1) & (idx < S)
+    midx = jnp.where(member, idx, I32(-1))
+    prev_incl = jax.lax.cummax(midx)
+    prev_excl = jnp.concatenate([jnp.full((1,), -1, I32), prev_incl[:-1]])
+    has_prev = prev_excl >= 0
+    pe = jnp.maximum(prev_excl, 0)
+    same_run = member & has_prev & (bstart[pe] == bstart[idx])
+    flip = same_run & (hp[pe] != hp[idx])
+    run_start = member & ~same_run
+    cums = jnp.cumsum(flip.astype(I32))
+    rs_idx = jax.lax.cummax(jnp.where(run_start, idx, I32(-1)))
+    ori = jnp.where(member, (cums - cums[jnp.maximum(rs_idx, 0)]) % 2, 0)
+    # next member's same_run flag decides whether a run start survives
+    rev_midx = jnp.where(member, idx, I32(S_pad))[::-1]
+    next_incl = jax.lax.cummin(rev_midx)[::-1]
+    next_excl = jnp.concatenate([next_incl[1:], jnp.full((1,), S_pad, I32)])
+    has_next = next_excl < S_pad
+    ne = jnp.minimum(next_excl, S_pad - 1)
+    next_same = has_next & same_run[ne]
+    keep = member & (same_run | next_same)
+    ps = jnp.where(keep, positions[jnp.maximum(bstart, 0)] + 1, 0)
+    return ps.astype(I32), ori.astype(jnp.int8)
+
+
+def device_read_correction(ps, ori, vtype, obs_rank, obs_allele, obs_aln,
+                           A_pad: int, read_confidence, snp_confidence):
+    """readCorrection on device (PhasingGraph.cpp:891-1029): per-alignment
+    haplotype scoring (x10 integer weights), confident-read re-vote of every
+    site. Counts stay integral; ratio compares run in f32 (count granularity
+    ~5e-7 over these totals keeps boundary behavior identical to f64).
+
+    All three obs arrays may be any permutation of the observation stream
+    (everything here is a segment sum) — run_fused_phase passes the merged
+    stream plus a per-observation alignment id to avoid a second upload."""
+    S_pad = ps.shape[0]
+    vt = vtype[obs_rank]
+    from ..core.phase_algo import T_DANGER, T_INDEL, T_MOD, T_SNP, T_SV
+
+    valid = obs_aln >= 0
+    aln = jnp.where(valid, obs_aln, 0)
+    phased = ps[obs_rank] != 0
+    w10 = jnp.zeros(obs_rank.shape[0], I32)
+    w10 = jnp.where((vt == T_SNP) | (vt == T_SV), 10, w10)
+    w10 = jnp.where((vt == T_INDEL) | (vt == T_DANGER), 1, w10)
+    w10 = jnp.where(vt == T_MOD, 0, w10)
+    w10 = jnp.where(phased & valid, w10, 0)
+    obs_hap = jnp.where(obs_allele == 0, ori[obs_rank],
+                        1 - ori[obs_rank]).astype(I32)
+    ref10 = jnp.zeros(A_pad, I32).at[aln].add(w10 * (obs_hap == 0))
+    alt10 = jnp.zeros(A_pad, I32).at[aln].add(w10 * (obs_hap == 1))
+    total10 = ref10 + alt10
+    mx = jnp.maximum(ref10, alt10).astype(jnp.float32)
+    ratio = jnp.where(total10 > 0, mx / jnp.maximum(total10, 1).astype(jnp.float32),
+                      0.0)
+    confident = (total10 > 0) & (ratio > read_confidence) & (total10 > 10)
+    belong = jnp.where(ref10 > alt10, 0, 1).astype(I32)
+
+    sel = confident[aln] & valid & ((obs_allele == 0) | (obs_allele == 1))
+    lin = (belong[aln] * 2 + obs_allele.astype(I32)) * S_pad + obs_rank
+    counts = jnp.zeros(4 * S_pad, I32).at[lin].add(sel.astype(I32))
+    counts = counts.reshape(4, S_pad)
+    result1 = counts[0] + counts[3]
+    result2 = counts[2] + counts[1]
+    total = result1 + result2
+    conf = jnp.where(total > 0,
+                     jnp.maximum(result1, result2).astype(jnp.float32)
+                     / jnp.maximum(total, 1).astype(jnp.float32), 0.0)
+    keep = (total > 0) & (conf > snp_confidence) & (result1 != result2)
+    new_ps = jnp.where(keep, ps, 0)
+    new_ori = jnp.where(result1 > result2, 0, 1).astype(jnp.int8)
+    return new_ps, new_ori
+
+
+def _fused_phase(m_read, m_rank, m_allele, m_qok, m_aln, gap, vtype,
+                 vtype_band, valid_band, positions,
+                 S, S_pad, A_pad, window, distance, edge_threshold_x10,
+                 read_confidence, snp_confidence, use_pallas, interpret):
+    counts_hi, counts_lo = device_pair_counts(m_read, m_rank, m_allele,
+                                              m_qok, S_pad, window)
+    if use_pallas:
+        from .pallas_scan import vote_scan_pallas
+
+        assigned, hp, bstart = vote_scan_pallas(
+            counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
+            window=window, distance=distance,
+            edge_threshold_x10=edge_threshold_x10, interpret=interpret)
+    else:
+        from .vote_scan import vote_scan_core
+
+        assigned, hp, bstart = vote_scan_core(
+            counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
+            window=window, distance=distance,
+            edge_threshold_x10=edge_threshold_x10)
+    ps, ori = device_assemble_blocks(assigned.astype(bool), hp.astype(I32),
+                                     bstart.astype(I32), positions, S)
+    new_ps, new_ori = device_read_correction(
+        ps, ori, vtype, m_rank, m_allele, m_aln, A_pad,
+        read_confidence, snp_confidence)
+    return jnp.stack([new_ps, new_ori.astype(I32)])
+
+
+fused_phase_jit = jax.jit(
+    _fused_phase,
+    static_argnames=("S", "S_pad", "A_pad", "window", "distance",
+                     "edge_threshold_x10", "read_confidence", "snp_confidence",
+                     "use_pallas", "interpret"))
+
+
+def run_fused_phase(m_read, m_rank, m_allele, m_qok, m_aln, positions, vtype,
+                    n_aln: int, params, use_pallas: bool,
+                    interpret: bool = False):
+    """One-RPC phase compute: pair pack + vote scan + block assembly + read
+    correction on device. Returns (ps, ori) numpy arrays of length S.
+
+    The merged observation stream (m_*) drives BOTH the pair packer and the
+    read-correction segment sums — read correction is permutation-invariant,
+    so the sorted stream plus its per-observation alignment id (m_aln) avoids
+    a second upload of the unsorted stream."""
+    W = params.connect_adjacent
+    S = len(positions)
+    S_pad = max(256, 1 << int(np.ceil(np.log2(S))))
+    No = len(m_read)
+    No_pad = max(1024, 1 << int(np.ceil(np.log2(max(No, 1)))))
+    A_pad = max(256, 1 << int(np.ceil(np.log2(max(n_aln, 1)))))
+
+    def pad_to(a, n, fill, dtype):
+        out = np.full(n, fill, dtype)
+        out[:len(a)] = a
+        return out
+
+    m_read_p = pad_to(m_read, No_pad, -1, np.int32)
+    m_rank_p = pad_to(m_rank, No_pad, 0, np.int32)
+    m_allele_p = pad_to(m_allele, No_pad, 0, np.int8)
+    m_qok_p = pad_to(m_qok, No_pad, False, bool)
+    m_aln_p = pad_to(m_aln, No_pad, -1, np.int32)
+
+    gap = np.full(S_pad, np.iinfo(np.int32).max, dtype=np.int32)
+    if S > 1:
+        gap[:S - 1] = np.minimum(np.diff(positions),
+                                 np.iinfo(np.int32).max).astype(np.int32)
+    ranks = np.arange(S)
+    tgt = ranks[:, None] + np.arange(1, W + 1)[None, :]
+    valid_band = np.zeros((S_pad, W), dtype=bool)
+    valid_band[:S] = tgt < S
+    vtype_band = np.zeros((S_pad, W), dtype=np.int8)
+    vtype_band[:S] = np.where(tgt < S, vtype[np.minimum(tgt, S - 1)], 0)
+    vtype_p = np.zeros(S_pad, dtype=np.int8)
+    vtype_p[:S] = vtype
+    positions_p = np.zeros(S_pad, dtype=np.int32)
+    positions_p[:S] = positions
+
+    out = np.array(fused_phase_jit(
+        jnp.asarray(m_read_p), jnp.asarray(m_rank_p), jnp.asarray(m_allele_p),
+        jnp.asarray(m_qok_p), jnp.asarray(m_aln_p), jnp.asarray(gap),
+        jnp.asarray(vtype_p), jnp.asarray(vtype_band),
+        jnp.asarray(valid_band), jnp.asarray(positions_p),
+        S=S, S_pad=S_pad, A_pad=A_pad, window=W, distance=params.distance,
+        edge_threshold_x10=float(params.edge_threshold) * 10.0,
+        read_confidence=float(params.read_confidence),
+        snp_confidence=float(params.snp_confidence),
+        use_pallas=use_pallas, interpret=interpret))
+    return out[0, :S].astype(np.int64), out[1, :S].astype(np.int8)
+
+
 def run_fused_pack_scan(m_read, m_rank, m_allele, m_qok, positions, vtype,
                         params, use_pallas: bool, interpret: bool = False):
     """Host wrapper: pad the observation stream and site axis to power-of-2

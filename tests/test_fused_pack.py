@@ -41,7 +41,7 @@ def test_device_counts_match_host(seed):
     params = PhaseParams()
     obs_pos, obs_allele, obs_qual, offsets, names = _random_flat(seed)
     packed = pack_flat(obs_pos, obs_allele, obs_qual, offsets, names, params)
-    positions, vtype, rank, m_read, m_rank, m_allele, m_qok = \
+    positions, vtype, rank, m_read, m_rank, m_allele, m_qok, _m_aln = \
         merge_observations(obs_pos, obs_allele, obs_qual, offsets, names,
                            params)
     S = len(positions)
@@ -62,7 +62,7 @@ def test_fused_scan_matches_classic(seed):
     obs_pos, obs_allele, obs_qual, offsets, names = _random_flat(seed)
     packed = pack_flat(obs_pos, obs_allele, obs_qual, offsets, names, params)
     ps0, ori0 = run_vote_scan(packed, params)
-    positions, vtype, rank, m_read, m_rank, m_allele, m_qok = \
+    positions, vtype, rank, m_read, m_rank, m_allele, m_qok, _m_aln = \
         merge_observations(obs_pos, obs_allele, obs_qual, offsets, names,
                            params)
     assigned, hp, bstart = run_fused_pack_scan(

@@ -1,0 +1,51 @@
+"""run_fused_phase (device pack+scan+assemble+read-correction in one jit)
+must be element-exact vs the host pipeline (pack_flat -> run_vote_scan ->
+assemble_blocks -> read_correction_packed)."""
+
+import numpy as np
+import pytest
+
+from longphase_s_tpu.core import fastpath
+from longphase_s_tpu.core.phase_algo import PhaseParams
+from longphase_s_tpu.ops.fused import run_fused_phase
+from longphase_s_tpu.ops.read_correction import read_correction_packed
+from longphase_s_tpu.ops.vote_scan import run_vote_scan
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_phase_matches_host(seed):
+    rng = np.random.default_rng(seed)
+    S = int(rng.integers(5, 500))
+    A = int(rng.integers(3, 250))
+    positions = np.sort(rng.choice(np.arange(S * 120), size=S,
+                                   replace=False)).astype(np.int64)
+    params = PhaseParams()
+    chunks = []
+    names = []
+    for _ in range(A):
+        start = int(rng.integers(0, S))
+        ln = int(rng.integers(1, min(60, S - start) + 1))
+        idx = np.arange(start, start + ln)
+        chunks.append((idx, rng.integers(0, 2, size=ln),
+                       rng.choice([30, 5, -4, -5, -1, -2], size=ln)))
+        names.append(f"r{int(rng.integers(0, A))}")
+    obs_pos = np.concatenate([positions[i] for i, _, _ in chunks])
+    obs_allele = np.concatenate([a for _, a, _ in chunks]).astype(np.int8)
+    obs_qual = np.concatenate([q for _, _, q in chunks]).astype(np.int16)
+    aln_offsets = np.concatenate(
+        [[0], np.cumsum([len(i) for i, _, _ in chunks])]).astype(np.int64)
+
+    positions_u, vtype, rank, m_read, m_rank, m_allele, m_qok, m_aln = \
+        fastpath.merge_observations(obs_pos, obs_allele, obs_qual,
+                                    aln_offsets, names, params)
+    packed = fastpath.pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets,
+                                names, params)
+    ps0, ori0 = run_vote_scan(packed, params)
+    ps1, ori1, _ = read_correction_packed(packed, ps0, ori0, params)
+
+    ps2, ori2 = run_fused_phase(
+        m_read, m_rank, m_allele, m_qok, m_aln, positions_u, vtype,
+        len(aln_offsets) - 1, params, use_pallas=False)
+    assert np.array_equal(ps1, ps2)
+    phased = ps1 != 0
+    assert np.array_equal(ori1[phased], ori2[phased])
