@@ -328,55 +328,60 @@ class MethBamParser:
                 mod_reads_out.append(new)
 
     def export_result(self, chrom, chr_seq, chr_len, pass_positions, out):
-        """exportResult (ModCallParsingBam.cpp:431-593)."""
-        cfg = self.cfg
+        export_result(self.cfg, self.chr_meth, chrom, chr_seq, chr_len,
+                      pass_positions, out)
 
-        def write_pos(pos):
-            info = self.chr_meth.get(pos)
-            if info is None:
-                return False
-            if chr_len < pos:
-                return None  # 'continue' semantics
-            ref = chr_seq[pos:pos + 1]
-            if ref.upper() not in ("A", "T", "C", "G"):
-                return None
-            if info.strand == 1:
-                strandinfo = "RS=N;"
-            elif info.strand == 0:
-                strandinfo = "RS=P;"
-            else:
-                return None
-            infostr = ""
-            if info.mod_reads:
-                infostr += "MR=" + ",".join(info.mod_reads) + ";"
-            if info.nonmod_reads:
-                infostr += "NR=" + ",".join(info.nonmod_reads) + ";"
-            if cfg.output_all_mod or info.heterstatus == "0/1":
-                sample = (f"{info.heterstatus}:{info.methreadcnt}:"
-                          f"{info.canonreadcnt}:{info.depth}")
-                out.append(f"{chrom}\t{pos + 1}\t.\t{ref}\tN\t.\tPASS\t"
-                           f"{strandinfo}{infostr}\tGT:MD:UD:DP\t{sample}\n")
-            return True
 
-        if cfg.output_all_mod:
-            for pos in sorted(self.chr_meth):
-                r = write_pos(pos)
-                if r is None:
-                    return  # reference 'return' on abnormal pos in all-mode
+def export_result(cfg, chr_meth, chrom, chr_seq, chr_len, pass_positions,
+                  out):
+    """exportResult (ModCallParsingBam.cpp:431-593)."""
+
+    def write_pos(pos):
+        info = chr_meth.get(pos)
+        if info is None:
+            return False
+        if chr_len < pos:
+            return None  # 'continue' semantics
+        ref = chr_seq[pos:pos + 1]
+        if ref.upper() not in ("A", "T", "C", "G"):
+            return None
+        if info.strand == 1:
+            strandinfo = "RS=N;"
+        elif info.strand == 0:
+            strandinfo = "RS=P;"
         else:
-            processed = set()
-            for pos in pass_positions:
-                if pos in processed:
+            return None
+        infostr = ""
+        if info.mod_reads:
+            infostr += "MR=" + ",".join(info.mod_reads) + ";"
+        if info.nonmod_reads:
+            infostr += "NR=" + ",".join(info.nonmod_reads) + ";"
+        if cfg.output_all_mod or info.heterstatus == "0/1":
+            sample = (f"{info.heterstatus}:{info.methreadcnt}:"
+                      f"{info.canonreadcnt}:{info.depth}")
+            out.append(f"{chrom}\t{pos + 1}\t.\t{ref}\tN\t.\tPASS\t"
+                       f"{strandinfo}{infostr}\tGT:MD:UD:DP\t{sample}\n")
+        return True
+
+    if cfg.output_all_mod:
+        for pos in sorted(chr_meth):
+            r = write_pos(pos)
+            if r is None:
+                return  # reference 'return' on abnormal pos in all-mode
+    else:
+        processed = set()
+        for pos in pass_positions:
+            if pos in processed:
+                continue
+            if pos in chr_meth:
+                if write_pos(pos) is None:
+                    continue  # abnormal pos: reference skips the insert too
+            processed.add(pos)
+            nxt = pos + 1
+            if nxt in chr_meth and nxt not in processed:
+                if write_pos(nxt) is None:
                     continue
-                if pos in self.chr_meth:
-                    if write_pos(pos) is None:
-                        continue  # abnormal pos: reference skips the insert too
-                processed.add(pos)
-                nxt = pos + 1
-                if nxt in self.chr_meth and nxt not in processed:
-                    if write_pos(nxt) is None:
-                        continue
-                    processed.add(nxt)
+                processed.add(nxt)
 
 
 # ---------------------------------------------------------------------------
@@ -612,6 +617,13 @@ def run_modcall(cfg: ModCallConfig):
                 vcf_io.mark_danger_indels(variants, chr_seq)
             positions = sorted(variants) if has_snp else []
             infos = [variants[p] for p in positions]
+            from .modcall_fast import run_chrom_fast
+            out_fast: list[str] = []
+            if run_chrom_fast(cfg, chrom, chrom_len, chr_seq, positions,
+                              infos, has_snp, out_fast):
+                results[chrom] = out_fast
+                print(f"({chrom})", end="", file=sys.stderr)
+                continue
             parser = MethBamParser(cfg, positions, infos, chr_seq)
             reads: list[ModRead] = []
             for bam_path in cfg.bam_files:

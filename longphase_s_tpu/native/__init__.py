@@ -248,6 +248,24 @@ def _tag_bind(lib):
     ]
 
 
+def _modcall_bind(lib):
+    if getattr(lib, "_modcall_bound", False):
+        return
+    lib._modcall_bound = True
+    ct = ctypes
+    lib.lps_modcall_walk.restype = ct.c_void_p
+    lib.lps_modcall_walk.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.c_int64, ct.c_int64, ct.c_void_p,
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ct.c_char_p, ct.c_int64, ct.c_double, ct.c_double,
+    ]
+    lib.lps_modcall_sizes.restype = ct.c_int64
+    lib.lps_modcall_sizes.argtypes = [ct.c_void_p] + [ct.c_void_p] * 9
+    lib.lps_modcall_fill.restype = ct.c_int64
+    lib.lps_modcall_fill.argtypes = [ct.c_void_p] + [ct.c_void_p] * 20
+    lib.lps_modcall_free.argtypes = [ct.c_void_p]
+
+
 class NativeBam:
     """Whole-file native BAM handle: one parallel BGZF inflate + record index,
     reused across per-chromosome walks and the tag rewrite."""
@@ -349,6 +367,75 @@ class NativeBam:
             return out
         finally:
             lib.lps_tag_free(handle)
+
+    def modcall_walk(self, chrom: str, chrom_len: int, var_pos, var_ref0,
+                     var_alt0, var_reflen, var_altlen, var_danger,
+                     ref_string: str, mod_hi: float, mod_lo: float):
+        """Native MM/ML + methylation CIGAR walk (MethBamParser oracle).
+        Returns dict of numpy arrays or None when the chromosome is absent."""
+        _modcall_bind(self._lib)
+        tid = self.tid(chrom)
+        if tid < 0:
+            return None
+        var_pos = np.ascontiguousarray(var_pos, np.int64)
+        var_ref0 = np.ascontiguousarray(var_ref0, np.uint8)
+        var_alt0 = np.ascontiguousarray(var_alt0, np.uint8)
+        var_reflen = np.ascontiguousarray(var_reflen, np.int32)
+        var_altlen = np.ascontiguousarray(var_altlen, np.int32)
+        var_danger = np.ascontiguousarray(var_danger, np.uint8)
+        ref_b = ref_string.encode("ascii")
+        lib = self._lib
+        handle = lib.lps_modcall_walk(
+            self._h, tid, chrom_len, len(var_pos), var_pos.ctypes.data,
+            var_ref0.ctypes.data, var_alt0.ctypes.data,
+            var_reflen.ctypes.data, var_altlen.ctypes.data,
+            var_danger.ctypes.data, ref_b, len(ref_b), mod_hi, mod_lo)
+        if not handle:
+            return None
+        try:
+            c = [ctypes.c_int64() for _ in range(8)]
+            error = ctypes.c_int32()
+            lib.lps_modcall_sizes(handle, *[ctypes.byref(x) for x in c],
+                                  ctypes.byref(error))
+            R, U, NL, A, E, M, MR, NR = [x.value for x in c]
+            out = {
+                "name_off": np.empty(U + 1, np.int64),
+                "r_nameid": np.empty(R, np.int32),
+                "aread": np.empty(A, np.int32),
+                "aread_off": np.empty(A + 1, np.int64),
+                "ev_pos": np.empty(E, np.int64),
+                "ev_allele": np.empty(E, np.int8),
+                "ev_qual": np.empty(E, np.int16),
+                "ev_vtype": np.empty(E, np.uint8),
+                "m_pos": np.empty(M, np.int64),
+                "m_meth": np.empty(M, np.int32),
+                "m_canon": np.empty(M, np.int32),
+                "m_noise": np.empty(M, np.int32),
+                "m_depth": np.empty(M, np.int32),
+                "m_strand": np.empty(M, np.int8),
+                "m_vtype": np.empty(M, np.uint8),
+                "mr_idx": np.empty(MR, np.int32),
+                "mr_read": np.empty(MR, np.int32),
+                "nr_idx": np.empty(NR, np.int32),
+                "nr_read": np.empty(NR, np.int32),
+            }
+            names = ctypes.create_string_buffer(max(NL, 1))
+            lib.lps_modcall_fill(
+                handle, out["name_off"].ctypes.data, names,
+                out["r_nameid"].ctypes.data,
+                out["aread"].ctypes.data, out["aread_off"].ctypes.data,
+                out["ev_pos"].ctypes.data, out["ev_allele"].ctypes.data,
+                out["ev_qual"].ctypes.data, out["ev_vtype"].ctypes.data,
+                out["m_pos"].ctypes.data, out["m_meth"].ctypes.data,
+                out["m_canon"].ctypes.data, out["m_noise"].ctypes.data,
+                out["m_depth"].ctypes.data, out["m_strand"].ctypes.data,
+                out["m_vtype"].ctypes.data, out["mr_idx"].ctypes.data,
+                out["mr_read"].ctypes.data, out["nr_idx"].ctypes.data,
+                out["nr_read"].ctypes.data)
+            out["names"] = names.raw[:NL].decode("ascii")
+            return out
+        finally:
+            lib.lps_modcall_free(handle)
 
     def tag_write(self, header_text: str, rec_indices, mode, hp_int, ps, pq,
                   hp_strs, out_path: str, level: int = 6) -> bool:

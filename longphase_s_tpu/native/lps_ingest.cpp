@@ -15,7 +15,9 @@
 #endif
 
 #include <algorithm>
+#include <array>
 #include <atomic>
+#include <unordered_map>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -1244,5 +1246,653 @@ int64_t lps_inflate_raw(const uint8_t* src, int64_t n, uint8_t* out,
   return total;
 #endif
 }
+
+}  // extern "C"
+
+// ===========================================================================
+// modcall runtime: native MM/ML base-mod decode + methylation CIGAR walk.
+// Behavioral contracts (reimplemented from the SAM tags spec and the repo's
+// Python oracle models/modcall.py + io/bam.py:decode_base_mods; no reference
+// code used):
+//   MethBamParser::detectMeth/parse_CIGAR   (reference ModCallParsingBam.cpp:58-420)
+//   calculateDepth                          (reference ModCallParsingBam.cpp:735-767)
+// The walk is deliberately single-threaded in file order: the per-position
+// variantType gate and strand overwrite are order-sensitive across reads.
+// ===========================================================================
+
+namespace {
+
+// decode_base_mods (io/bam.py:225-291): returns (stored_seq_pos, qual) for
+// mod code 'm', ascending by (pos, qual).
+static void decode_mods_m(const uint8_t* rec, uint32_t rlen,
+                          std::vector<std::pair<int64_t, int32_t>>& out) {
+  out.clear();
+  uint8_t l_read_name = rec[8];
+  uint16_t n_cigar = rd_u16(rec + 12);
+  uint16_t flag = rd_u16(rec + 14);
+  int32_t l_seq = rd_i32(rec + 16);
+  const uint8_t* seq = rec + 32 + l_read_name + 4ull * n_cigar;
+  size_t aux_off = 32 + l_read_name + 4ull * n_cigar +
+                   ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+  // locate MM/Mm (Z) and ML/Ml (B)
+  const char* mm = nullptr;
+  size_t mm_len = 0;
+  const uint8_t* ml = nullptr;
+  int ml_sub = 0;  // subtype char
+  int64_t n_ml = 0;
+  size_t i = aux_off;
+  auto type_size = [](uint8_t t) -> int {
+    switch (t) {
+      case 'A': case 'c': case 'C': return 1;
+      case 's': case 'S': return 2;
+      case 'i': case 'I': case 'f': return 4;
+      default: return -1;
+    }
+  };
+  while (i + 3 <= rlen) {
+    char c0 = rec[i], c1 = rec[i + 1];
+    uint8_t t = rec[i + 2];
+    size_t val = i + 3;
+    i += 3;
+    int ts = type_size(t);
+    if (ts > 0) {
+      i += ts;
+    } else if (t == 'Z' || t == 'H') {
+      size_t s = i;
+      while (i < rlen && rec[i] != 0) ++i;
+      if (!mm && t == 'Z' && c0 == 'M' && (c1 == 'M' || c1 == 'm')) {
+        mm = (const char*)(rec + s);
+        mm_len = i - s;
+      }
+      ++i;
+    } else if (t == 'B') {
+      int ss = type_size(rec[val]);
+      uint32_t cnt = rd_u32(rec + val + 1);
+      if (!ml && c0 == 'M' && (c1 == 'L' || c1 == 'l') && ss > 0) {
+        ml = rec + val + 5;
+        ml_sub = rec[val];
+        n_ml = cnt;
+      }
+      i = val + 5 + (size_t)(ss > 0 ? ss : 0) * cnt;
+    } else {
+      break;
+    }
+  }
+  if (!mm) return;
+  auto ml_at = [&](int64_t k) -> int32_t {
+    if (k >= n_ml || k < 0) return 0;
+    switch (ml_sub) {
+      case 'C': return ml[k];
+      case 'c': return (int8_t)ml[k];
+      case 's': return (int16_t)(ml[2 * k] | (ml[2 * k + 1] << 8));
+      case 'S': return (uint16_t)(ml[2 * k] | (ml[2 * k + 1] << 8));
+      case 'i': case 'I': return rd_i32(ml + 4 * k);
+      default: return 0;
+    }
+  };
+  bool reverse = (flag & 0x10) != 0;
+  // per-base positions of a target nt16 code, stored orientation
+  std::vector<int64_t> positions;
+  auto fill_positions = [&](int target_nib) {
+    positions.clear();
+    for (int64_t q = 0; q < l_seq; ++q) {
+      int nib = (q & 1) ? (seq[q >> 1] & 0xF) : (seq[q >> 1] >> 4);
+      if (target_nib == -1 || nib == target_nib) positions.push_back(q);
+    }
+    if (reverse) std::reverse(positions.begin(), positions.end());
+  };
+  auto nt16_of = [](char b) -> int {
+    switch (b) {
+      case 'A': return 1;
+      case 'C': return 2;
+      case 'G': return 4;
+      case 'T': case 'U': return 8;
+      case 'N': return 15;
+      default: return 0;
+    }
+  };
+  auto complement = [](char b) -> char {
+    switch (b) {
+      case 'A': return 'T';
+      case 'C': return 'G';
+      case 'G': return 'C';
+      case 'T': return 'A';
+      case 'U': return 'A';
+      default: return b;
+    }
+  };
+  int64_t ml_idx = 0;
+  size_t p = 0;
+  while (p <= mm_len) {
+    // split on ';'
+    size_t sub_end = p;
+    while (sub_end < mm_len && mm[sub_end] != ';') ++sub_end;
+    size_t sp = p;
+    p = sub_end + 1;
+    if (sub_end == sp) {
+      if (sub_end >= mm_len) break;
+      continue;
+    }
+    // head = up to first ','
+    size_t head_end = sp;
+    while (head_end < sub_end && mm[head_end] != ',') ++head_end;
+    // regex ([ACGTUN])([-+])([a-z]+|\d+)([.?]?)
+    size_t hp = sp;
+    char base = (hp < head_end) ? mm[hp] : 0;
+    bool ok = base == 'A' || base == 'C' || base == 'G' || base == 'T' ||
+              base == 'U' || base == 'N';
+    ++hp;
+    char strand_ch = (ok && hp < head_end) ? mm[hp] : 0;
+    ok = ok && (strand_ch == '+' || strand_ch == '-');
+    ++hp;
+    size_t code_start = hp;
+    bool digits = false, letters = false;
+    while (ok && hp < head_end) {
+      char c = mm[hp];
+      if (c >= 'a' && c <= 'z' && !digits) {
+        letters = true;
+        ++hp;
+      } else if (c >= '0' && c <= '9' && !letters) {
+        digits = true;
+        ++hp;
+      } else {
+        break;
+      }
+    }
+    size_t code_end = hp;
+    ok = ok && code_end > code_start;
+    if (ok && hp < head_end && (mm[hp] == '.' || mm[hp] == '?')) ++hp;
+    // re.match: trailing unmatched chars in head are tolerated
+    if (!ok) continue;  // quirk: ml_idx not advanced on unmatched head
+    // deltas
+    std::vector<int64_t> deltas;
+    size_t dp = head_end;
+    while (dp < sub_end) {
+      ++dp;  // skip ','
+      int64_t v = 0;
+      bool any = false;
+      while (dp < sub_end && mm[dp] >= '0' && mm[dp] <= '9') {
+        v = v * 10 + (mm[dp] - '0');
+        ++dp;
+        any = true;
+      }
+      if (any) deltas.push_back(v);
+      while (dp < sub_end && mm[dp] != ',') ++dp;
+    }
+    int64_t n_codes = digits ? 1 : (int64_t)(code_end - code_start);
+    bool single_m = !digits && n_codes == 1 && mm[code_start] == 'm';
+    if (base == 'N') {
+      fill_positions(-1);
+    } else {
+      char target = reverse ? complement(base) : base;
+      fill_positions(nt16_of(target));
+    }
+    int64_t npos = (int64_t)positions.size();
+    if (!deltas.empty() && n_codes == 1) {
+      if (single_m) {
+        int64_t idx = -1;
+        for (size_t j = 0; j < deltas.size(); ++j) {
+          idx += deltas[j] + 1;
+          if (idx < npos)
+            out.emplace_back(positions[idx], ml_at(ml_idx + (int64_t)j));
+        }
+      }
+      ml_idx += (int64_t)deltas.size();
+      continue;
+    }
+    int64_t idx = -1;
+    for (int64_t d : deltas) {
+      idx += d + 1;
+      if (idx >= npos) {
+        ml_idx += n_codes;
+        continue;
+      }
+      int64_t posv = positions[idx];
+      for (int64_t c = 0; c < n_codes; ++c) {
+        int32_t q = ml_at(ml_idx);
+        ++ml_idx;
+        if (!digits && mm[code_start + c] == 'm') out.emplace_back(posv, q);
+      }
+    }
+  }
+  std::sort(out.begin(), out.end());
+}
+
+struct ModcallResult {
+  // unique read names (first-occurrence order) + per-read name id
+  std::vector<int64_t> name_off;  // U+1
+  std::string names;
+  std::vector<int32_t> r_nameid;  // R (processed reads, file order)
+  // appended reads (survived full walk with >=1 variant)
+  std::vector<int32_t> aread;     // read index of each appended read
+  std::vector<int64_t> aread_off; // A+1 into events
+  std::vector<int64_t> ev_pos;
+  std::vector<int8_t> ev_allele;
+  std::vector<int16_t> ev_qual;
+  std::vector<uint8_t> ev_vtype;  // 0=MOD 1=SNP
+  // meth-position table, sorted by pos
+  std::vector<int64_t> m_pos;
+  std::vector<int32_t> m_meth, m_canon, m_noise, m_depth;
+  std::vector<int8_t> m_strand;
+  std::vector<uint8_t> m_vtype;
+  // MR/NR read-name pair lists (sorted-meth-idx, read-idx), append order
+  std::vector<int32_t> mr_idx, mr_read, nr_idx, nr_read;
+  int32_t error = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* lps_modcall_walk(void* hp, int32_t tid, int64_t chrom_len,
+                       int64_t n_var, const int64_t* var_pos,
+                       const uint8_t* var_ref0, const uint8_t* var_alt0,
+                       const int32_t* var_reflen, const int32_t* var_altlen,
+                       const uint8_t* var_danger, const char* ref_string,
+                       int64_t ref_len, double mod_hi, double mod_lo) {
+  auto* h = (BamHandle*)hp;
+  auto* res = new ModcallResult();
+  res->name_off.push_back(0);
+  res->aread_off.push_back(0);
+  if (tid < 0 || tid >= (int64_t)h->tid_first.size() || h->tid_first[tid] < 0)
+    return res;
+
+  // ---- selection (fetch(chrom, 0, chrom_len) + record filters) ----
+  std::vector<int64_t> sel;
+  for (int64_t ri = h->tid_first[tid]; ri < h->tid_last[tid]; ++ri) {
+    const uint8_t* rec = &h->data[h->rec_off[ri]];
+    if (rd_i32(rec) != tid) continue;
+    int64_t pos = rd_i32(rec + 4);
+    if (chrom_len >= 0 && pos >= chrom_len) break;
+    uint8_t mapq = rec[9];
+    uint16_t flag = rd_u16(rec + 14);
+    if (mapq < 1 || (flag & 0x4) || (flag & 0x100) || (flag & 0x400) ||
+        (flag & 0x800))
+      continue;
+    sel.push_back(ri);
+  }
+  size_t R = sel.size();
+
+  // ---- phase 1 (parallel, read-local): decode + CIGAR walk emitting
+  //      candidate events; all cross-read state is deferred to phase 2 ----
+  struct Cand {
+    int64_t pos;
+    int32_t qual;   // SNP: base_q; mod: ML qual
+    int8_t kind;    // 0 = SNP observation, 1 = mod candidate
+    int8_t allele;  // SNP only
+  };
+  struct ReadOut {
+    std::vector<Cand> cands;
+    const char* qname = nullptr;
+    int qname_len = 0;
+    int64_t se_start = 0, se_end = 0;
+    int8_t side = 0;
+    bool has_mods = false;
+    bool abandoned = false;
+  };
+  std::vector<ReadOut> reads(R);
+
+  auto walk_range = [&](size_t b, size_t e) {
+    std::vector<std::pair<int64_t, int32_t>> mods;
+    for (size_t si = b; si < e; ++si) {
+      const uint8_t* rec = &h->data[h->rec_off[sel[si]]];
+      uint32_t rlen = h->rec_len[sel[si]];
+      decode_mods_m(rec, rlen, mods);
+      if (mods.empty()) continue;
+      ReadOut& ro = reads[si];
+      ro.has_mods = true;
+
+      int64_t pos = rd_i32(rec + 4);
+      uint8_t l_read_name = rec[8];
+      uint16_t n_cigar = rd_u16(rec + 12);
+      uint16_t flag = rd_u16(rec + 14);
+      int32_t l_seq = rd_i32(rec + 16);
+      ro.qname = (const char*)(rec + 32);
+      ro.qname_len = l_read_name - 1;
+      const uint8_t* cigar = rec + 32 + l_read_name;
+      const uint8_t* seq = cigar + 4ull * n_cigar;
+      const uint8_t* quals = seq + ((size_t)l_seq + 1) / 2;
+      bool reverse = (flag & 0x10) != 0;
+      ro.side = reverse ? 1 : 0;
+
+      int64_t refstart = pos;
+      int64_t refpos = reverse ? refstart + 1 : refstart;
+      int64_t ref_pos = pos;
+      int64_t querypos = 0;
+      size_t mi = 0;
+      const int64_t* vb = std::lower_bound(var_pos, var_pos + n_var, pos);
+      int64_t vi = vb - var_pos;
+
+      auto seq_nib = [&](int64_t q) -> int {
+        return (q & 1) ? (seq[q >> 1] & 0xF) : (seq[q >> 1] >> 4);
+      };
+
+      for (uint32_t ci = 0; ci < n_cigar && !ro.abandoned; ++ci) {
+        uint32_t cv = rd_u32(cigar + 4ull * ci);
+        int op = cv & 0xF;
+        int64_t length = cv >> 4;
+        if (op == 0 || op == 7 || op == 8) {  // M/=/X
+          while (vi < n_var && var_pos[vi] < ref_pos + length) {
+            int64_t vpos = var_pos[vi];
+            if (vpos >= ref_pos) {
+              int32_t rl = var_reflen[vi], al = var_altlen[vi];
+              int64_t offset = vpos - ref_pos;
+              int32_t base_q = 0;
+              int8_t allele = -1;
+              if (querypos + offset + 1 > l_seq) {
+                ro.abandoned = true;
+                break;
+              }
+              if (rl == 1 && al == 1) {
+                char base = SEQ_NT16[seq_nib(querypos + offset)];
+                if ((uint8_t)base == var_ref0[vi]) allele = 0;
+                else if ((uint8_t)base == var_alt0[vi]) allele = 1;
+                base_q = quals[querypos + offset];
+              }
+              if (rl == 1 && al != 1 && ci + 1u < n_cigar) {
+                allele = (ref_pos + length - 1 == vpos &&
+                          (rd_u32(cigar + 4ull * (ci + 1)) & 0xF) == 1)
+                             ? 1 : 0;
+                base_q = var_danger[vi] ? -5 : -4;
+              }
+              if (rl != 1 && al == 1 && ci + 1u < n_cigar) {
+                allele = (ref_pos + length - 1 == vpos &&
+                          (rd_u32(cigar + 4ull * (ci + 1)) & 0xF) == 2)
+                             ? 1 : 0;
+                base_q = var_danger[vi] ? -5 : -4;
+              }
+              if (allele != -1)
+                ro.cands.push_back(Cand{vpos, base_q, 0, allele});
+            }
+            ++vi;
+          }
+          if (ro.abandoned) break;
+          while (mi < mods.size() && mods[mi].first <= querypos + length) {
+            int64_t methrpos =
+                mods[mi].first - querypos + refpos - (reverse ? 1 : 0);
+            if (ref_len < methrpos) break;
+            ro.cands.push_back(Cand{methrpos, mods[mi].second, 1, 0});
+            ++mi;
+          }
+          querypos += length;
+          refpos += length;
+          ref_pos += length;
+        } else if (op == 1) {  // I
+          while (mi < mods.size() && mods[mi].first <= querypos + length) ++mi;
+          querypos += length;
+        } else if (op == 2) {  // D
+          if (ref_len > 0) {
+            bool have_v = vi < n_var;
+            int64_t vpos = have_v ? var_pos[vi] : 0;
+            if (have_v && ref_pos + length + 1 == vpos) {
+              // reference no-op branch
+            } else if (have_v && ref_pos <= vpos && vpos < ref_pos + length) {
+              if (homopolymer_length(vpos, ref_string, ref_len) >= 3) {
+                int32_t rl = var_reflen[vi], al = var_altlen[vi];
+                int32_t base_q = 0;
+                if (querypos + 1 > l_seq) {
+                  ro.abandoned = true;
+                  break;
+                }
+                int8_t allele = -1;
+                if (rl == 1 && al == 1) {
+                  char base = SEQ_NT16[seq_nib(querypos)];
+                  if ((uint8_t)base == var_ref0[vi]) allele = 0;
+                  else if ((uint8_t)base == var_alt0[vi]) allele = 1;
+                  base_q = quals[querypos];
+                } else if (rl != 1 && al == 1) {
+                  allele = 1;
+                  base_q = -4;
+                }
+                if (allele != -1) {
+                  ro.cands.push_back(Cand{vpos, base_q, 0, allele});
+                  ++vi;
+                }
+              }
+            }
+          }
+          refpos += length;
+          ref_pos += length;
+        } else if (op == 3) {  // N
+          refpos += length;
+          ref_pos += length;
+        } else if (op == 4) {  // S
+          while (mi < mods.size() && mods[mi].first <= querypos + length) ++mi;
+          querypos += length;
+        } else if (op == 5 || op == 6) {  // H/P: mod-mapping quirk
+          refpos += length;
+        }  // other ops silently ignored, as in the oracle walk
+      }
+      if (!ro.abandoned) {
+        ro.se_start = refstart + 1;
+        ro.se_end = reverse ? refpos : refpos + 1;
+      }
+    }
+  };
+
+  unsigned n_threads = std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+  if (R < 256) n_threads = 1;
+  size_t chunk = (R + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (unsigned t = 1; t < n_threads; ++t) {
+    size_t b = t * chunk, e = std::min(R, (t + 1) * chunk);
+    if (b < e) ts.emplace_back(walk_range, b, e);
+  }
+  walk_range(0, std::min(R, chunk));
+  for (auto& t : ts) t.join();
+
+  // ---- phase 2 (sequential, file order): order-sensitive replay of the
+  //      per-position counters, variantType gate, and name interning ----
+  struct Entry {
+    int32_t meth = 0, canon = 0, noise = 0;
+    int8_t strand = -1;
+    uint8_t vtype = 0;  // VT_MOD
+  };
+  std::vector<int64_t> e_pos;
+  std::vector<Entry> entries;
+  std::unordered_map<int64_t, int32_t> e_idx;
+  auto get_entry = [&](int64_t pos) -> int32_t {
+    auto it = e_idx.find(pos);
+    if (it != e_idx.end()) return it->second;
+    int32_t idx = (int32_t)entries.size();
+    e_idx.emplace(pos, idx);
+    e_pos.push_back(pos);
+    entries.emplace_back();
+    return idx;
+  };
+  std::vector<int32_t> mr_e, nr_e;
+  std::unordered_map<int64_t, std::array<int64_t, 2>> se;
+  std::unordered_map<std::string, int32_t> name_ids;
+
+  std::vector<int64_t> tmp_pos;
+  std::vector<int8_t> tmp_allele;
+  std::vector<int16_t> tmp_qual;
+  std::vector<uint8_t> tmp_vtype;
+
+  for (size_t si = 0; si < R; ++si) {
+    ReadOut& ro = reads[si];
+    if (!ro.has_mods) continue;
+    int32_t read_idx = (int32_t)res->r_nameid.size();
+    std::string nm(ro.qname, ro.qname_len);
+    auto ins = name_ids.emplace(nm, (int32_t)name_ids.size());
+    if (ins.second) {
+      res->names += nm;
+      res->name_off.push_back((int64_t)res->names.size());
+    }
+    res->r_nameid.push_back(ins.first->second);
+
+    tmp_pos.clear();
+    tmp_allele.clear();
+    tmp_qual.clear();
+    tmp_vtype.clear();
+    for (const Cand& c : ro.cands) {
+      if (c.kind == 0) {
+        entries[get_entry(c.pos)].vtype = 1;
+        tmp_pos.push_back(c.pos);
+        tmp_allele.push_back(c.allele);
+        tmp_qual.push_back((int16_t)c.qual);
+        tmp_vtype.push_back(1);
+      } else {
+        auto it = e_idx.find(c.pos);
+        bool fresh = (it == e_idx.end());
+        if (fresh || entries[it->second].vtype == 0) {
+          int32_t ei = fresh ? get_entry(c.pos) : it->second;
+          Entry& en = entries[ei];
+          if ((double)c.qual >= mod_hi) {
+            en.meth += 1;
+            en.vtype = 0;
+            en.strand = ro.side;
+            mr_e.push_back(ei);
+            res->mr_read.push_back(read_idx);
+            tmp_pos.push_back(c.pos);
+            tmp_allele.push_back(0);
+            tmp_qual.push_back(60);
+            tmp_vtype.push_back(0);
+          } else if ((double)c.qual <= mod_lo) {
+            en.canon += 1;
+            nr_e.push_back(ei);
+            res->nr_read.push_back(read_idx);
+            tmp_pos.push_back(c.pos);
+            tmp_allele.push_back(1);
+            tmp_qual.push_back(60);
+            tmp_vtype.push_back(0);
+          } else {
+            en.noise += 1;
+          }
+        }
+      }
+    }
+    if (ro.abandoned) continue;
+
+    se[ro.se_start][ro.side] += 1;
+    se[ro.se_end][ro.side] -= 1;
+
+    if (!tmp_pos.empty()) {
+      size_t nv = tmp_pos.size();
+      std::vector<int32_t> order(nv);
+      for (size_t k = 0; k < nv; ++k) order[k] = (int32_t)k;
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int32_t a, int32_t b) {
+                         return tmp_pos[a] < tmp_pos[b];
+                       });
+      res->aread.push_back(read_idx);
+      for (int32_t k : order) {
+        res->ev_pos.push_back(tmp_pos[k]);
+        res->ev_allele.push_back(tmp_allele[k]);
+        res->ev_qual.push_back(tmp_qual[k]);
+        res->ev_vtype.push_back(tmp_vtype[k]);
+      }
+      res->aread_off.push_back((int64_t)res->ev_pos.size());
+    }
+  }
+
+  // sort meth table by position; remap MR/NR entry indices
+  size_t ne = entries.size();
+  std::vector<int32_t> order(ne);
+  for (size_t k = 0; k < ne; ++k) order[k] = (int32_t)k;
+  std::sort(order.begin(), order.end(),
+            [&](int32_t a, int32_t b) { return e_pos[a] < e_pos[b]; });
+  std::vector<int32_t> new_of(ne);
+  res->m_pos.resize(ne);
+  res->m_meth.resize(ne);
+  res->m_canon.resize(ne);
+  res->m_noise.resize(ne);
+  res->m_depth.assign(ne, 0);
+  res->m_strand.resize(ne);
+  res->m_vtype.resize(ne);
+  for (size_t k = 0; k < ne; ++k) {
+    int32_t old = order[k];
+    new_of[old] = (int32_t)k;
+    res->m_pos[k] = e_pos[old];
+    res->m_meth[k] = entries[old].meth;
+    res->m_canon[k] = entries[old].canon;
+    res->m_noise[k] = entries[old].noise;
+    res->m_strand[k] = entries[old].strand;
+    res->m_vtype[k] = entries[old].vtype;
+  }
+  res->mr_idx.reserve(mr_e.size());
+  for (int32_t e : mr_e) res->mr_idx.push_back(new_of[e]);
+  res->nr_idx.reserve(nr_e.size());
+  for (int32_t e : nr_e) res->nr_idx.push_back(new_of[e]);
+
+  // calculateDepth (ModCallParsingBam.cpp:735-767), incl. the
+  // last-event-not-applied quirk
+  std::vector<std::pair<int64_t, std::array<int64_t, 2>>> sev(se.begin(),
+                                                              se.end());
+  std::sort(sev.begin(), sev.end(),
+            [](const auto& a, const auto& b) { return a.first < b.first; });
+  int64_t cur_f = 0, cur_r = 0;
+  size_t dmi = 0;
+  for (size_t k = 0; k < sev.size(); ++k) {
+    if (dmi >= ne) break;
+    if (k + 1 >= sev.size()) break;
+    cur_f += sev[k].second[0];
+    cur_r += sev[k].second[1];
+    int64_t pos_k = sev[k].first;
+    int64_t next_pos = sev[k + 1].first;
+    while (dmi < ne && pos_k <= res->m_pos[dmi] && res->m_pos[dmi] < next_pos) {
+      if (res->m_strand[dmi] == 0) res->m_depth[dmi] = (int32_t)cur_f;
+      else if (res->m_strand[dmi] == 1) res->m_depth[dmi] = (int32_t)cur_r;
+      ++dmi;
+    }
+    // NOTE: a position below pos_k stalls dmi forever (depth stays 0 for
+    // all remaining positions) -- faithful to the oracle's while condition
+  }
+  return res;
+}
+
+int64_t lps_modcall_sizes(void* rp, int64_t* n_reads, int64_t* n_names,
+                          int64_t* names_len, int64_t* n_appended,
+                          int64_t* n_ev, int64_t* n_meth, int64_t* n_mr,
+                          int64_t* n_nr, int32_t* error) {
+  auto* r = (ModcallResult*)rp;
+  if (!r) return -1;
+  *n_reads = (int64_t)r->r_nameid.size();
+  *n_names = (int64_t)r->name_off.size() - 1;
+  *names_len = (int64_t)r->names.size();
+  *n_appended = (int64_t)r->aread.size();
+  *n_ev = (int64_t)r->ev_pos.size();
+  *n_meth = (int64_t)r->m_pos.size();
+  *n_mr = (int64_t)r->mr_idx.size();
+  *n_nr = (int64_t)r->nr_idx.size();
+  *error = r->error;
+  return 0;
+}
+
+int64_t lps_modcall_fill(void* rp, int64_t* name_off, char* names,
+                         int32_t* r_nameid, int32_t* aread, int64_t* aread_off,
+                         int64_t* ev_pos, int8_t* ev_allele, int16_t* ev_qual,
+                         uint8_t* ev_vtype, int64_t* m_pos, int32_t* m_meth,
+                         int32_t* m_canon, int32_t* m_noise, int32_t* m_depth,
+                         int8_t* m_strand, uint8_t* m_vtype, int32_t* mr_idx,
+                         int32_t* mr_read, int32_t* nr_idx, int32_t* nr_read) {
+  auto* r = (ModcallResult*)rp;
+  if (!r) return -1;
+  memcpy(name_off, r->name_off.data(), r->name_off.size() * 8);
+  memcpy(names, r->names.data(), r->names.size());
+  memcpy(r_nameid, r->r_nameid.data(), r->r_nameid.size() * 4);
+  memcpy(aread, r->aread.data(), r->aread.size() * 4);
+  memcpy(aread_off, r->aread_off.data(), r->aread_off.size() * 8);
+  memcpy(ev_pos, r->ev_pos.data(), r->ev_pos.size() * 8);
+  memcpy(ev_allele, r->ev_allele.data(), r->ev_allele.size());
+  memcpy(ev_qual, r->ev_qual.data(), r->ev_qual.size() * 2);
+  memcpy(ev_vtype, r->ev_vtype.data(), r->ev_vtype.size());
+  memcpy(m_pos, r->m_pos.data(), r->m_pos.size() * 8);
+  memcpy(m_meth, r->m_meth.data(), r->m_meth.size() * 4);
+  memcpy(m_canon, r->m_canon.data(), r->m_canon.size() * 4);
+  memcpy(m_noise, r->m_noise.data(), r->m_noise.size() * 4);
+  memcpy(m_depth, r->m_depth.data(), r->m_depth.size() * 4);
+  memcpy(m_strand, r->m_strand.data(), r->m_strand.size());
+  memcpy(m_vtype, r->m_vtype.data(), r->m_vtype.size());
+  memcpy(mr_idx, r->mr_idx.data(), r->mr_idx.size() * 4);
+  memcpy(mr_read, r->mr_read.data(), r->mr_read.size() * 4);
+  memcpy(nr_idx, r->nr_idx.data(), r->nr_idx.size() * 4);
+  memcpy(nr_read, r->nr_read.data(), r->nr_read.size() * 4);
+  return 0;
+}
+
+void lps_modcall_free(void* rp) { delete (ModcallResult*)rp; }
 
 }  // extern "C"
