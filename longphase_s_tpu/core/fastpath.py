@@ -149,9 +149,14 @@ def pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names: list[str],
 
 
 def phase_chromosome_flat(flat: dict, cnv_vec, chrom: str, params: PhaseParams,
-                          erased_positions=None):
+                          erased_positions=None, defer_sink=None):
     """Fast path over the native ingest dict. Returns (result, read_hp, packed)
-    or None when a fallback to the object pipeline is required."""
+    or None when a fallback to the object pipeline is required.
+
+    With ``defer_sink`` (a list), the prepared merged observation stream is
+    appended to the sink and the string ``"deferred"`` is returned instead of
+    running the device phase — run_phase batches the collected chromosomes
+    across the device mesh (parallel/multichip.py)."""
     from ..ops.read_correction import read_correction_packed
     from ..ops.vote_scan import run_vote_scan
 
@@ -208,6 +213,18 @@ def phase_chromosome_flat(flat: dict, cnv_vec, chrom: str, params: PhaseParams,
         aln_offsets = np.concatenate([[0], np.cumsum(kept_sizes)])
         names = [n for n, k in zip(names, keep) if k]
         A = len(names)
+
+    if defer_sink is not None and len(obs_pos):
+        positions, vtype, _rank, m_read, m_rank, m_allele, m_qok, m_aln = \
+            merge_observations(obs_pos, obs_allele, obs_qual, aln_offsets,
+                               names, params)
+        defer_sink.append({
+            "chrom": chrom, "positions": positions, "vtype": vtype,
+            "m_read": m_read, "m_rank": m_rank, "m_allele": m_allele,
+            "m_qok": m_qok, "m_aln": m_aln,
+            "n_aln": len(aln_offsets) - 1,
+        })
+        return "deferred"
 
     # fused device path: merged observations go straight to the device; pair
     # counts, vote scan, block assembly and read correction all run in ONE

@@ -47,6 +47,61 @@ class PhaseConfig:
     params: PhaseParams = field(default_factory=PhaseParams)
 
 
+def _make_multichip_sink(cfg):
+    """A list to collect deferred chromosome tensors when more than one
+    device is visible (LPS_MULTICHIP=0 disables, =1 forces), else None."""
+    import os
+
+    if cfg.engine != "tpu" or os.environ.get("LPS_MULTICHIP", "") == "0":
+        return None
+    if os.environ.get("LPS_MULTICHIP", "") == "1":
+        return []
+    try:
+        import jax
+
+        return [] if len(jax.devices()) > 1 else None
+    except Exception:  # noqa: BLE001 — no usable backend: single-chip path
+        return None
+
+
+def _drain_multichip(sink, cfg, chr_results):
+    """Run the batched mesh phase over the deferred chromosomes and convert
+    the device outputs to per-chromosome result dicts (same conversion as
+    core/fastpath.phase_chromosome_flat's tail)."""
+    import os
+
+    import numpy as np
+
+    from ..ops.vote_scan import _use_pallas, ensure_backend
+
+    try:
+        from ..parallel.multichip import run_fused_phase_multichip
+
+        ensure_backend()
+        outs = run_fused_phase_multichip(sink, cfg.params,
+                                         use_pallas=_use_pallas())
+    except Exception as e:  # noqa: BLE001 — fall back to per-chrom device path
+        if os.environ.get("LPS_STRICT_DEVICE"):
+            raise
+        print(f"[WARN] multichip phase unavailable ({e!r}); "
+              "per-chromosome device path", file=sys.stderr)
+        from ..ops.fused import run_fused_phase
+
+        outs = [run_fused_phase(
+            e["m_read"], e["m_rank"], e["m_allele"], e["m_qok"], e["m_aln"],
+            e["positions"], e["vtype"], e["n_aln"], cfg.params,
+            use_pallas=_use_pallas()) for e in sink]
+    for e, (ps, ori) in zip(sink, outs):
+        positions = e["positions"]
+        result: dict[str, tuple[str, int]] = {}
+        for i in np.nonzero(ps)[0]:
+            o = int(ori[i])
+            result[f"{e['chrom']}_{int(positions[i])}"] = \
+                (f"{o}|{1 - o}", int(ps[i]))
+        chr_results[e["chrom"]] = result
+        print(f"({e['chrom']})", end="", file=sys.stderr, flush=True)
+
+
 def run_phase(cfg: PhaseConfig) -> dict:
     timer = StageTimer()
     cfg.params.is_ont = cfg.is_ont
@@ -81,6 +136,7 @@ def run_phase(cfg: PhaseConfig) -> dict:
         fasta = FastaFile(cfg.fasta_file)
 
     chr_results: dict[str, dict] = {}
+    multichip_sink = _make_multichip_sink(cfg)
 
     def process_chrom(chrom: str):
         last_snp = het.last_snp(chrom)
@@ -157,7 +213,10 @@ def run_phase(cfg: PhaseConfig) -> dict:
                         from ..core.fastpath import phase_chromosome_flat
 
                         r = phase_chromosome_flat(flat, [], chrom, cfg.params,
-                                                  erased)
+                                                  erased,
+                                                  defer_sink=multichip_sink)
+                        if r == "deferred":
+                            return
                         if r is not None:
                             chr_results[chrom] = r[0]
                             print(f"({chrom})", end="", file=sys.stderr,
@@ -200,6 +259,8 @@ def run_phase(cfg: PhaseConfig) -> dict:
         else:
             for c in chroms:
                 process_chrom(c)
+        if multichip_sink:
+            _drain_multichip(multichip_sink, cfg, chr_results)
         print("", file=sys.stderr)
 
     with timer("merge results"):
