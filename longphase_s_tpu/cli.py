@@ -45,6 +45,10 @@ def _add_phase_parser(sub):
     # (Phasing.cpp:136,351; PhasingProcess.h:25 has no reader)
     p.add_argument("-x", "--mismatchRate", type=float, default=3)
     p.add_argument("--engine", choices=["oracle", "tpu"], default="tpu")
+    # ours-only extension: per-contig checkpoint/resume (SURVEY.md §5)
+    p.add_argument("--checkpoint", default="", metavar="DIR")
+    # ours-only extension: multi-host contig sharding (SURVEY.md §2.6)
+    p.add_argument("--dist", default="", metavar="HOST:PORT,NPROCS,PID")
     return p
 
 
@@ -70,7 +74,8 @@ def _run_phase(args):
         num_threads=args.threads, is_ont=args.ont, is_pb=args.pb,
         phase_indel=args.indels, indel_quality=args.indelQuality,
         deepsomatic_output=args.deepsomatic_output, dot=args.dot,
-        command=" ".join(sys.argv), engine=args.engine, params=params)
+        command=" ".join(sys.argv), engine=args.engine,
+        checkpoint_dir=args.checkpoint, dist=args.dist, params=params)
     run_phase(cfg)
     return 0
 

@@ -44,6 +44,8 @@ class PhaseConfig:
     deepsomatic_output: bool = False
     command: str = ""
     engine: str = "oracle"  # "oracle" (host, exact) | "tpu" (device kernels)
+    checkpoint_dir: str = ""  # per-contig resume (SURVEY §5; ours-only)
+    dist: str = ""  # "host:port,nprocs,pid" multi-host spec (SURVEY §2.6)
     params: PhaseParams = field(default_factory=PhaseParams)
 
 
@@ -64,7 +66,7 @@ def _make_multichip_sink(cfg):
         return None
 
 
-def _drain_multichip(sink, cfg, chr_results):
+def _drain_multichip(sink, cfg, record):
     """Run the batched mesh phase over the deferred chromosomes and convert
     the device outputs to per-chromosome result dicts (same conversion as
     core/fastpath.phase_chromosome_flat's tail)."""
@@ -98,11 +100,14 @@ def _drain_multichip(sink, cfg, chr_results):
             o = int(ori[i])
             result[f"{e['chrom']}_{int(positions[i])}"] = \
                 (f"{o}|{1 - o}", int(ps[i]))
-        chr_results[e["chrom"]] = result
-        print(f"({e['chrom']})", end="", file=sys.stderr, flush=True)
+        record(e["chrom"], result)
 
 
 def run_phase(cfg: PhaseConfig) -> dict:
+    from ..parallel import distributed as dist
+
+    dist.init_from_spec(cfg.dist)
+    dist.maybe_init_from_env()
     timer = StageTimer()
     cfg.params.is_ont = cfg.is_ont
     cfg.params.phase_indel = cfg.phase_indel
@@ -111,12 +116,14 @@ def run_phase(cfg: PhaseConfig) -> dict:
     if getattr(cfg, "deepsomatic_output", False):
         with timer("preprocessing DeepSomatic VCF (filter GERMLINE, adjust GT by VAF)"):
             pre = cfg.result_prefix + "_preprocessed.vcf"
+            if not dist.is_writer():  # avoid cross-process write races
+                pre += f".p{dist.process_id()}"
             vcf_io.preprocess_deepsomatic_vcf(cfg.snp_file, pre)
             cfg.snp_file = pre
 
     with timer("parsing VCF"):
         het = vcf_io.read_het_variants(cfg.snp_file, cfg.phase_indel, cfg.indel_quality)
-        if cfg.phase_indel and cfg.indel_quality > 0:
+        if cfg.phase_indel and cfg.indel_quality > 0 and dist.is_writer():
             with open(cfg.result_prefix + "_removed_indels.log", "w") as f:
                 f.write("#CHROM\tPOS\tREF\tALT\tQUAL\n")
                 for line in het.removed_indel_log:
@@ -138,7 +145,26 @@ def run_phase(cfg: PhaseConfig) -> dict:
     chr_results: dict[str, dict] = {}
     multichip_sink = _make_multichip_sink(cfg)
 
+    ckpt = None
+    if cfg.checkpoint_dir:
+        from ..utils.checkpoint import ContigCheckpoint, phase_fingerprint
+
+        ckpt = ContigCheckpoint(cfg.checkpoint_dir, phase_fingerprint(cfg))
+        resumed = ckpt.load()
+        chr_results.update(resumed)
+        if resumed:
+            print(f"checkpoint: resumed {len(resumed)} contig(s) from "
+                  f"{cfg.checkpoint_dir}", file=sys.stderr)
+
+    def record(chrom: str, result: dict):
+        chr_results[chrom] = result
+        if ckpt is not None:
+            ckpt.save(chrom, result)
+        print(f"({chrom})", end="", file=sys.stderr, flush=True)
+
     def process_chrom(chrom: str):
+        if chrom in chr_results:  # checkpoint-resumed
+            return
         last_snp = het.last_snp(chrom)
         if last_snp == -1:
             return
@@ -218,9 +244,7 @@ def run_phase(cfg: PhaseConfig) -> dict:
                         if r == "deferred":
                             return
                         if r is not None:
-                            chr_results[chrom] = r[0]
-                            print(f"({chrom})", end="", file=sys.stderr,
-                                  flush=True)
+                            record(chrom, r[0])
                             return
 
         alns, clip_count = extract_chromosome(
@@ -248,11 +272,12 @@ def run_phase(cfg: PhaseConfig) -> dict:
             result, _read_hp, _g = phase_chromosome(alns, cnv_vec, chrom,
                                                     cfg.params,
                                                     generate_dot=cfg.dot)
-        chr_results[chrom] = result
-        print(f"({chrom})", end="", file=sys.stderr, flush=True)
+        record(chrom, result)
 
     with timer("phasing chromosomes"):
         chroms = [c for c in het.contigs]
+        if dist.is_active():
+            chroms = dist.shard_contigs(chroms)
         if cfg.num_threads > 1:
             with ThreadPoolExecutor(max_workers=cfg.num_threads) as pool:
                 list(pool.map(process_chrom, chroms))
@@ -260,27 +285,34 @@ def run_phase(cfg: PhaseConfig) -> dict:
             for c in chroms:
                 process_chrom(c)
         if multichip_sink:
-            _drain_multichip(multichip_sink, cfg, chr_results)
+            _drain_multichip(multichip_sink, cfg, record)
         print("", file=sys.stderr)
+
+    if dist.is_active():
+        with timer("allgather shard results"):
+            chr_results = dist.merge_chr_results(chr_results)
 
     with timer("merge results"):
         merged: dict[str, tuple[str, int]] = {}
         for chrom in chr_results:
             merged.update(chr_results[chrom])
 
-    with timer("writeResult SNP"):
-        vcf_io.rewrite_result_vcf(
-            cfg.snp_file, cfg.result_prefix + ".vcf", merged, het,
-            REFERENCE_VERSION, cfg.command,
-            phase_indel=cfg.phase_indel, indel_quality=cfg.indel_quality)
+    if dist.is_writer():
+        with timer("writeResult SNP"):
+            vcf_io.rewrite_result_vcf(
+                cfg.snp_file, cfg.result_prefix + ".vcf", merged, het,
+                REFERENCE_VERSION, cfg.command,
+                phase_indel=cfg.phase_indel, indel_quality=cfg.indel_quality)
 
-    if sv_set is not None:
-        with timer("write SV Result"):
-            vcf_io.rewrite_sv_vcf(cfg.sv_file, cfg.result_prefix + "_SV.vcf",
-                                  merged, sv_set, REFERENCE_VERSION, cfg.command)
-    if meth_set is not None:
-        with timer("write mod Result"):
-            vcf_io.rewrite_meth_vcf(cfg.mod_file, cfg.result_prefix + "_mod.vcf",
-                                    merged, meth_set, REFERENCE_VERSION, cfg.command)
+        if sv_set is not None:
+            with timer("write SV Result"):
+                vcf_io.rewrite_sv_vcf(
+                    cfg.sv_file, cfg.result_prefix + "_SV.vcf",
+                    merged, sv_set, REFERENCE_VERSION, cfg.command)
+        if meth_set is not None:
+            with timer("write mod Result"):
+                vcf_io.rewrite_meth_vcf(
+                    cfg.mod_file, cfg.result_prefix + "_mod.vcf",
+                    merged, meth_set, REFERENCE_VERSION, cfg.command)
 
     return merged

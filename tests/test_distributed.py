@@ -1,0 +1,82 @@
+"""Multi-host scaffold (parallel/distributed.py; SURVEY.md §2.6).
+
+A 2-process CPU run — each process phasing its contig shard, results merged
+via Gloo all-gather — must produce a VCF byte-identical (modulo the recorded
+commandline) to the single-process run on a multi-chromosome fixture."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+from longphase_s_tpu.testing.simulate import make_multichrom_fixture
+
+
+@pytest.fixture(scope="module")
+def fix(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dist_fix")
+    return make_multichrom_fixture(str(d / "fix"), seed=43, n_chroms=5,
+                                   base_length=40000)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+WORKER = textwrap.dedent("""
+    import json, sys
+    sys.path.insert(0, "/root/repo")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    cfg_json, spec = sys.argv[1], sys.argv[2]
+    from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+    cfg = PhaseConfig(**json.loads(cfg_json), dist=spec)
+    run_phase(cfg)
+""")
+
+
+def _vcf_body(path):
+    with open(path) as f:
+        return [l for l in f if not l.startswith("##commandline")]
+
+
+def test_two_process_run_matches_single(fix, tmp_path):
+    single = tmp_path / "single"
+    run_phase(PhaseConfig(snp_file=fix["vcf"], bam_files=[fix["bam"]],
+                          fasta_file=fix["fasta"], result_prefix=str(single),
+                          num_threads=2, is_pb=True, engine="oracle"))
+
+    port = _free_port()
+    cfg = dict(snp_file=fix["vcf"], bam_files=[fix["bam"]],
+               fasta_file=fix["fasta"],
+               result_prefix=str(tmp_path / "dist"),
+               num_threads=1, is_pb=True, engine="oracle")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)  # children don't need the 8-device mesh
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, json.dumps(cfg),
+             f"127.0.0.1:{port},2,{pid}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=180) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    assert _vcf_body(tmp_path / "dist.vcf") == _vcf_body(f"{single}.vcf")
+
+
+def test_shard_contigs_single_process_is_identity():
+    from longphase_s_tpu.parallel import distributed as dist
+
+    contigs = ["chr1", "chr2", "chr3"]
+    assert dist.shard_contigs(contigs) == contigs  # process_count() == 1
+    assert dist.is_writer()
