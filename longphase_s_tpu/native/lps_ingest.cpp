@@ -21,6 +21,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <condition_variable>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -1116,10 +1118,51 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
     head.insert(head.end(), (uint8_t*)&l_ref, (uint8_t*)&l_ref + 4);
   }
 
-  // record payload with aux surgery
-  std::vector<uint8_t> body;
-  body.reserve(h->data.size());
-  static const int aux_size[256] = {0};
+  // Streaming double-buffered output: records are assembled into bounded
+  // 32MB stages; a writer thread BGZF-compresses (parallel) and writes each
+  // stage while the next one is being assembled. Bounded buffers are reused,
+  // so timing stays stable under allocator/page-fault churn (the previous
+  // whole-file body+payload+comp buffers (~800MB) were re-faulted per call).
+  FILE* f = fopen(out_path, "wb");
+  if (!f) return -1;
+  static const size_t STAGE = 32u << 20;
+  std::vector<uint8_t> stages[2];
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<uint8_t>* pending = nullptr;
+  bool finish = false;
+  bool ok = true;
+  int64_t total_comp = 0;
+  std::thread writer([&]() {
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      cv.wait(lk, [&] { return pending != nullptr || finish; });
+      if (pending == nullptr) return;  // finish && nothing queued
+      std::vector<uint8_t>* buf = pending;  // stays set: busy marker
+      lk.unlock();
+      uint8_t* comp = nullptr;
+      int64_t n = lps_bgzf_compress(buf->data(), (int64_t)buf->size(), level,
+                                    &comp);
+      if (fwrite(comp, 1, (size_t)n, f) != (size_t)n) ok = false;
+      free(comp);
+      total_comp += n;
+      buf->clear();
+      lk.lock();
+      pending = nullptr;
+      cv.notify_all();
+    }
+  });
+  auto submit = [&](std::vector<uint8_t>& buf) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [&] { return pending == nullptr; });
+    pending = &buf;
+    cv.notify_all();
+  };
+
+  int cur = 0;
+  std::vector<uint8_t>* body = &stages[cur];
+  body->reserve(STAGE + (4u << 20));
+  body->insert(body->end(), head.begin(), head.end());
   auto type_size = [](uint8_t t) -> int {
     switch (t) {
       case 'A': case 'c': case 'C': return 1;
@@ -1128,23 +1171,22 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
       default: return -1;
     }
   };
-  (void)aux_size;
   for (int64_t oi = 0; oi < n_out; ++oi) {
     int64_t ri = rec_indices[oi];
     const uint8_t* rec = &h->data[h->rec_off[ri]];
     uint32_t rlen = h->rec_len[ri];
     uint8_t m = mode[oi];
-    size_t body_rec_start = body.size();
-    body.resize(body.size() + 4);  // block_size placeholder
+    size_t body_rec_start = body->size();
+    body->resize(body->size() + 4);  // block_size placeholder
     if (m == 0) {
-      body.insert(body.end(), rec, rec + rlen);
+      body->insert(body->end(), rec, rec + rlen);
     } else {
       // copy up to aux, then filter aux entries
       uint16_t n_cigar = rd_u16(rec + 12);
       int32_t l_seq = rd_i32(rec + 16);
       size_t aux_off =
           32 + rec[8] + 4ull * n_cigar + ((size_t)l_seq + 1) / 2 + l_seq;
-      body.insert(body.end(), rec, rec + std::min((size_t)rlen, aux_off));
+      body->insert(body->end(), rec, rec + std::min((size_t)rlen, aux_off));
       size_t i = aux_off;
       while (i + 3 <= rlen) {
         size_t start = i;
@@ -1168,56 +1210,56 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
             (c0 == 'H' && c1 == 'P') || (c0 == 'P' && c1 == 'S') ||
             (c0 == 'P' && c1 == 'Q');
         if (!is_hp_ps_pq)
-          body.insert(body.end(), rec + start, rec + std::min((size_t)rlen, i));
+          body->insert(body->end(), rec + start,
+                       rec + std::min((size_t)rlen, i));
       }
       auto app_int = [&](char a, char b, int32_t v) {
-        body.push_back(a);
-        body.push_back(b);
-        body.push_back('i');
-        body.insert(body.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+        body->push_back(a);
+        body->push_back(b);
+        body->push_back('i');
+        body->insert(body->end(), (uint8_t*)&v, (uint8_t*)&v + 4);
       };
       if (m == 2) {
         app_int('H', 'P', hp_int[oi]);
         app_int('P', 'S', (int32_t)ps[oi]);
         app_int('P', 'Q', pq[oi]);
       } else if (m == 3) {
-        body.push_back('H');
-        body.push_back('P');
-        body.push_back('Z');
+        body->push_back('H');
+        body->push_back('P');
+        body->push_back('Z');
         const char* s = hp_str_blob + hp_str_off[oi];
         const char* e = hp_str_blob + hp_str_off[oi + 1];
-        body.insert(body.end(), s, e);
-        body.push_back(0);
+        body->insert(body->end(), s, e);
+        body->push_back(0);
         if (ps[oi] != INT64_MIN) app_int('P', 'S', (int32_t)ps[oi]);
         app_int('P', 'Q', pq[oi]);
       }
     }
-    int32_t bsz = (int32_t)(body.size() - body_rec_start - 4);
-    memcpy(&body[body_rec_start], &bsz, 4);
+    int32_t bsz = (int32_t)(body->size() - body_rec_start - 4);
+    memcpy(&(*body)[body_rec_start], &bsz, 4);
+    if (body->size() >= STAGE) {  // flush only between records
+      submit(*body);
+      cur ^= 1;
+      body = &stages[cur];
+      body->reserve(STAGE + (4u << 20));
+    }
   }
 
-  // compress header+body as one payload, parallel BGZF, plus EOF block
-  std::vector<uint8_t> payload;
-  payload.reserve(head.size() + body.size());
-  payload.insert(payload.end(), head.begin(), head.end());
-  payload.insert(payload.end(), body.begin(), body.end());
-  uint8_t* comp = nullptr;
-  int64_t comp_n = lps_bgzf_compress(payload.data(), (int64_t)payload.size(),
-                                     level, &comp);
-  FILE* f = fopen(out_path, "wb");
-  if (!f) {
-    free(comp);
-    return -1;
+  if (!body->empty()) submit(*body);
+  {
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [&] { return pending == nullptr; });
+    finish = true;
+    cv.notify_all();
   }
-  bool ok = fwrite(comp, 1, (size_t)comp_n, f) == (size_t)comp_n;
+  writer.join();
   static const uint8_t EOF_BLOCK[28] = {
       0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
       0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
       0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
   ok = ok && fwrite(EOF_BLOCK, 1, 28, f) == 28;
   fclose(f);
-  free(comp);
-  return ok ? comp_n : -1;
+  return ok ? total_comp : -1;
 }
 
 // One-shot raw-deflate decode with known output size (per-BGZF-block).
