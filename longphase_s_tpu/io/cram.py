@@ -807,8 +807,30 @@ class CramReader:
                     length=length, data_start=data_start)
         return off, blocks, meta
 
+    # -- native decode (lps_cram.cpp) -----------------------------------
+    def _native_decode(self, offsets=None):
+        """Decode via the native library into (blob, rec_off), or None when
+        unavailable/unsupported (pure-Python decode takes over)."""
+        import os as _os
+
+        if _os.environ.get("LPS_NO_NATIVE_CRAM"):
+            return None
+        try:
+            from .. import native
+
+            fasta_path = getattr(self._fasta, "path", "") or ""
+            return native.cram_decode(self._path, fasta_path, offsets)
+        except Exception:  # noqa: BLE001 — any native failure: Python path
+            return None
+
     # -- record iteration -----------------------------------------------
     def __iter__(self):
+        nat = self._native_decode()
+        if nat is not None:
+            blob, rec_off = nat
+            for i in range(len(rec_off) - 1):
+                yield BamRecord(blob[rec_off[i]:rec_off[i + 1]])
+            return
         off = self._data_off
         n = len(self._buf)
         while off < n:
@@ -846,6 +868,12 @@ class CramReader:
         return self._crai
 
     def _iter_containers_at(self, offsets):
+        nat = self._native_decode(sorted(set(offsets)))
+        if nat is not None:
+            blob, rec_off = nat
+            for i in range(len(rec_off) - 1):
+                yield BamRecord(blob[rec_off[i]:rec_off[i + 1]])
+            return
         for off in sorted(set(offsets)):
             _end, blocks, meta = self._read_container(off)
             if meta["num_records"]:

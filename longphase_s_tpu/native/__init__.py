@@ -16,6 +16,8 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "liblps.so")
 _SRC_PATH = os.path.join(_HERE, "lps_ingest.cpp")
+_SRC_PATHS = [os.path.join(_HERE, "lps_ingest.cpp"),
+              os.path.join(_HERE, "lps_cram.cpp")]
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -27,21 +29,24 @@ def build():
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-DUSE_LIBDEFLATE", "-shared",
-             "-fPIC", _SRC_PATH, "-o", _LIB_PATH, "-ldeflate", "-lz"],
+             "-fPIC", *_SRC_PATHS, "-o", _LIB_PATH, "-ldeflate", "-lz"],
             check=True, capture_output=True)
         return
     except subprocess.CalledProcessError:
         pass
     subprocess.run(
-        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC_PATH,
+        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", *_SRC_PATHS,
          "-o", _LIB_PATH, "-lz"],
         check=True, capture_output=True)
 
 
 def _src_hash() -> str:
     import hashlib
-    with open(_SRC_PATH, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
+    h = hashlib.sha256()
+    for p in _SRC_PATHS:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def _load():
@@ -503,3 +508,51 @@ def gzip_oneshot(data: bytes, level: int = 6) -> bytes | None:
         return ctypes.string_at(out_p, n)
     finally:
         lib.lps_buf_free(out_p)
+
+
+def _cram_bind(lib):
+    import ctypes as ct
+    if getattr(lib, "_cram_bound", False):
+        return
+    lib._cram_bound = True
+    lib.lps_cram_decode.restype = ct.c_void_p
+    lib.lps_cram_decode.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_void_p,
+                                    ct.c_int64, ct.c_int32]
+    lib.lps_cram_sizes.restype = ct.c_int64
+    lib.lps_cram_sizes.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_void_p]
+    lib.lps_cram_fill.restype = ct.c_int64
+    lib.lps_cram_fill.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_void_p]
+    lib.lps_cram_free.argtypes = [ct.c_void_p]
+
+
+def cram_decode(path: str, fasta_path: str = "", offsets=None,
+                n_threads: int = 0):
+    """Decode a CRAM file (or just the containers at ``offsets``) into
+    (blob, rec_off): concatenated raw BAM record bytes plus per-record
+    offsets. Returns None when the native path can't handle the file
+    (caller falls back to the Python decoder)."""
+    import ctypes as ct
+
+    lib = _load()
+    if lib is None:
+        return None
+    _cram_bind(lib)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    offs = np.ascontiguousarray(offsets if offsets is not None else [],
+                                np.int64)
+    h = lib.lps_cram_decode(path.encode(), fasta_path.encode(),
+                            offs.ctypes.data if len(offs) else None,
+                            len(offs), n_threads)
+    if not h:
+        return None
+    try:
+        blob_len = ct.c_int64()
+        n_rec = ct.c_int64()
+        lib.lps_cram_sizes(h, ct.byref(blob_len), ct.byref(n_rec))
+        blob = np.empty(blob_len.value, np.uint8)
+        rec_off = np.empty(n_rec.value + 1, np.int64)
+        lib.lps_cram_fill(h, blob.ctypes.data, rec_off.ctypes.data)
+        return blob.tobytes(), rec_off
+    finally:
+        lib.lps_cram_free(h)

@@ -1,0 +1,1473 @@
+// Native CRAM 3.0 decoder: containers -> raw BAM-format record blobs.
+//
+// C++ port of the decode path of longphase_s_tpu/io/cram.py (itself written
+// from the hts-specs CRAM 3.0 document; no htslib code). Containers are
+// independent, so they decode across a thread pool; the Python CramReader
+// wraps the returned blobs as BamRecord objects. Any unsupported feature
+// (bzip2/lzma blocks, exotic encodings) aborts the native path and the
+// caller falls back to the pure-Python decoder.
+//
+// Behavioral contract: byte-identical BAM records to io/cram.py's
+// _decode_slice/_xref/_to_bam (tested against htslib-written and own-written
+// CRAMs in tests/test_cram.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <stdexcept>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include <zlib.h>
+#ifdef USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
+namespace lps_cram {
+
+struct DecodeError : std::runtime_error {
+    explicit DecodeError(const std::string& m) : std::runtime_error(m) {}
+};
+
+// ---------------------------------------------------------------------------
+// varints
+// ---------------------------------------------------------------------------
+
+static inline uint32_t itf8_get(const uint8_t* b, size_t n, size_t& off) {
+    if (off >= n) throw DecodeError("itf8 eof");
+    uint32_t b0 = b[off];
+    if (b0 < 0x80) { off += 1; return b0; }
+    if (b0 < 0xC0) { uint32_t v = ((b0 & 0x3F) << 8) | b[off + 1]; off += 2; return v; }
+    if (b0 < 0xE0) {
+        uint32_t v = ((b0 & 0x1F) << 16) | (uint32_t(b[off + 1]) << 8) | b[off + 2];
+        off += 3; return v;
+    }
+    if (b0 < 0xF0) {
+        uint32_t v = ((b0 & 0x0F) << 24) | (uint32_t(b[off + 1]) << 16)
+                   | (uint32_t(b[off + 2]) << 8) | b[off + 3];
+        off += 4; return v;
+    }
+    uint32_t v = ((b0 & 0x0F) << 28) | (uint32_t(b[off + 1]) << 20)
+               | (uint32_t(b[off + 2]) << 12) | (uint32_t(b[off + 3]) << 4)
+               | (b[off + 4] & 0x0F);
+    off += 5; return v;
+}
+
+static inline int64_t itf8_get_signed(const uint8_t* b, size_t n, size_t& off) {
+    int64_t v = itf8_get(b, n, off);
+    if (v >= (int64_t(1) << 31)) v -= (int64_t(1) << 32);
+    return v;
+}
+
+static inline int64_t ltf8_get(const uint8_t* b, size_t n, size_t& off) {
+    if (off >= n) throw DecodeError("ltf8 eof");
+    uint32_t b0 = b[off];
+    int nb = 0;
+    while (nb < 8 && ((b0 << nb) & 0x80)) nb++;
+    if (nb == 0) { off += 1; return b0; }
+    if (nb < 8) {
+        int64_t v = b0 & (0xFF >> (nb + 1));
+        for (int i = 0; i < nb; i++) v = (v << 8) | b[off + 1 + i];
+        off += 1 + nb;
+        return v;
+    }
+    int64_t v = 0;
+    for (int i = 0; i < 8; i++) v = (v << 8) | b[off + 1 + i];
+    off += 9;
+    return v;
+}
+
+// ---------------------------------------------------------------------------
+// rANS 4x8 decode (order 0/1); port of io/cram.py:158-319
+// ---------------------------------------------------------------------------
+
+static const int TF_SHIFT = 12;
+static const int TOTFREQ = 1 << TF_SHIFT;
+static const uint32_t RANS_BYTE_L = 1u << 23;
+
+struct RansTable {
+    std::vector<uint8_t> ssym;
+    std::vector<uint32_t> sfreq;
+    std::vector<uint32_t> sbase;
+    RansTable() : ssym(TOTFREQ, 0), sfreq(TOTFREQ, 0), sbase(TOTFREQ, 0) {}
+};
+
+// freqs as ordered (sym, freq) pairs — insertion order matters for the table
+typedef std::vector<std::pair<int, int>> FreqList;
+
+static void read_freqs(const uint8_t* d, size_t n, size_t& off, FreqList& freqs) {
+    int rle = 0;
+    if (off >= n) throw DecodeError("freqs eof");
+    int j = d[off++];
+    while (true) {
+        if (off >= n) throw DecodeError("freqs eof");
+        int f = d[off++];
+        if (f >= 128) {
+            f = ((f & 127) << 8) | d[off++];
+        }
+        freqs.emplace_back(j, f);
+        if (!rle && off < n && d[off] == j + 1) {
+            j = d[off];
+            rle = d[off + 1];
+            off += 2;
+        } else if (rle) {
+            rle--;
+            j++;
+        } else {
+            if (off >= n) throw DecodeError("freqs eof");
+            j = d[off++];
+        }
+        if (j == 0) break;
+    }
+}
+
+static void build_table(const FreqList& freqs, bool zero_is_total, RansTable& t) {
+    int x = 0;
+    for (auto& sf : freqs) {
+        int sym = sf.first, f = sf.second;
+        if (f == 0) {
+            if (!zero_is_total) continue;
+            f = TOTFREQ;
+        }
+        if (x + f > TOTFREQ) f = TOTFREQ - x;  // clamp malformed tables
+        for (int i = 0; i < f; i++) {
+            t.ssym[x + i] = (uint8_t)sym;
+            t.sfreq[x + i] = (uint32_t)((sf.second == 0) ? TOTFREQ : sf.second);
+            t.sbase[x + i] = (uint32_t)i;
+        }
+        x += f;
+    }
+    if (x == TOTFREQ - 1) {  // historically 4095, not 4096
+        t.ssym[x] = t.ssym[x - 1];
+        t.sfreq[x] = t.sfreq[x - 1];
+        t.sbase[x] = t.sbase[x - 1] + 1;
+    }
+}
+
+static void rans_decode_o0(const uint8_t* d, size_t n, std::vector<uint8_t>& out) {
+    uint32_t out_sz;
+    memcpy(&out_sz, d + 5, 4);
+    FreqList freqs;
+    size_t off = 9;
+    read_freqs(d, n, off, freqs);
+    RansTable t;
+    build_table(freqs, false, t);
+    uint32_t R[4];
+    memcpy(R, d + off, 16);
+    off += 16;
+    out.resize(out_sz);
+    const uint32_t mask = TOTFREQ - 1;
+    size_t main_sz = out_sz & ~size_t(3);
+    for (size_t i = 0; i < main_sz; i += 4) {
+        for (int k = 0; k < 4; k++) {
+            uint32_t m = R[k] & mask;
+            out[i + k] = t.ssym[m];
+            R[k] = t.sfreq[m] * (R[k] >> TF_SHIFT) + t.sbase[m];
+            while (R[k] < RANS_BYTE_L && off < n) R[k] = (R[k] << 8) | d[off++];
+        }
+    }
+    for (size_t k = 0; k < (out_sz & 3); k++)
+        out[main_sz + k] = t.ssym[R[k] & mask];
+}
+
+static void rans_decode_o1(const uint8_t* d, size_t n, std::vector<uint8_t>& out) {
+    uint32_t out_sz;
+    memcpy(&out_sz, d + 5, 4);
+    size_t off = 9;
+    // order-1: outer context loop with its own +1-RLE
+    std::unordered_map<int, std::unique_ptr<RansTable>> tables;
+    int rle_i = 0;
+    int i = d[off++];
+    while (true) {
+        FreqList freqs;
+        read_freqs(d, n, off, freqs);
+        auto t = std::make_unique<RansTable>();
+        build_table(freqs, true, *t);
+        tables[i] = std::move(t);
+        if (!rle_i && off < n && d[off] == i + 1) {
+            i = d[off];
+            rle_i = d[off + 1];
+            off += 2;
+        } else if (rle_i) {
+            rle_i--;
+            i++;
+        } else {
+            if (off >= n) throw DecodeError("o1 table eof");
+            i = d[off++];
+        }
+        if (i == 0) break;
+    }
+    static RansTable empty;
+    uint32_t R[4];
+    memcpy(R, d + off, 16);
+    off += 16;
+    out.resize(out_sz);
+    const uint32_t mask = TOTFREQ - 1;
+    size_t isz4 = out_sz >> 2;
+    int ctx[4] = {0, 0, 0, 0};
+    size_t pos[4] = {0, isz4, 2 * isz4, 3 * isz4};
+    for (size_t it = 0; it < isz4; it++) {
+        for (int k = 0; k < 4; k++) {
+            auto f = tables.find(ctx[k]);
+            RansTable& t = (f == tables.end()) ? empty : *f->second;
+            uint32_t m = R[k] & mask;
+            uint8_t c = t.ssym[m];
+            out[pos[k]] = c;
+            R[k] = t.sfreq[m] * (R[k] >> TF_SHIFT) + t.sbase[m];
+            while (R[k] < RANS_BYTE_L && off < n) R[k] = (R[k] << 8) | d[off++];
+            ctx[k] = c;
+            pos[k]++;
+        }
+    }
+    int k = 3;
+    while (pos[k] < out_sz) {
+        auto f = tables.find(ctx[k]);
+        RansTable& t = (f == tables.end()) ? empty : *f->second;
+        uint32_t m = R[k] & mask;
+        uint8_t c = t.ssym[m];
+        out[pos[k]] = c;
+        R[k] = t.sfreq[m] * (R[k] >> TF_SHIFT) + t.sbase[m];
+        while (R[k] < RANS_BYTE_L && off < n) R[k] = (R[k] << 8) | d[off++];
+        ctx[k] = c;
+        pos[k]++;
+    }
+}
+
+static void rans_decode(const uint8_t* d, size_t n, std::vector<uint8_t>& out) {
+    if (n < 9) throw DecodeError("rans short");
+    if (d[0] == 0) rans_decode_o0(d, n, out);
+    else if (d[0] == 1) rans_decode_o1(d, n, out);
+    else throw DecodeError("unsupported rANS order");
+}
+
+// ---------------------------------------------------------------------------
+// blocks
+// ---------------------------------------------------------------------------
+
+enum { RAW = 0, M_GZIP = 1, M_BZIP2 = 2, M_LZMA = 3, M_RANS = 4 };
+enum { CT_FILE_HEADER = 0, CT_COMP_HEADER = 1, CT_SLICE_HEADER = 2,
+       CT_EXTERNAL = 4, CT_CORE = 5 };
+
+static void gzip_decompress(const uint8_t* d, size_t n, size_t raw_size,
+                            std::vector<uint8_t>& out) {
+    out.resize(raw_size);
+#ifdef USE_LIBDEFLATE
+    if (n >= 2 && d[0] == 0x1f && d[1] == 0x8b) {
+        struct libdeflate_decompressor* z = libdeflate_alloc_decompressor();
+        size_t actual = 0;
+        auto r = libdeflate_gzip_decompress(z, d, n, out.data(), raw_size, &actual);
+        libdeflate_free_decompressor(z);
+        if (r == LIBDEFLATE_SUCCESS) { out.resize(actual); return; }
+    }
+#endif
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 32) != Z_OK) throw DecodeError("inflateInit");
+    zs.next_in = const_cast<uint8_t*>(d);
+    zs.avail_in = (uInt)n;
+    zs.next_out = out.data();
+    zs.avail_out = (uInt)raw_size;
+    int r = inflate(&zs, Z_FINISH);
+    size_t got = raw_size - zs.avail_out;
+    inflateEnd(&zs);
+    if (r != Z_STREAM_END && r != Z_OK) throw DecodeError("inflate");
+    out.resize(got);
+}
+
+struct Block {
+    uint8_t method = RAW, ctype = 0;
+    int64_t content_id = 0;
+    std::vector<uint8_t> data;
+    size_t byte = 0;  // external read cursor
+    int bit = 7;      // MSB-first bit cursor (core)
+
+    inline int get_bit() {
+        if (byte >= data.size()) throw DecodeError("core eof");
+        int b = (data[byte] >> bit) & 1;
+        if (--bit < 0) { bit = 7; byte++; }
+        return b;
+    }
+    inline uint32_t get_bits(int n) {
+        uint32_t v = 0;
+        for (int i = 0; i < n; i++) v = (v << 1) | (uint32_t)get_bit();
+        return v;
+    }
+};
+
+static size_t read_block(const uint8_t* buf, size_t n, size_t off, Block& b) {
+    if (off + 2 > n) throw DecodeError("block eof");
+    b.method = buf[off];
+    b.ctype = buf[off + 1];
+    off += 2;
+    b.content_id = itf8_get(buf, n, off);
+    uint32_t comp_size = itf8_get(buf, n, off);
+    uint32_t raw_size = itf8_get(buf, n, off);
+    if (off + comp_size > n) throw DecodeError("block data eof");
+    const uint8_t* d = buf + off;
+    off += comp_size;
+    off += 4;  // CRC32 (not verified; parity with Python reader)
+    switch (b.method) {
+        case RAW: b.data.assign(d, d + comp_size); break;
+        case M_GZIP: gzip_decompress(d, comp_size, raw_size, b.data); break;
+        case M_RANS: rans_decode(d, comp_size, b.data); break;
+        default: throw DecodeError("unsupported block method");  // bzip2/lzma
+    }
+    return off;
+}
+
+// ---------------------------------------------------------------------------
+// codecs
+// ---------------------------------------------------------------------------
+
+enum { E_NULL = 0, E_EXTERNAL = 1, E_HUFFMAN = 3, E_BYTE_ARRAY_LEN = 4,
+       E_BYTE_ARRAY_STOP = 5, E_BETA = 6 };
+
+typedef std::unordered_map<int64_t, Block*> ExtMap;
+
+struct Codec {
+    int kind = E_NULL;
+    // external / byte-array-stop
+    int64_t content_id = 0;
+    uint8_t stop = 0;
+    // huffman
+    bool is_const = false;
+    int64_t const_val = 0;
+    int max_len = 0;
+    std::vector<std::unordered_map<uint32_t, int64_t>> by_len;  // [len]
+    // beta
+    int64_t offset = 0;
+    int nbits = 0;
+    // byte-array-len
+    std::unique_ptr<Codec> len_codec, val_codec;
+
+    static Block& eblk(ExtMap& ext, int64_t cid) {
+        auto it = ext.find(cid);
+        if (it == ext.end()) throw DecodeError("missing external block");
+        return *it->second;
+    }
+
+    int64_t decode_int(Block& core, ExtMap& ext) const {
+        switch (kind) {
+            case E_EXTERNAL: {
+                Block& b = eblk(ext, content_id);
+                int64_t v = itf8_get(b.data.data(), b.data.size(), b.byte);
+                if (v >= (int64_t(1) << 31)) v -= (int64_t(1) << 32);
+                return v;
+            }
+            case E_HUFFMAN: {
+                if (is_const) return const_val;
+                uint32_t code = 0;
+                for (int ln = 1; ln <= max_len; ln++) {
+                    code = (code << 1) | (uint32_t)core.get_bit();
+                    if (ln < (int)by_len.size()) {
+                        auto& tab = by_len[ln];
+                        auto it = tab.find(code);
+                        if (it != tab.end()) return it->second;
+                    }
+                }
+                throw DecodeError("bad huffman code");
+            }
+            case E_BETA:
+                if (nbits == 0) return -offset;
+                return (int64_t)core.get_bits(nbits) - offset;
+            default:
+                throw DecodeError("decode_int on non-int codec");
+        }
+    }
+
+    uint8_t decode_byte(Block& core, ExtMap& ext) const {
+        if (kind == E_EXTERNAL) {
+            Block& b = eblk(ext, content_id);
+            if (b.byte >= b.data.size()) throw DecodeError("external eof");
+            return b.data[b.byte++];
+        }
+        return (uint8_t)decode_int(core, ext);
+    }
+
+    // byte-array decode (BYTE_ARRAY_STOP / BYTE_ARRAY_LEN)
+    bool has_bytes() const {
+        return kind == E_BYTE_ARRAY_STOP || kind == E_BYTE_ARRAY_LEN;
+    }
+    void decode_bytes(Block& core, ExtMap& ext, std::vector<uint8_t>& out) const {
+        out.clear();
+        if (kind == E_BYTE_ARRAY_STOP) {
+            Block& b = eblk(ext, content_id);
+            size_t e = b.byte;
+            while (e < b.data.size() && b.data[e] != stop) e++;
+            if (e >= b.data.size()) throw DecodeError("missing stop byte");
+            out.assign(b.data.begin() + b.byte, b.data.begin() + e);
+            b.byte = e + 1;
+            return;
+        }
+        if (kind == E_BYTE_ARRAY_LEN) {
+            int64_t nv = len_codec->decode_int(core, ext);
+            if (nv < 0) throw DecodeError("negative byte array length");
+            if (val_codec->kind == E_EXTERNAL) {
+                Block& b = eblk(ext, val_codec->content_id);
+                if (b.byte + (size_t)nv > b.data.size())
+                    throw DecodeError("external eof");
+                out.assign(b.data.begin() + b.byte, b.data.begin() + b.byte + nv);
+                b.byte += nv;
+            } else {
+                out.resize(nv);
+                for (int64_t i = 0; i < nv; i++)
+                    out[i] = val_codec->decode_byte(core, ext);
+            }
+            return;
+        }
+        throw DecodeError("decode_bytes on non-bytes codec");
+    }
+    void decode_bytes_n(Block& core, ExtMap& ext, size_t nv,
+                        std::vector<uint8_t>& out) const {
+        if (kind == E_EXTERNAL) {
+            Block& b = eblk(ext, content_id);
+            size_t take = std::min(nv, b.data.size() - b.byte);
+            out.assign(b.data.begin() + b.byte, b.data.begin() + b.byte + take);
+            b.byte += take;
+            return;
+        }
+        out.resize(nv);
+        for (size_t i = 0; i < nv; i++) out[i] = decode_byte(core, ext);
+    }
+};
+
+static std::unique_ptr<Codec> parse_codec(const uint8_t* buf, size_t n, size_t& off) {
+    int64_t enc = itf8_get(buf, n, off);
+    uint32_t size = itf8_get(buf, n, off);
+    size_t end = off + size;
+    auto c = std::make_unique<Codec>();
+    switch (enc) {
+        case E_NULL:
+            off = end;
+            return nullptr;
+        case E_EXTERNAL:
+            c->kind = E_EXTERNAL;
+            c->content_id = itf8_get(buf, n, off);
+            break;
+        case E_HUFFMAN: {
+            c->kind = E_HUFFMAN;
+            uint32_t ncodes = itf8_get(buf, n, off);
+            std::vector<int64_t> syms(ncodes);
+            for (uint32_t i = 0; i < ncodes; i++)
+                syms[i] = itf8_get_signed(buf, n, off);
+            uint32_t n2 = itf8_get(buf, n, off);
+            std::vector<int> lens(n2);
+            for (uint32_t i = 0; i < n2; i++) lens[i] = (int)itf8_get(buf, n, off);
+            // canonical code assignment, sorted by (len, sym)
+            std::vector<std::pair<int, int64_t>> pairs;
+            for (uint32_t i = 0; i < ncodes && i < n2; i++)
+                pairs.emplace_back(lens[i], syms[i]);
+            std::sort(pairs.begin(), pairs.end());
+            if (pairs.size() == 1 && pairs[0].first == 0) {
+                c->is_const = true;
+                c->const_val = pairs[0].second;
+                break;
+            }
+            int64_t val = -1;
+            int last_len = 0;
+            c->max_len = 0;
+            for (auto& p : pairs) c->max_len = std::max(c->max_len, p.first);
+            c->by_len.resize(c->max_len + 1);
+            for (auto& p : pairs) {
+                val += 1;
+                if (p.first > last_len) {
+                    val <<= (p.first - last_len);
+                    last_len = p.first;
+                }
+                c->by_len[p.first][(uint32_t)val] = p.second;
+            }
+            break;
+        }
+        case E_BETA:
+            c->kind = E_BETA;
+            c->offset = itf8_get_signed(buf, n, off);
+            c->nbits = (int)itf8_get(buf, n, off);
+            break;
+        case E_BYTE_ARRAY_STOP:
+            c->kind = E_BYTE_ARRAY_STOP;
+            c->stop = buf[off++];
+            c->content_id = itf8_get(buf, n, off);
+            break;
+        case E_BYTE_ARRAY_LEN:
+            c->kind = E_BYTE_ARRAY_LEN;
+            c->len_codec = parse_codec(buf, n, off);
+            c->val_codec = parse_codec(buf, n, off);
+            if (!c->len_codec || !c->val_codec)
+                throw DecodeError("null sub-codec");
+            break;
+        default:
+            throw DecodeError("unsupported encoding");
+    }
+    off = end;
+    return c;
+}
+
+// ---------------------------------------------------------------------------
+// compression header
+// ---------------------------------------------------------------------------
+
+static const char* DEFAULT_SUB = "CGTNAGTNACTNACGNACGT";
+
+struct TagDef { char tag2[2]; char typ; };
+
+struct CompHeader {
+    bool read_names_included = false;
+    bool ap_delta = true;
+    bool qs_seq_orient = true;
+    bool no_ref = false;
+    char sub_matrix[5][4];
+    std::vector<std::vector<TagDef>> tag_dict;
+    std::unordered_map<uint16_t, std::unique_ptr<Codec>> codecs;  // "XX" key
+    std::unordered_map<uint32_t, std::unique_ptr<Codec>> tag_codecs;  // 3-byte
+
+    const Codec* get(const char* key) const {
+        uint16_t k = (uint16_t(key[0]) << 8) | uint8_t(key[1]);
+        auto it = codecs.find(k);
+        return it == codecs.end() ? nullptr : it->second.get();
+    }
+};
+
+static void parse_comp_header(const std::vector<uint8_t>& blob, CompHeader& h) {
+    const uint8_t* data = blob.data();
+    size_t n = blob.size(), off = 0;
+    for (int r = 0; r < 5; r++)
+        for (int c = 0; c < 4; c++) h.sub_matrix[r][c] = DEFAULT_SUB[r * 4 + c];
+
+    // preservation map
+    itf8_get(data, n, off);  // size
+    uint32_t count = itf8_get(data, n, off);
+    for (uint32_t i = 0; i < count; i++) {
+        char k0 = (char)data[off], k1 = (char)data[off + 1];
+        off += 2;
+        if (k0 == 'R' && k1 == 'N') { h.read_names_included = data[off++] != 0; }
+        else if (k0 == 'A' && k1 == 'P') { h.ap_delta = data[off++] != 0; }
+        else if (k0 == 'R' && k1 == 'R') { h.no_ref = data[off++] == 0; }
+        else if (k0 == 'Q' && k1 == 'O') { h.qs_seq_orient = data[off++] != 0; }
+        else if (k0 == 'S' && k1 == 'M') {
+            static const char* OTHERS[5] = {"CGTN", "AGTN", "ACTN", "ACGN", "ACGT"};
+            for (int r = 0; r < 5; r++) {
+                uint8_t byte = data[off + r];
+                h.sub_matrix[r][(byte >> 6) & 3] = OTHERS[r][0];
+                h.sub_matrix[r][(byte >> 4) & 3] = OTHERS[r][1];
+                h.sub_matrix[r][(byte >> 2) & 3] = OTHERS[r][2];
+                h.sub_matrix[r][byte & 3] = OTHERS[r][3];
+            }
+            off += 5;
+        } else if (k0 == 'T' && k1 == 'D') {
+            uint32_t blk_size = itf8_get(data, n, off);
+            const uint8_t* blob2 = data + off;
+            off += blk_size;
+            // entries separated by \0; trailing \0 does not open a new entry
+            size_t start = 0;
+            for (size_t p = 0; p <= blk_size; p++) {
+                if (p == blk_size || blob2[p] == 0) {
+                    if (p == blk_size && start == p) break;
+                    std::vector<TagDef> tags;
+                    for (size_t q = start; q + 2 < p; q += 3) {
+                        TagDef t;
+                        t.tag2[0] = (char)blob2[q];
+                        t.tag2[1] = (char)blob2[q + 1];
+                        t.typ = (char)blob2[q + 2];
+                        tags.push_back(t);
+                    }
+                    h.tag_dict.push_back(std::move(tags));
+                    start = p + 1;
+                    if (p == blk_size) break;
+                }
+            }
+            // Python: blob.split(b"\0")[:-1] when trailing \0 — the loop above
+            // matches (no empty trailing entry)
+        } else {
+            off += 1;  // MI/UI/PI single-byte legacy keys
+        }
+    }
+
+    // record encoding map
+    itf8_get(data, n, off);
+    count = itf8_get(data, n, off);
+    for (uint32_t i = 0; i < count; i++) {
+        uint16_t key = (uint16_t(data[off]) << 8) | data[off + 1];
+        off += 2;
+        auto codec = parse_codec(data, n, off);
+        if (codec) h.codecs[key] = std::move(codec);
+    }
+
+    // tag encoding map
+    itf8_get(data, n, off);
+    count = itf8_get(data, n, off);
+    for (uint32_t i = 0; i < count; i++) {
+        uint32_t keyid = itf8_get(data, n, off);
+        auto codec = parse_codec(data, n, off);
+        if (codec) h.tag_codecs[keyid] = std::move(codec);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// FASTA (.fai-indexed) reference provider
+// ---------------------------------------------------------------------------
+
+struct FastaRef {
+    struct Entry { int64_t length, offset, linebases, linewidth; };
+    std::string path;
+    std::vector<std::string> names;                 // tid order from SAM header
+    std::unordered_map<std::string, Entry> index;   // from .fai
+    std::unordered_map<int, std::shared_ptr<std::string>> cache;
+    std::mutex mu;
+    bool usable = false;
+
+    void load_fai(const std::string& fasta_path) {
+        path = fasta_path;
+        FILE* f = fopen((fasta_path + ".fai").c_str(), "rb");
+        if (!f) return;
+        char line[4096];
+        while (fgets(line, sizeof(line), f)) {
+            char name[2048];
+            long long len, off, lb, lw;
+            if (sscanf(line, "%2047s\t%lld\t%lld\t%lld\t%lld",
+                       name, &len, &off, &lb, &lw) == 5)
+                index[name] = Entry{len, off, lb, lw};
+        }
+        fclose(f);
+        usable = true;
+    }
+
+    // full contig sequence, bytes exactly as FastaFile.fetch (no case change)
+    std::shared_ptr<std::string> get(int tid) {
+        if (tid < 0 || !usable || tid >= (int)names.size()) return nullptr;
+        std::lock_guard<std::mutex> g(mu);
+        auto it = cache.find(tid);
+        if (it != cache.end()) return it->second;
+        auto idx = index.find(names[tid]);
+        if (idx == index.end()) { cache[tid] = nullptr; return nullptr; }
+        const Entry& e = idx->second;
+        auto seq = std::make_shared<std::string>();
+        seq->reserve(e.length);
+        FILE* f = fopen(path.c_str(), "rb");
+        if (!f) { cache[tid] = nullptr; return nullptr; }
+        // bytes on disk covering `length` bases
+        int64_t full_lines = e.length / e.linebases;
+        int64_t rem = e.length % e.linebases;
+        int64_t span = full_lines * e.linewidth + rem;
+        std::vector<char> raw(span);
+        fseek(f, (long)e.offset, SEEK_SET);
+        size_t got = fread(raw.data(), 1, span, f);
+        fclose(f);
+        for (size_t i = 0; i < got; i++) {
+            char c = raw[i];
+            if (c != '\n' && c != '\r') seq->push_back(c);
+        }
+        auto sp = std::shared_ptr<std::string>(seq);
+        cache[tid] = sp;
+        return sp;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// record decode
+// ---------------------------------------------------------------------------
+
+// CRAM record flags
+enum { CF_QUAL = 1, CF_DETACHED = 2, CF_DOWNSTREAM = 4, CF_NO_SEQ = 8,
+       CF_EXPLICIT_TLEN = 16 };
+enum { MATE_REVERSE = 1, MATE_UNMAP = 2 };
+enum { BAM_FPAIRED = 0x1, BAM_FUNMAP = 0x4, BAM_FMUNMAP = 0x8,
+       BAM_FREVERSE = 0x10, BAM_FMREVERSE = 0x20, BAM_FREAD1 = 0x40 };
+
+static const int64_t TLEN_NONE = INT64_MIN;
+
+struct Rec {
+    int32_t flags = 0, cf = 0;
+    int32_t ref_id = -1;
+    int64_t len = 0, apos = 0;
+    int32_t rg = -1;
+    std::vector<uint8_t> name;
+    int32_t mate_flags = 0, mate_ref_id = -1;
+    int64_t mate_pos = 0;
+    int64_t mate_line = -1;
+    int64_t tlen = TLEN_NONE;
+    int64_t explicit_tlen = TLEN_NONE;
+    bool has_explicit_tlen = false;
+    std::vector<uint8_t> tags;
+    std::vector<std::pair<int, int64_t>> cigar;  // (op, len)
+    std::vector<uint8_t> seq, qual;
+    int32_t mqual = 0;
+    int64_t aend = 0;
+};
+
+static const int BASE_IDX[256] = {
+    // A=0 C=1 G=2 T=3 N=4, lowercase same; everything else 4
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,0,4,1,4,4,4,2,4,4,4,4,4,4,4,4, 4,4,4,4,3,4,4,4,4,4,4,4,4,4,4,4,
+    4,0,4,1,4,4,4,2,4,4,4,4,4,4,4,4, 4,4,4,4,3,4,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+};
+
+static void decode_seq(const CompHeader& comp, Block& core, ExtMap& ext,
+                       Rec& r, const std::string* ref) {
+    auto dec_int = [&](const char* key, int64_t def) -> int64_t {
+        const Codec* c = comp.get(key);
+        return c ? c->decode_int(core, ext) : def;
+    };
+    std::vector<uint8_t> tmp;
+    auto dec_bytes = [&](const char* key) -> const std::vector<uint8_t>& {
+        tmp.clear();
+        const Codec* c = comp.get(key);
+        if (c) {
+            if (c->has_bytes()) c->decode_bytes(core, ext, tmp);
+            else tmp.push_back(c->decode_byte(core, ext));
+        }
+        return tmp;
+    };
+
+    if (!comp.no_ref && ref == nullptr) {
+        // reference-based record without a reference sequence
+        // (Python fills from a None ref silently producing '='-bases only
+        //  when no_ref; here a missing contig means garbage — match Python:
+        //  ref None -> '=' fill)
+    }
+    bool use_ref = !comp.no_ref && ref != nullptr;
+    r.seq.assign(r.len, use_ref ? 0 : '=');
+    r.qual.assign(r.len, 0xff);
+    int64_t fn = dec_int("FN", 0);
+    int cig_op = 0;
+    int64_t cig_len = 0;
+    int64_t seq_pos = 1;
+    int64_t ref_pos = r.apos - 1;
+    int64_t prev_pos = 0;
+    size_t ref_len = use_ref ? ref->size() : 0;
+
+    auto copy_ref = [&](int64_t dst, int64_t src, int64_t span) {
+        if (!use_ref) return;
+        for (int64_t i = 0; i < span; i++) {
+            int64_t s = src + i, d = dst + i;
+            if (s >= 0 && (size_t)s < ref_len && d >= 0 && d < (int64_t)r.seq.size())
+                r.seq[d] = (uint8_t)(*ref)[s];
+        }
+    };
+    auto flush_if = [&](int keep_op) {
+        if (cig_len && cig_op != keep_op) {
+            r.cigar.emplace_back(cig_op, cig_len);
+            cig_len = 0;
+        }
+    };
+
+    const Codec* FC = comp.get("FC");
+    for (int64_t fi = 0; fi < fn; fi++) {
+        if (!FC) throw DecodeError("missing FC");
+        char op = (char)FC->decode_byte(core, ext);
+        int64_t pos = dec_int("FP", 0) + prev_pos;
+        prev_pos = pos;
+        if (pos > seq_pos) {
+            int64_t span = pos - seq_pos;
+            copy_ref(seq_pos - 1, ref_pos, span);
+            flush_if(0);
+            cig_op = 0;
+            cig_len += span;
+            ref_pos += span;
+            seq_pos = pos;
+        }
+        switch (op) {
+            case 'S': {
+                if (cig_len) { r.cigar.emplace_back(cig_op, cig_len); cig_len = 0; }
+                const auto& sc = dec_bytes("SC");
+                for (size_t i = 0; i < sc.size(); i++)
+                    if (pos - 1 + (int64_t)i < (int64_t)r.seq.size())
+                        r.seq[pos - 1 + i] = sc[i];
+                r.cigar.emplace_back(4, (int64_t)sc.size());
+                cig_op = 4;
+                seq_pos += sc.size();
+                break;
+            }
+            case 'X': {
+                flush_if(0);
+                const Codec* BS = comp.get("BS");
+                if (!BS) throw DecodeError("missing BS");
+                int base_code = BS->decode_byte(core, ext);
+                int ref_idx = 4;
+                if (use_ref && ref_pos < (int64_t)ref_len && ref_pos >= 0)
+                    ref_idx = BASE_IDX[(uint8_t)(*ref)[ref_pos]];
+                if (base_code < 0 || base_code > 3)
+                    throw DecodeError("bad BS code");
+                if (pos - 1 < (int64_t)r.seq.size())
+                    r.seq[pos - 1] = (uint8_t)comp.sub_matrix[ref_idx][base_code];
+                cig_op = 0;
+                cig_len += 1;
+                seq_pos += 1;
+                ref_pos += 1;
+                break;
+            }
+            case 'D': {
+                flush_if(2);
+                int64_t dl = dec_int("DL", 0);
+                cig_op = 2;
+                cig_len += dl;
+                ref_pos += dl;
+                break;
+            }
+            case 'I': {
+                flush_if(1);
+                const auto& ins = dec_bytes("IN");
+                for (size_t i = 0; i < ins.size(); i++)
+                    if (pos - 1 + (int64_t)i < (int64_t)r.seq.size())
+                        r.seq[pos - 1 + i] = ins[i];
+                cig_op = 1;
+                cig_len += ins.size();
+                seq_pos += ins.size();
+                break;
+            }
+            case 'i': {
+                flush_if(1);
+                const Codec* BA = comp.get("BA");
+                if (!BA) throw DecodeError("missing BA");
+                if (pos - 1 < (int64_t)r.seq.size())
+                    r.seq[pos - 1] = BA->decode_byte(core, ext);
+                cig_op = 1;
+                cig_len += 1;
+                seq_pos += 1;
+                break;
+            }
+            case 'b': {
+                flush_if(0);
+                const auto& bb = dec_bytes("BB");
+                for (size_t i = 0; i < bb.size(); i++)
+                    if (pos - 1 + (int64_t)i < (int64_t)r.seq.size())
+                        r.seq[pos - 1 + i] = bb[i];
+                cig_op = 0;
+                cig_len += bb.size();
+                seq_pos += bb.size();
+                ref_pos += bb.size();
+                break;
+            }
+            case 'q': {
+                flush_if(0);
+                const auto& qq = dec_bytes("QQ");
+                for (size_t i = 0; i < qq.size(); i++)
+                    if (pos - 1 + (int64_t)i < (int64_t)r.qual.size())
+                        r.qual[pos - 1 + i] = qq[i];
+                cig_op = 0;
+                break;
+            }
+            case 'B': {
+                flush_if(0);
+                const Codec* BA = comp.get("BA");
+                if (!BA) throw DecodeError("missing BA");
+                if (pos - 1 < (int64_t)r.seq.size())
+                    r.seq[pos - 1] = BA->decode_byte(core, ext);
+                const Codec* QS = comp.get("QS");
+                if (QS && pos - 1 < (int64_t)r.qual.size())
+                    r.qual[pos - 1] = QS->decode_byte(core, ext);
+                cig_op = 0;
+                cig_len += 1;
+                seq_pos += 1;
+                ref_pos += 1;
+                break;
+            }
+            case 'Q': {
+                const Codec* QS = comp.get("QS");
+                if (!QS) throw DecodeError("missing QS");
+                if (pos - 1 < (int64_t)r.qual.size())
+                    r.qual[pos - 1] = QS->decode_byte(core, ext);
+                break;
+            }
+            case 'H': {
+                flush_if(5);
+                int64_t hc = dec_int("HC", 0);
+                cig_op = 5;
+                cig_len += hc;
+                break;
+            }
+            case 'P': {
+                flush_if(6);
+                int64_t pd = dec_int("PD", 0);
+                cig_op = 6;
+                cig_len += pd;
+                break;
+            }
+            case 'N': {
+                flush_if(3);
+                int64_t rs = dec_int("RS", 0);
+                cig_op = 3;
+                cig_len += rs;
+                ref_pos += rs;
+                break;
+            }
+            default:
+                throw DecodeError("unknown feature code");
+        }
+    }
+
+    // implicit trailing match
+    if (r.len >= seq_pos) {
+        int64_t span = r.len - seq_pos + 1;
+        copy_ref(seq_pos - 1, ref_pos, span);
+        ref_pos += span;
+        flush_if(0);
+        cig_op = 0;
+        cig_len += span;
+    }
+    if (cig_len) r.cigar.emplace_back(cig_op, cig_len);
+    r.aend = std::max(ref_pos, r.apos);
+    r.mqual = (int32_t)dec_int("MQ", 40);
+    if (r.cf & CF_QUAL) {
+        const Codec* QS = comp.get("QS");
+        if (!QS) throw DecodeError("missing QS");
+        QS->decode_bytes_n(core, ext, r.len, r.qual);
+        if ((int64_t)r.qual.size() < r.len) r.qual.resize(r.len, 0xff);
+    }
+    if (r.cf & CF_NO_SEQ) {
+        r.len = 0;
+        r.seq.clear();
+        r.qual.clear();
+    }
+}
+
+// cram_decode_slice_xref semantics; port of io/cram.py:1175-1246
+static void xref(std::vector<Rec>& recs) {
+    int64_t n = (int64_t)recs.size();
+    for (int64_t i = 0; i < n; i++) {
+        Rec& r = recs[i];
+        if (r.mate_line >= 0 && r.mate_line < n) {
+            if (r.tlen == TLEN_NONE) {
+                int64_t aleft = r.apos, aright = r.aend;
+                int left_cnt = 0;
+                int32_t ref = r.ref_id;
+                int64_t id2 = i;
+                while (true) {
+                    if (aleft > recs[id2].apos) {
+                        aleft = recs[id2].apos;
+                        left_cnt = 1;
+                    } else if (aleft == recs[id2].apos) {
+                        left_cnt += 1;
+                    }
+                    if (aright < recs[id2].aend) aright = recs[id2].aend;
+                    if (recs[id2].mate_line == -1) {
+                        recs[id2].mate_line = i;
+                        break;
+                    }
+                    id2 = recs[id2].mate_line;
+                    if (recs[id2].ref_id != ref) ref = -1;
+                    if (id2 == i) break;
+                }
+                if (ref != -1) {
+                    int64_t tlen = aright - aleft + 1;
+                    std::vector<int64_t> chain{i};
+                    id2 = recs[i].mate_line;
+                    while (id2 != i) {
+                        chain.push_back(id2);
+                        id2 = recs[id2].mate_line;
+                    }
+                    for (int64_t id3 : chain) {
+                        if (recs[id3].apos == aleft
+                            && (left_cnt == 1 || (recs[id3].flags & BAM_FREAD1)))
+                            recs[id3].tlen = tlen;
+                        else
+                            recs[id3].tlen = -tlen;
+                    }
+                } else {
+                    id2 = i;
+                    while (true) {
+                        recs[id2].tlen = 0;
+                        id2 = recs[id2].mate_line;
+                        if (id2 == i) break;
+                    }
+                }
+            }
+            Rec& mate = recs[r.mate_line];
+            r.mate_pos = mate.apos;
+            r.mate_ref_id = mate.ref_id;
+            r.flags |= BAM_FPAIRED;
+            if (mate.flags & BAM_FUNMAP) {
+                r.flags |= BAM_FMUNMAP;
+                r.tlen = 0;
+            }
+            if (r.flags & BAM_FUNMAP) r.tlen = 0;
+            if (mate.flags & BAM_FREVERSE) r.flags |= BAM_FMREVERSE;
+            if (r.name.empty()) r.name = mate.name;
+        } else {
+            if (r.mate_flags & MATE_REVERSE)
+                r.flags |= BAM_FPAIRED | BAM_FMREVERSE;
+            if (r.mate_flags & MATE_UNMAP) r.flags |= BAM_FMUNMAP;
+            if (!(r.flags & BAM_FPAIRED)) r.mate_ref_id = -1;
+        }
+        if (r.tlen == TLEN_NONE) r.tlen = 0;
+    }
+    for (auto& r : recs)
+        if (r.has_explicit_tlen) r.tlen = r.explicit_tlen;
+}
+
+// BAM bin number (standard reg2bin)
+static int reg2bin(int64_t beg, int64_t end) {
+    end--;
+    if (beg >> 14 == end >> 14) return (int)(((1 << 15) - 1) / 7 + (beg >> 14));
+    if (beg >> 17 == end >> 17) return (int)(((1 << 12) - 1) / 7 + (beg >> 17));
+    if (beg >> 20 == end >> 20) return (int)(((1 << 9) - 1) / 7 + (beg >> 20));
+    if (beg >> 23 == end >> 23) return (int)(((1 << 6) - 1) / 7 + (beg >> 23));
+    if (beg >> 26 == end >> 26) return (int)(((1 << 3) - 1) / 7 + (beg >> 26));
+    return 0;
+}
+
+// ASCII -> nt16 code ("=ACMGRSVTWYHKDBN"), unknown -> N(15), case-insensitive
+static uint8_t NT16[256];
+static bool nt16_init() {
+    const char* s = "=ACMGRSVTWYHKDBN";
+    for (int i = 0; i < 256; i++) NT16[i] = 15;
+    for (int i = 0; i < 16; i++) {
+        NT16[(uint8_t)s[i]] = (uint8_t)i;
+        NT16[(uint8_t)tolower(s[i])] = (uint8_t)i;
+    }
+    return true;
+}
+static bool nt16_ready = nt16_init();
+
+static void to_bam(const Rec& r, const std::vector<std::string>& read_groups,
+                   std::vector<uint8_t>& out) {
+    const uint8_t* name = r.name.empty() ? (const uint8_t*)"?" : r.name.data();
+    size_t name_len = r.name.empty() ? 1 : r.name.size();
+    int l_read_name = (int)name_len + 1;
+    int n_cigar = (int)r.cigar.size();
+    int64_t l_seq = (int64_t)r.seq.size();
+    int64_t end = r.aend > r.apos ? r.aend : r.apos;
+    int bam_bin = reg2bin(r.apos - 1, end > r.apos - 1 ? end : r.apos);
+
+    size_t tag_extra = 0;
+    bool add_rg = r.rg >= 0 && r.rg < (int)read_groups.size();
+    if (add_rg) tag_extra = 3 + read_groups[r.rg].size() + 1;
+
+    size_t total = 32 + name_len + 1 + 4 * n_cigar + (l_seq + 1) / 2 + l_seq
+                 + r.tags.size() + tag_extra;
+    size_t base = out.size();
+    out.resize(base + total);
+    uint8_t* p = out.data() + base;
+
+    auto put_i32 = [&](int32_t v) { memcpy(p, &v, 4); p += 4; };
+    auto put_u16 = [&](uint16_t v) { memcpy(p, &v, 2); p += 2; };
+    put_i32(r.ref_id);
+    put_i32((int32_t)(r.apos - 1));
+    *p++ = (uint8_t)l_read_name;
+    *p++ = (uint8_t)r.mqual;
+    put_u16((uint16_t)bam_bin);
+    put_u16((uint16_t)n_cigar);
+    put_u16((uint16_t)r.flags);
+    put_i32((int32_t)l_seq);
+    put_i32(r.mate_ref_id);
+    put_i32((int32_t)(r.mate_pos - 1));
+    put_i32((int32_t)r.tlen);
+    memcpy(p, name, name_len);
+    p += name_len;
+    *p++ = 0;
+    for (auto& c : r.cigar) {
+        uint32_t v = ((uint32_t)c.second << 4) | (uint32_t)c.first;
+        memcpy(p, &v, 4);
+        p += 4;
+    }
+    for (int64_t i = 0; i + 1 < l_seq; i += 2)
+        *p++ = (uint8_t)((NT16[r.seq[i]] << 4) | NT16[r.seq[i + 1]]);
+    if (l_seq & 1) *p++ = (uint8_t)(NT16[r.seq[l_seq - 1]] << 4);
+    if ((int64_t)r.qual.size() == l_seq) {
+        memcpy(p, r.qual.data(), l_seq);
+        p += l_seq;
+    } else {
+        memset(p, 0xff, l_seq);
+        p += l_seq;
+    }
+    memcpy(p, r.tags.data(), r.tags.size());
+    p += r.tags.size();
+    if (add_rg) {
+        *p++ = 'R'; *p++ = 'G'; *p++ = 'Z';
+        memcpy(p, read_groups[r.rg].data(), read_groups[r.rg].size());
+        p += read_groups[r.rg].size();
+        *p++ = 0;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// slice / container decode
+// ---------------------------------------------------------------------------
+
+struct ContainerOut {
+    std::vector<uint8_t> blob;          // concatenated BAM records
+    std::vector<int64_t> rec_sizes;     // per-record byte sizes
+};
+
+static void decode_slice(const CompHeader& comp, Block& core, ExtMap& ext,
+                         int64_t s_ref_id, int64_t s_ref_start, int64_t nrec,
+                         FastaRef* fasta,
+                         const std::vector<std::string>& read_groups,
+                         ContainerOut& out) {
+    auto dec_int_req = [&](const char* key, int64_t def, bool has_def) -> int64_t {
+        const Codec* c = comp.get(key);
+        if (!c) {
+            if (!has_def) throw DecodeError("missing codec");
+            return def;
+        }
+        return c->decode_int(core, ext);
+    };
+
+    std::vector<Rec> recs(nrec);
+    int64_t last_apos = s_ref_start;
+    std::vector<uint8_t> tmp;
+    for (int64_t idx = 0; idx < nrec; idx++) {
+        Rec& r = recs[idx];
+        r.flags = (int32_t)dec_int_req("BF", 0x4, true);
+        r.cf = (int32_t)dec_int_req("CF", 0, true);
+        if (s_ref_id == -2) r.ref_id = (int32_t)dec_int_req("RI", -1, true);
+        else r.ref_id = (int32_t)s_ref_id;
+        r.len = dec_int_req("RL", 0, true);
+        int64_t apos = dec_int_req("AP", 0, true);
+        if (comp.ap_delta) apos += last_apos;
+        last_apos = apos;
+        r.apos = apos;
+        r.rg = (int32_t)dec_int_req("RG", -1, true);
+        const Codec* RN = comp.get("RN");
+        if (comp.read_names_included && RN) {
+            if (RN->has_bytes()) RN->decode_bytes(core, ext, r.name);
+            else { r.name.clear(); r.name.push_back(RN->decode_byte(core, ext)); }
+        }
+        if (r.cf & CF_DETACHED) {
+            r.mate_flags = (int32_t)dec_int_req("MF", 0, true);
+            if (!comp.read_names_included && RN) {
+                if (RN->has_bytes()) RN->decode_bytes(core, ext, r.name);
+                else { r.name.clear(); r.name.push_back(RN->decode_byte(core, ext)); }
+            }
+            r.mate_ref_id = (int32_t)dec_int_req("NS", -1, true);
+            r.mate_pos = dec_int_req("NP", 0, true);
+            r.tlen = dec_int_req("TS", 0, true);
+        } else if (r.cf & CF_DOWNSTREAM) {
+            int64_t nf = dec_int_req("NF", 0, true);
+            r.mate_line = nf + idx + 1;
+            if (r.cf & CF_EXPLICIT_TLEN) {
+                r.explicit_tlen = dec_int_req("TS", 0, true);
+                r.has_explicit_tlen = true;
+            }
+        } else if (r.cf & CF_EXPLICIT_TLEN) {
+            r.explicit_tlen = dec_int_req("TS", 0, true);
+            r.has_explicit_tlen = true;
+        }
+
+        // aux tags
+        int64_t tl = dec_int_req("TL", 0, true);
+        r.tags.clear();
+        if (tl >= 0 && tl < (int64_t)comp.tag_dict.size()) {
+            for (const TagDef& td : comp.tag_dict[tl]) {
+                uint32_t keyid = (uint32_t(uint8_t(td.tag2[0])) << 16)
+                               | (uint32_t(uint8_t(td.tag2[1])) << 8)
+                               | uint8_t(td.typ);
+                auto it = comp.tag_codecs.find(keyid);
+                if (it == comp.tag_codecs.end())
+                    throw DecodeError("missing tag codec");
+                const Codec* c = it->second.get();
+                if (c->has_bytes()) c->decode_bytes(core, ext, tmp);
+                else { tmp.clear(); tmp.push_back(c->decode_byte(core, ext)); }
+                r.tags.push_back((uint8_t)td.tag2[0]);
+                r.tags.push_back((uint8_t)td.tag2[1]);
+                r.tags.push_back((uint8_t)td.typ);
+                r.tags.insert(r.tags.end(), tmp.begin(), tmp.end());
+            }
+        }
+
+        if (!(r.flags & BAM_FUNMAP)) {
+            std::shared_ptr<std::string> ref =
+                (!comp.no_ref && fasta) ? fasta->get(r.ref_id) : nullptr;
+            decode_seq(comp, core, ext, r, ref ? ref.get() : nullptr);
+        } else {
+            r.seq.clear();
+            const Codec* BA = comp.get("BA");
+            if (BA) {
+                if (BA->kind == E_EXTERNAL)
+                    BA->decode_bytes_n(core, ext, r.len, r.seq);
+                else {
+                    r.seq.resize(r.len);
+                    for (int64_t i = 0; i < r.len; i++)
+                        r.seq[i] = BA->decode_byte(core, ext);
+                }
+            }
+            r.aend = r.apos;
+            if (r.cf & CF_QUAL) {
+                const Codec* QS = comp.get("QS");
+                if (!QS) throw DecodeError("missing QS");
+                QS->decode_bytes_n(core, ext, r.len, r.qual);
+            } else {
+                r.qual.assign(r.len, 0xff);
+            }
+        }
+        if (!comp.qs_seq_orient && (r.flags & BAM_FREVERSE))
+            std::reverse(r.qual.begin(), r.qual.end());
+    }
+
+    xref(recs);
+    for (const Rec& r : recs) {
+        size_t before = out.blob.size();
+        to_bam(r, read_groups, out.blob);
+        out.rec_sizes.push_back((int64_t)(out.blob.size() - before));
+    }
+}
+
+struct FileCtx {
+    const uint8_t* buf;
+    size_t n;
+    int major;
+    FastaRef* fasta;
+    std::vector<std::string> read_groups;
+};
+
+// parse container at `off`; returns end offset. If `out` is non-null the
+// container is fully decoded into it, else blocks are skipped (scan mode).
+static size_t walk_container(const FileCtx& fc, size_t off, ContainerOut* out,
+                             int64_t* num_records_out) {
+    const uint8_t* buf = fc.buf;
+    size_t n = fc.n;
+    off += 4;  // container length (we trust block headers for the walk)
+    itf8_get_signed(buf, n, off);  // ref_seq_id
+    itf8_get(buf, n, off);         // ref_start
+    itf8_get(buf, n, off);         // ref_span
+    int64_t num_records = itf8_get(buf, n, off);
+    if (fc.major >= 3) ltf8_get(buf, n, off);
+    else itf8_get(buf, n, off);    // record counter
+    ltf8_get(buf, n, off);         // num bases
+    int64_t num_blocks = itf8_get(buf, n, off);
+    int64_t num_landmarks = itf8_get(buf, n, off);
+    for (int64_t i = 0; i < num_landmarks; i++) itf8_get(buf, n, off);
+    if (fc.major >= 3) off += 4;  // crc32
+    if (num_records_out) *num_records_out = num_records;
+
+    if (out == nullptr || num_records == 0) {
+        // skip blocks without decompressing
+        for (int64_t i = 0; i < num_blocks; i++) {
+            off += 2;
+            itf8_get(buf, n, off);
+            uint32_t comp_size = itf8_get(buf, n, off);
+            itf8_get(buf, n, off);
+            off += comp_size + 4;
+        }
+        return off;
+    }
+
+    std::vector<Block> blocks(num_blocks);
+    for (int64_t i = 0; i < num_blocks; i++)
+        off = read_block(buf, n, off, blocks[i]);
+
+    CompHeader comp;
+    parse_comp_header(blocks[0].data, comp);
+    int64_t i = 1;
+    while (i < num_blocks) {
+        if (blocks[i].ctype != CT_SLICE_HEADER) { i++; continue; }
+        const std::vector<uint8_t>& data = blocks[i].data;
+        size_t so = 0, sn = data.size();
+        int64_t s_ref_id = itf8_get_signed(data.data(), sn, so);
+        int64_t s_ref_start = itf8_get(data.data(), sn, so);
+        itf8_get(data.data(), sn, so);  // span
+        int64_t s_nrec = itf8_get(data.data(), sn, so);
+        if (fc.major >= 3) ltf8_get(data.data(), sn, so);
+        else itf8_get(data.data(), sn, so);
+        int64_t s_nblocks = itf8_get(data.data(), sn, so);
+        int64_t n_ids = itf8_get(data.data(), sn, so);
+        for (int64_t k = 0; k < n_ids; k++) itf8_get(data.data(), sn, so);
+        itf8_get_signed(data.data(), sn, so);  // embedded ref id (unused)
+
+        Block* core = nullptr;
+        ExtMap ext;
+        for (int64_t k = i + 1; k < i + 1 + s_nblocks && k < num_blocks; k++) {
+            if (blocks[k].ctype == CT_CORE && !core) core = &blocks[k];
+            else if (blocks[k].ctype == CT_EXTERNAL)
+                ext[blocks[k].content_id] = &blocks[k];
+        }
+        if (!core) throw DecodeError("missing core block");
+        decode_slice(comp, *core, ext, s_ref_id, s_ref_start, s_nrec,
+                     fc.fasta, fc.read_groups, *out);
+        i += 1 + s_nblocks;
+    }
+    return off;
+}
+
+// ---------------------------------------------------------------------------
+// result + C API
+// ---------------------------------------------------------------------------
+
+struct CramResult {
+    std::vector<uint8_t> blob;
+    std::vector<int64_t> rec_off;  // n_rec + 1
+};
+
+static CramResult* decode_file(const char* path, const char* fasta_path,
+                               const int64_t* offsets, int64_t n_offsets,
+                               int n_threads) {
+    // slurp the file
+    FILE* f = fopen(path, "rb");
+    if (!f) return nullptr;
+    fseek(f, 0, SEEK_END);
+    long fsz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(fsz);
+    if (fread(buf.data(), 1, fsz, f) != (size_t)fsz) { fclose(f); return nullptr; }
+    fclose(f);
+    if (fsz < 26 || memcmp(buf.data(), "CRAM", 4) != 0) return nullptr;
+
+    FileCtx fc;
+    fc.buf = buf.data();
+    fc.n = buf.size();
+    fc.major = buf[4];
+    if (fc.major != 2 && fc.major != 3) return nullptr;
+
+    FastaRef fasta;
+    try {
+        // SAM header container at offset 26
+        size_t off = 26;
+        // parse header container blocks manually: first block is file header
+        {
+            size_t o2 = off + 4;
+            itf8_get_signed(buf.data(), fc.n, o2);
+            itf8_get(buf.data(), fc.n, o2);
+            itf8_get(buf.data(), fc.n, o2);
+            itf8_get(buf.data(), fc.n, o2);
+            if (fc.major >= 3) ltf8_get(buf.data(), fc.n, o2);
+            else itf8_get(buf.data(), fc.n, o2);
+            ltf8_get(buf.data(), fc.n, o2);
+            int64_t nblocks = itf8_get(buf.data(), fc.n, o2);
+            int64_t nlm = itf8_get(buf.data(), fc.n, o2);
+            for (int64_t i = 0; i < nlm; i++) itf8_get(buf.data(), fc.n, o2);
+            if (fc.major >= 3) o2 += 4;
+            Block hb;
+            o2 = read_block(buf.data(), fc.n, o2, hb);
+            for (int64_t i = 1; i < nblocks; i++) {
+                Block skip_b;
+                o2 = read_block(buf.data(), fc.n, o2, skip_b);
+            }
+            if (hb.data.size() < 4) return nullptr;
+            int32_t hlen;
+            memcpy(&hlen, hb.data.data(), 4);
+            std::string header_text((const char*)hb.data.data() + 4,
+                                    (size_t)std::min<int64_t>(hlen, hb.data.size() - 4));
+            // @SQ names (tid order) and @RG IDs
+            size_t lp = 0;
+            while (lp < header_text.size()) {
+                size_t le = header_text.find('\n', lp);
+                if (le == std::string::npos) le = header_text.size();
+                std::string line = header_text.substr(lp, le - lp);
+                if (line.rfind("@SQ", 0) == 0) {
+                    size_t sp = line.find("SN:");
+                    if (sp != std::string::npos) {
+                        size_t se = line.find('\t', sp);
+                        fasta.names.push_back(line.substr(
+                            sp + 3, (se == std::string::npos ? line.size() : se)
+                                        - sp - 3));
+                    }
+                } else if (line.rfind("@RG", 0) == 0) {
+                    size_t sp = line.find("ID:");
+                    if (sp != std::string::npos) {
+                        size_t se = line.find('\t', sp);
+                        fc.read_groups.push_back(line.substr(
+                            sp + 3, (se == std::string::npos ? line.size() : se)
+                                        - sp - 3));
+                    }
+                }
+                lp = le + 1;
+            }
+            off = o2;
+        }
+        if (fasta_path && fasta_path[0]) fasta.load_fai(fasta_path);
+        fc.fasta = &fasta;
+
+        // container offset list
+        std::vector<size_t> conts;
+        if (n_offsets > 0) {
+            std::vector<int64_t> sorted(offsets, offsets + n_offsets);
+            std::sort(sorted.begin(), sorted.end());
+            sorted.erase(std::unique(sorted.begin(), sorted.end()), sorted.end());
+            for (int64_t o : sorted) conts.push_back((size_t)o);
+        } else {
+            size_t o = off;
+            while (o < fc.n) {
+                int64_t nrec = 0;
+                size_t end = walk_container(fc, o, nullptr, &nrec);
+                if (nrec > 0) conts.push_back(o);
+                o = end;
+            }
+        }
+
+        // decode containers across threads
+        std::vector<ContainerOut> outs(conts.size());
+        std::atomic<size_t> next{0};
+        std::atomic<bool> failed{false};
+        int nt = std::max(1, std::min<int>(n_threads, (int)conts.size()));
+        auto worker = [&]() {
+            while (true) {
+                size_t i = next.fetch_add(1);
+                if (i >= conts.size() || failed.load()) return;
+                try {
+                    int64_t nrec = 0;
+                    walk_container(fc, conts[i], &outs[i], &nrec);
+                } catch (...) {
+                    failed.store(true);
+                    return;
+                }
+            }
+        };
+        if (nt == 1) worker();
+        else {
+            std::vector<std::thread> th;
+            for (int t = 0; t < nt; t++) th.emplace_back(worker);
+            for (auto& t : th) t.join();
+        }
+        if (failed.load()) return nullptr;
+
+        auto* res = new CramResult();
+        size_t total = 0, nrec_total = 0;
+        for (auto& o : outs) {
+            total += o.blob.size();
+            nrec_total += o.rec_sizes.size();
+        }
+        res->blob.reserve(total);
+        res->rec_off.reserve(nrec_total + 1);
+        res->rec_off.push_back(0);
+        for (auto& o : outs) {
+            res->blob.insert(res->blob.end(), o.blob.begin(), o.blob.end());
+            for (int64_t sz : o.rec_sizes)
+                res->rec_off.push_back(res->rec_off.back() + sz);
+        }
+        return res;
+    } catch (...) {
+        return nullptr;
+    }
+}
+
+}  // namespace lps_cram
+
+extern "C" {
+
+void* lps_cram_decode(const char* path, const char* fasta_path,
+                      const int64_t* offsets, int64_t n_offsets,
+                      int32_t n_threads) {
+    return lps_cram::decode_file(path, fasta_path, offsets, n_offsets,
+                                 n_threads);
+}
+
+int64_t lps_cram_sizes(void* rp, int64_t* blob_len, int64_t* n_rec) {
+    auto* r = (lps_cram::CramResult*)rp;
+    *blob_len = (int64_t)r->blob.size();
+    *n_rec = (int64_t)r->rec_off.size() - 1;
+    return 0;
+}
+
+int64_t lps_cram_fill(void* rp, uint8_t* blob, int64_t* rec_off) {
+    auto* r = (lps_cram::CramResult*)rp;
+    memcpy(blob, r->blob.data(), r->blob.size());
+    memcpy(rec_off, r->rec_off.data(), r->rec_off.size() * sizeof(int64_t));
+    return 0;
+}
+
+void lps_cram_free(void* rp) { delete (lps_cram::CramResult*)rp; }
+
+}  // extern "C"
