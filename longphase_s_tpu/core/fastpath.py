@@ -23,6 +23,14 @@ def filter_overlap_flat(names: list[str], first_pos, last_pos,
     (PhasingGraph.cpp:707-781 incl. the range.first==0 quirk).
     Returns a keep mask (bool[A])."""
     A = len(names)
+    if A > 512:
+        from .. import native
+
+        if native.available():
+            keep = native.filter_overlap(names, first_pos, last_pos,
+                                         overlap_threshold)
+            if keep is not None:
+                return keep
     keep = np.ones(A, dtype=bool)
     align_range: dict[str, list[int]] = {}
     read_idx_vec: dict[str, list[int]] = {}

@@ -93,10 +93,15 @@ def available() -> bool:
 
 def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
                   positions, infos, ref_string: str, mapping_quality: int):
-    """Native get_snp walk. Returns dict of flat numpy arrays or None."""
+    """Native get_snp walk. Returns dict of flat numpy arrays or None.
+
+    Prefers the cached whole-file handle (one BGZF inflate per file per
+    process, shared with the tag/modcall runtimes); falls back to the
+    path-based one-shot extraction."""
     lib = _load()
     if lib is None:
         return None
+    nb = open_native_bam(bam_path)
     n = len(positions)
     var_pos = np.asarray(positions, dtype=np.int64)
     ref0 = np.frombuffer(
@@ -110,11 +115,28 @@ def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
     danger = np.fromiter((1 if i.is_danger else 0 for i in infos), np.uint8, n)
     ref_bytes = ref_string.encode("ascii")
 
-    handle = lib.lps_extract_phase(
-        bam_path.encode(), chrom.encode(), last_snp_pos,
-        n, var_pos.ctypes.data, ref0.tobytes(), alt0.tobytes(),
-        ref_len.ctypes.data, alt_len.ctypes.data, danger.ctypes.data,
-        ref_bytes, len(ref_bytes), mapping_quality)
+    if nb is not None:
+        if not getattr(lib, "_phase_h_bound", False):
+            lib._phase_h_bound = True
+            lib.lps_extract_phase_h.restype = ctypes.c_void_p
+            lib.lps_extract_phase_h.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int32,
+            ]
+        handle = lib.lps_extract_phase_h(
+            nb._h, chrom.encode(), last_snp_pos,
+            n, var_pos.ctypes.data, ref0.tobytes(), alt0.tobytes(),
+            ref_len.ctypes.data, alt_len.ctypes.data, danger.ctypes.data,
+            ref_bytes, len(ref_bytes), mapping_quality)
+    else:
+        handle = lib.lps_extract_phase(
+            bam_path.encode(), chrom.encode(), last_snp_pos,
+            n, var_pos.ctypes.data, ref0.tobytes(), alt0.tobytes(),
+            ref_len.ctypes.data, alt_len.ctypes.data, danger.ctypes.data,
+            ref_bytes, len(ref_bytes), mapping_quality)
     if not handle:
         return None
     try:
@@ -556,3 +578,29 @@ def cram_decode(path: str, fasta_path: str = "", offsets=None,
         return blob.tobytes(), rec_off
     finally:
         lib.lps_cram_free(h)
+
+
+def filter_overlap(names: list[str], first_pos, last_pos,
+                   threshold: float):
+    """Native filter_overlap_alignments. Returns keep mask or None."""
+    import ctypes as ct
+
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_overlap_bound", False):
+        lib._overlap_bound = True
+        lib.lps_filter_overlap.restype = ct.c_int64
+        lib.lps_filter_overlap.argtypes = [
+            ct.c_int64, ct.c_char_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_double, ct.c_void_p]
+    A = len(names)
+    blob = "".join(names).encode("latin-1")
+    noff = np.zeros(A + 1, np.int64)
+    np.cumsum([len(s) for s in names], out=noff[1:])
+    fp = np.ascontiguousarray(first_pos, np.int64)
+    lp = np.ascontiguousarray(last_pos, np.int64)
+    keep = np.empty(A, np.uint8)
+    lib.lps_filter_overlap(A, blob, noff.ctypes.data, fp.ctypes.data,
+                           lp.ctypes.data, float(threshold), keep.ctypes.data)
+    return keep.astype(bool)

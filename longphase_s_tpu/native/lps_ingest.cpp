@@ -226,63 +226,21 @@ struct ExtractResult {
 
 extern "C" {
 
-// Opaque handle API
-void* lps_extract_phase(const char* bam_path, const char* chrom,
-                        int64_t last_snp_pos,
-                        // variant table (sorted by position)
-                        int64_t n_var, const int64_t* var_pos,
-                        const char* var_ref0, const char* var_alt0,
-                        const int32_t* var_ref_len, const int32_t* var_alt_len,
-                        const uint8_t* var_danger,
-                        // reference window string
-                        const char* ref_string, int64_t ref_len,
-                        int32_t mapping_quality) {
-  std::vector<uint8_t> bam;
-  if (!read_entire_bgzf(bam_path, bam)) return nullptr;
-  if (bam.size() < 12 || memcmp(bam.data(), "BAM\1", 4) != 0) return nullptr;
-  size_t p = 4;
-  int32_t l_text = rd_i32(&bam[p]);
-  p += 4 + (size_t)l_text;
-  int32_t n_ref = rd_i32(&bam[p]);
-  p += 4;
-  int32_t tid = -1;
-  for (int32_t i = 0; i < n_ref; ++i) {
-    int32_t l_name = rd_i32(&bam[p]);
-    p += 4;
-    if (strncmp((const char*)&bam[p], chrom, l_name - 1) == 0 &&
-        (int64_t)strlen(chrom) == l_name - 1)
-      tid = i;
-    p += (size_t)l_name + 4;
-  }
+// Pass-2 walk over precomputed record offsets; shared by the path-based and
+// handle-based entry points.
+static ExtractResult* phase_walk(const uint8_t* bam,
+                                 const std::vector<size_t>& rec_offsets,
+                                 int64_t n_var, const int64_t* var_pos,
+                                 const char* var_ref0, const char* var_alt0,
+                                 const int32_t* var_ref_len,
+                                 const int32_t* var_alt_len,
+                                 const uint8_t* var_danger,
+                                 const char* ref_string, int64_t ref_len) {
   auto* res = new ExtractResult();
   res->aln_offsets.push_back(0);
   res->name_offsets.push_back(0);
-  if (tid < 0) return res;
 
-  // Pass 1: collect record offsets for this chromosome (cheap hops).
-  std::vector<size_t> rec_offsets;
-  while (p + 4 <= bam.size()) {
-    int32_t block_size = rd_i32(&bam[p]);
-    size_t rp = p + 4;
-    p = rp + (size_t)block_size;
-    if (p > bam.size()) break;
-    const uint8_t* rec = &bam[rp];
-    int32_t rec_tid = rd_i32(rec);
-    if (rec_tid != tid) {
-      if (rec_tid > tid && rec_tid != -1) break;
-      continue;
-    }
-    int32_t pos = rd_i32(rec + 4);
-    if (pos >= last_snp_pos) break;
-    uint8_t mapq = rec[9];
-    uint16_t flag = rd_u16(rec + 14);
-    if (mapq < mapping_quality || (flag & 0x4) || (flag & 0x100) ||
-        (flag & 0x400))
-      continue;
-    rec_offsets.push_back(rp);
-  }
-
-  // Pass 2: walk records in parallel chunks (the stateful firstVariantIter
+  // walk records in parallel chunks (the stateful firstVariantIter
   // is a pure function of the record start position: lower_bound(var_pos,
   // rec.pos), so chunks are independent).
   unsigned n_threads = std::thread::hardware_concurrency();
@@ -479,6 +437,116 @@ void* lps_extract_phase(const char* bam_path, const char* chrom,
                           part.clip_side.end());
   }
   return res;
+}
+
+// Opaque handle API
+void* lps_extract_phase(const char* bam_path, const char* chrom,
+                        int64_t last_snp_pos,
+                        // variant table (sorted by position)
+                        int64_t n_var, const int64_t* var_pos,
+                        const char* var_ref0, const char* var_alt0,
+                        const int32_t* var_ref_len, const int32_t* var_alt_len,
+                        const uint8_t* var_danger,
+                        // reference window string
+                        const char* ref_string, int64_t ref_len,
+                        int32_t mapping_quality) {
+  std::vector<uint8_t> bam;
+  if (!read_entire_bgzf(bam_path, bam)) return nullptr;
+  if (bam.size() < 12 || memcmp(bam.data(), "BAM\1", 4) != 0) return nullptr;
+  size_t p = 4;
+  int32_t l_text = rd_i32(&bam[p]);
+  p += 4 + (size_t)l_text;
+  int32_t n_ref = rd_i32(&bam[p]);
+  p += 4;
+  int32_t tid = -1;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    int32_t l_name = rd_i32(&bam[p]);
+    p += 4;
+    if (strncmp((const char*)&bam[p], chrom, l_name - 1) == 0 &&
+        (int64_t)strlen(chrom) == l_name - 1)
+      tid = i;
+    p += (size_t)l_name + 4;
+  }
+  std::vector<size_t> rec_offsets;
+  if (tid >= 0) {
+    // Pass 1: collect record offsets for this chromosome (cheap hops).
+    while (p + 4 <= bam.size()) {
+      int32_t block_size = rd_i32(&bam[p]);
+      size_t rp = p + 4;
+      p = rp + (size_t)block_size;
+      if (p > bam.size()) break;
+      const uint8_t* rec = &bam[rp];
+      int32_t rec_tid = rd_i32(rec);
+      if (rec_tid != tid) {
+        if (rec_tid > tid && rec_tid != -1) break;
+        continue;
+      }
+      int32_t pos = rd_i32(rec + 4);
+      if (pos >= last_snp_pos) break;
+      uint8_t mapq = rec[9];
+      uint16_t flag = rd_u16(rec + 14);
+      if (mapq < mapping_quality || (flag & 0x4) || (flag & 0x100) ||
+          (flag & 0x400))
+        continue;
+      rec_offsets.push_back(rp);
+    }
+  }
+  return phase_walk(bam.data(), rec_offsets, n_var, var_pos, var_ref0,
+                    var_alt0, var_ref_len, var_alt_len, var_danger,
+                    ref_string, ref_len);
+}
+
+// filter_overlap_alignments (PhasingGraph.cpp:707-781 incl. the
+// range.first==0 quirk); C++ port of core/fastpath.filter_overlap_flat —
+// same-name alignments are sequentially reconciled by overlap fraction.
+int64_t lps_filter_overlap(int64_t A, const char* blob, const int64_t* noff,
+                           const int64_t* first_pos, const int64_t* last_pos,
+                           double threshold, uint8_t* keep) {
+  struct Entry {
+    int64_t rng0 = 0, rng1 = 0;
+    std::vector<int64_t> idxv;
+  };
+  std::unordered_map<std::string, Entry> m;
+  m.reserve((size_t)A);
+  for (int64_t i = 0; i < A; ++i) keep[i] = 1;
+  for (int64_t i = 0; i < A; ++i) {
+    std::string name(blob + noff[i], (size_t)(noff[i + 1] - noff[i]));
+    Entry& e = m[name];
+    int64_t first = first_pos[i], last = last_pos[i];
+    bool to_delete = false;
+    while (e.rng0 <= first && first <= e.rng1) {
+      if (last < e.rng1) {
+        to_delete = true;
+        keep[i] = 0;
+        break;
+      }
+      int64_t pre = (int64_t)e.idxv.size() - 1;
+      if (pre < 0) break;
+      int64_t prev = e.idxv[pre];
+      int64_t ps = first_pos[prev], pe = last_pos[prev];
+      int64_t os = std::max(ps, first), oe = std::min(pe, last);
+      if (os > oe) break;
+      double ol = (double)(oe - os + 1);
+      double span = (double)(std::max(pe, last) - std::min(ps, first) + 1);
+      if (ol / span >= threshold) {
+        int64_t len1 = pe - ps + 1, len2 = last - first + 1;
+        if (len2 <= len1) {
+          to_delete = true;
+          keep[i] = 0;
+          break;
+        } else {
+          keep[e.idxv[pre]] = 0;
+          e.idxv.pop_back();
+          e.rng1 = pre > 0 ? last_pos[e.idxv[pre - 1]] : first;
+        }
+      } else {
+        break;
+      }
+    }
+    e.rng1 = last;
+    if (!to_delete) e.idxv.push_back(i);
+  }
+  return 0;
 }
 
 int64_t lps_result_sizes(void* handle, int64_t* n_obs, int64_t* n_aln,
@@ -835,6 +903,44 @@ void* lps_bam_load(const char* path) {
 }
 
 void lps_bam_free(void* hp) { delete (BamHandle*)hp; }
+
+// Handle-based phase extraction: reuses an lps_bam_load'd whole-file handle
+// so the BGZF inflate is paid once per file per process, not once per
+// extraction call.
+void* lps_extract_phase_h(void* hp, const char* chrom, int64_t last_snp_pos,
+                          int64_t n_var, const int64_t* var_pos,
+                          const char* var_ref0, const char* var_alt0,
+                          const int32_t* var_ref_len,
+                          const int32_t* var_alt_len,
+                          const uint8_t* var_danger, const char* ref_string,
+                          int64_t ref_len, int32_t mapping_quality) {
+  auto* h = (BamHandle*)hp;
+  int32_t tid = -1;
+  for (size_t i = 0; i < h->ref_names.size(); ++i)
+    if (h->ref_names[i] == chrom) {
+      tid = (int32_t)i;
+      break;
+    }
+  std::vector<size_t> rec_offsets;
+  if (tid >= 0 && h->tid_first[tid] >= 0) {
+    const uint8_t* d = h->data.data();
+    for (int64_t idx = h->tid_first[tid]; idx < h->tid_last[tid]; ++idx) {
+      const uint8_t* rec = d + h->rec_off[idx];
+      if (rd_i32(rec) != tid) continue;
+      int32_t pos = rd_i32(rec + 4);
+      if (pos >= last_snp_pos) break;
+      uint8_t mapq = rec[9];
+      uint16_t flag = rd_u16(rec + 14);
+      if (mapq < mapping_quality || (flag & 0x4) || (flag & 0x100) ||
+          (flag & 0x400))
+        continue;
+      rec_offsets.push_back(h->rec_off[idx]);
+    }
+  }
+  return phase_walk(h->data.data(), rec_offsets, n_var, var_pos, var_ref0,
+                    var_alt0, var_ref_len, var_alt_len, var_danger,
+                    ref_string, ref_len);
+}
 
 int32_t lps_bam_tid(void* hp, const char* chrom) {
   auto* h = (BamHandle*)hp;
