@@ -156,6 +156,44 @@ def pack_flat(obs_pos, obs_allele, obs_qual, aln_offsets, names: list[str],
         aln_names=names, window=W)
 
 
+class _AlnLite:
+    __slots__ = ("positions", "alleles", "quals")
+
+
+def _cnv_filter_flat(obs_pos, obs_allele, obs_qual, aln_offsets, cnv_vec):
+    """CNV high-mismatch erasure on the CSR observation arrays. Runs the
+    exact object-pipeline filter (phase_algo.cnv_mismatch_filter,
+    PhasingGraph.cpp:520-692) over lightweight per-alignment views, then
+    rebuilds the flat arrays — CNV intervals are rare enough that the
+    list round-trip is negligible next to ingest."""
+    from .phase_algo import cnv_mismatch_filter
+
+    A = len(aln_offsets) - 1
+    alns = []
+    for i in range(A):
+        a, b = int(aln_offsets[i]), int(aln_offsets[i + 1])
+        al = _AlnLite()
+        al.positions = obs_pos[a:b].tolist()
+        al.alleles = obs_allele[a:b].tolist()
+        al.quals = obs_qual[a:b].tolist()
+        alns.append(al)
+    cnv_mismatch_filter(alns, cnv_vec)
+    sizes = np.fromiter((len(al.positions) for al in alns), np.int64, A)
+    new_off = np.concatenate([[0], np.cumsum(sizes)])
+    if len(alns):
+        new_pos = np.concatenate(
+            [np.asarray(al.positions, np.int64) for al in alns])
+        new_allele = np.concatenate(
+            [np.asarray(al.alleles, np.int8) for al in alns])
+        new_qual = np.concatenate(
+            [np.asarray(al.quals, np.int16) for al in alns])
+    else:
+        new_pos = np.zeros(0, np.int64)
+        new_allele = np.zeros(0, np.int8)
+        new_qual = np.zeros(0, np.int16)
+    return new_pos, new_allele, new_qual, new_off
+
+
 def phase_chromosome_flat(flat: dict, cnv_vec, chrom: str, params: PhaseParams,
                           erased_positions=None, defer_sink=None):
     """Fast path over the native ingest dict. Returns (result, read_hp, packed)
@@ -178,9 +216,6 @@ def phase_chromosome_flat(flat: dict, cnv_vec, chrom: str, params: PhaseParams,
     if A == 0:
         return {}, {}, None
     names = [names_blob[name_offsets[i]:name_offsets[i + 1]] for i in range(A)]
-
-    if cnv_vec:
-        return None  # CNV interval filtering -> object pipeline
 
     # ONT erasure of error-prone SNPs from observations
     if erased_positions:
@@ -221,6 +256,12 @@ def phase_chromosome_flat(flat: dict, cnv_vec, chrom: str, params: PhaseParams,
         aln_offsets = np.concatenate([[0], np.cumsum(kept_sizes)])
         names = [n for n, k in zip(names, keep) if k]
         A = len(names)
+
+    # CNV high-mismatch erasure (after the overlap filter, matching
+    # phase_chromosome's order: filter_overlap -> cnv_mismatch_filter)
+    if cnv_vec:
+        obs_pos, obs_allele, obs_qual, aln_offsets = _cnv_filter_flat(
+            obs_pos, obs_allele, obs_qual, aln_offsets, cnv_vec)
 
     if defer_sink is not None and len(obs_pos):
         positions, vtype, _rank, m_read, m_rank, m_allele, m_qok, m_aln = \

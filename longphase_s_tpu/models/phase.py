@@ -228,24 +228,23 @@ def run_phase(cfg: PhaseConfig) -> dict:
                     intervals = get_cnv_intervals(clip_count)
                     if len(flat["aln_start"]) == 0:
                         return
-                    if not intervals:
-                        # CNV-interval filtering requires the object pipeline;
-                        # only take the flat path when it is inactive
-                        erased = None
-                        if cfg.is_ont:
-                            from ..core.snp_filter import compute_ont_erasures
+                    erased = None
+                    if cfg.is_ont:
+                        from ..core.snp_filter import compute_ont_erasures
 
-                            erased = compute_ont_erasures(variants, ref_string)
-                        from ..core.fastpath import phase_chromosome_flat
+                        erased = compute_ont_erasures(variants, ref_string)
+                    from ..core.fastpath import phase_chromosome_flat
 
-                        r = phase_chromosome_flat(flat, [], chrom, cfg.params,
-                                                  erased,
-                                                  defer_sink=multichip_sink)
-                        if r == "deferred":
-                            return
-                        if r is not None:
-                            record(chrom, r[0])
-                            return
+                    # duplicated interval list (Clip ctor + explicit call,
+                    # PhasingProcess.cpp:147-148)
+                    r = phase_chromosome_flat(flat, intervals + intervals,
+                                              chrom, cfg.params, erased,
+                                              defer_sink=multichip_sink)
+                    if r == "deferred":
+                        return
+                    if r is not None:
+                        record(chrom, r[0])
+                        return
 
         alns, clip_count = extract_chromosome(
             cfg.bam_files, chrom, last_snp, positions, infos, ref_string,

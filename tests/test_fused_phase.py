@@ -49,3 +49,35 @@ def test_fused_phase_matches_host(seed):
     assert np.array_equal(ps1, ps2)
     phased = ps1 != 0
     assert np.array_equal(ori1[phased], ori2[phased])
+
+
+def test_flat_path_covers_cnv_intervals(tmp_path, monkeypatch):
+    """The flat fast path must no longer bail out on CNV intervals: a
+    clip-heavy fixture that yields getCNVInterval hits runs through
+    _cnv_filter_flat and matches the oracle engine exactly."""
+    import longphase_s_tpu.core.fastpath as fp
+    from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+    from longphase_s_tpu.testing.simulate import make_fixture
+
+    fx = make_fixture(str(tmp_path / "fix"), seed=4, length=200000,
+                      coverage=60, read_len=6000, snp_rate=0.002,
+                      error_rate=0.05, qual=20)
+    used = {}
+    orig = fp._cnv_filter_flat
+
+    def spy(*a):
+        used["cnv_flat"] = True
+        return orig(*a)
+
+    monkeypatch.setattr(fp, "_cnv_filter_flat", spy)
+
+    def cfg(out, engine):
+        return PhaseConfig(snp_file=fx["vcf"], bam_files=[fx["bam"]],
+                           fasta_file=fx["fasta"],
+                           result_prefix=str(tmp_path / out),
+                           num_threads=1, is_pb=True, engine=engine)
+
+    tpu = run_phase(cfg("tpu", "tpu"))
+    oracle = run_phase(cfg("oracle", "oracle"))
+    assert used.get("cnv_flat"), "fixture produced no CNV intervals"
+    assert tpu == oracle
