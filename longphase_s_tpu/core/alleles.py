@@ -328,13 +328,11 @@ def extract_chromosome(bam_paths: list[str], chrom: str, last_snp_pos: int,
     record filter (MAPQ / unmapped / secondary / duplicate; supplementary
     kept).
     """
-    from ..io.cram import is_cram, open_alignment
+    from ..io.cram import open_alignment
 
-    # native fast path (C++ BGZF+BAM decode + CIGAR walk); only covers the
-    # SNP/indel stream — SV/MOD co-phasing and CRAM inputs fall back to the
-    # Python walker
-    if sv_entries is None and mod_entries is None and \
-            not any(is_cram(p) for p in bam_paths):
+    # native fast path (C++ BGZF/CRAM decode + CIGAR walk); only covers the
+    # SNP/indel stream — SV/MOD co-phasing falls back to the Python walker
+    if sv_entries is None and mod_entries is None:
         from .. import native
 
         if native.available():
@@ -343,7 +341,9 @@ def extract_chromosome(bam_paths: list[str], chrom: str, last_snp_pos: int,
             ok = True
             for path in bam_paths:
                 r = native.extract_phase(path, chrom, last_snp_pos, positions,
-                                         infos, ref_string, mapping_quality)
+                                         infos, ref_string, mapping_quality,
+                                         fasta_path=getattr(fasta, "path",
+                                                            None))
                 if r is None:
                     ok = False
                     break

@@ -192,19 +192,18 @@ def judge_reads(h1_cnt, h2_cnt, n_ps, percentage_threshold):
 
 def run_haplotag_fast(cfg):
     """Native+vectorized run_haplotag. Returns ReadStatistics, or None when
-    the configuration requires the object fallback (read log, CRAM in/out)."""
+    the configuration requires the object fallback (read log, CRAM out)."""
     import os
 
-    from ..io.cram import is_cram
     from ..io.fasta import FastaFile
     from ..io.phased_vcf import PhasedVcfReader, VcfInfo
     from .haplotag import ReadStatistics
 
-    if cfg.write_read_log or cfg.output_cram or is_cram(cfg.bam_file):
+    if cfg.write_read_log or cfg.output_cram:
         return None
     if os.environ.get("LPS_NO_NATIVE_TAG"):
         return None
-    nb = native.open_native_bam(cfg.bam_file)
+    nb = native.open_native_bam(cfg.bam_file, cfg.fasta_file)
     if nb is None:
         return None
 
@@ -236,7 +235,8 @@ def run_haplotag_fast(cfg):
             del chr_multi[chrom]
 
     fasta = FastaFile(cfg.fasta_file)
-    hdr_reader = BamReader(cfg.bam_file)
+    from ..io.cram import open_alignment as _open_aln
+    hdr_reader = _open_aln(cfg.bam_file)  # header only (BAM or CRAM)
     header = hdr_reader.header_text
     if not header.endswith("\n") and header:
         header += "\n"

@@ -70,7 +70,7 @@ def run_chrom_fast(cfg, chrom, chrom_len, chr_seq, positions, infos,
     False to fall back to the object pipeline."""
     if len(cfg.bam_files) != 1:
         return False
-    nb = open_native_bam(cfg.bam_files[0])
+    nb = open_native_bam(cfg.bam_files[0], cfg.fasta_file)
     if nb is None:
         return False
 

@@ -183,9 +183,8 @@ def run_phase(cfg: PhaseConfig) -> dict:
             mod_entries = sorted(meth_set.by_chrom.get(chrom, {}).items())
 
         # flat fast path: native ingest arrays straight to the device tensors
-        from ..io.cram import is_cram
         if cfg.engine == "tpu" and sv_entries is None and mod_entries is None \
-                and not cfg.dot and not any(is_cram(p) for p in cfg.bam_files):
+                and not cfg.dot:
             from .. import native
 
             if native.available():
@@ -195,7 +194,8 @@ def run_phase(cfg: PhaseConfig) -> dict:
                 for path in cfg.bam_files:
                     f = native.extract_phase(path, chrom, last_snp, positions,
                                              infos, ref_string,
-                                             cfg.params.mapping_quality)
+                                             cfg.params.mapping_quality,
+                                             fasta_path=cfg.fasta_file)
                     if f is None:
                         ok = False
                         break

@@ -85,14 +85,11 @@ def _native_bams(cfg):
     import os
 
     from .. import native
-    from ..io.cram import is_cram
 
     if os.environ.get("LPS_NO_NATIVE_TAG"):
         return None, None
-    nor = None if is_cram(cfg.bam_file) else \
-        native.open_native_bam(cfg.bam_file)
-    tum = None if is_cram(cfg.tumor_bam_file) else \
-        native.open_native_bam(cfg.tumor_bam_file)
+    nor = native.open_native_bam(cfg.bam_file, cfg.fasta_file)
+    tum = native.open_native_bam(cfg.tumor_bam_file, cfg.fasta_file)
     return nor, tum
 
 
@@ -726,7 +723,8 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
                                      somatic_match_votes)
     from ..io.bam import region_bounds
 
-    hdr_reader = BamReader(cfg.tumor_bam_file)
+    from ..io.cram import open_alignment as _open_aln
+    hdr_reader = _open_aln(cfg.tumor_bam_file)  # header only (BAM or CRAM)
     header = hdr_reader.header_text
     if header and not header.endswith("\n"):
         header += "\n"

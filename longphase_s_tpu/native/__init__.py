@@ -92,16 +92,20 @@ def available() -> bool:
 
 
 def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
-                  positions, infos, ref_string: str, mapping_quality: int):
+                  positions, infos, ref_string: str, mapping_quality: int,
+                  fasta_path: str | None = None):
     """Native get_snp walk. Returns dict of flat numpy arrays or None.
 
-    Prefers the cached whole-file handle (one BGZF inflate per file per
-    process, shared with the tag/modcall runtimes); falls back to the
-    path-based one-shot extraction."""
+    Prefers the cached whole-file handle (one BGZF inflate — or native CRAM
+    decode — per file per process, shared with the tag/modcall runtimes);
+    falls back to the path-based one-shot extraction for plain BAMs."""
     lib = _load()
     if lib is None:
         return None
-    nb = open_native_bam(bam_path)
+    nb = open_native_bam(bam_path, fasta_path)
+    with open(bam_path, "rb") as _f:
+        if nb is None and _f.read(4) == b"CRAM":
+            return None  # CRAM needs the handle path
     n = len(positions)
     var_pos = np.asarray(positions, dtype=np.int64)
     ref0 = np.frombuffer(
@@ -297,15 +301,20 @@ class NativeBam:
     """Whole-file native BAM handle: one parallel BGZF inflate + record index,
     reused across per-chromosome walks and the tag rewrite."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, fasta_path: str | None = None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native library unavailable")
         _tag_bind(lib)
         self._lib = lib
-        self._h = lib.lps_bam_load(path.encode())
+        with open(path, "rb") as f:
+            is_cram = f.read(4) == b"CRAM"
+        if is_cram:
+            self._h = _load_cram_handle(lib, path, fasta_path or "")
+        else:
+            self._h = lib.lps_bam_load(path.encode())
         if not self._h:
-            raise RuntimeError(f"lps_bam_load failed for {path}")
+            raise RuntimeError(f"native load failed for {path}")
         self.path = path
 
     def close(self):
@@ -491,8 +500,57 @@ _bam_cache_lock = threading.Lock()
 PS_OMIT = -(2**63)  # sentinel: omit PS tag in somatic mode
 
 
-def open_native_bam(path: str) -> "NativeBam | None":
-    """Cached whole-file handle (keyed by path+mtime, max 2 entries)."""
+def _load_cram_handle(lib, path: str, fasta_path: str):
+    """Native CRAM decode -> synthesized in-memory BAM handle (so every
+    handle-based runtime works identically on CRAM inputs)."""
+    if os.environ.get("LPS_NO_NATIVE_CRAM"):
+        return None
+    res = cram_decode(path, fasta_path)
+    if res is None:
+        return None
+    blob, rec_off = res
+    # header text + reference dictionary from the CRAM SAM header
+    from ..io.cram import CramReader
+
+    cr = CramReader.__new__(CramReader)
+    with open(path, "rb") as f:
+        cr._buf = f.read(1 << 20)  # header container is at the front
+    cr.major = cr._buf[4]
+    cr._fasta = None
+    try:
+        import struct as _struct
+
+        hdr_end, blocks, _meta = cr._read_container(26)
+        hb = blocks[0]
+        (hlen,) = _struct.unpack_from("<i", hb.data, 0)
+        header_text = hb.data[4:4 + hlen].decode("latin-1")
+    except Exception:  # noqa: BLE001 — header parse failed: no native handle
+        return None
+    cr.header_text = header_text
+    cr._parse_header()
+    if not getattr(lib, "_unpacked_bound", False):
+        lib._unpacked_bound = True
+        lib.lps_bam_load_unpacked.restype = ctypes.c_void_p
+        lib.lps_bam_load_unpacked.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_int64]
+    names_blob = "".join(cr.references).encode("latin-1")
+    name_off = np.zeros(len(cr.references) + 1, np.int64)
+    np.cumsum([len(s) for s in cr.references], out=name_off[1:])
+    ref_lens = np.asarray(cr.lengths, np.int64)
+    hdr = header_text.encode("latin-1")
+    rec_off = np.ascontiguousarray(rec_off, np.int64)
+    return lib.lps_bam_load_unpacked(
+        hdr, len(hdr), len(cr.references), names_blob, name_off.ctypes.data,
+        ref_lens.ctypes.data, blob, rec_off.ctypes.data, len(rec_off) - 1)
+
+
+def open_native_bam(path: str,
+                    fasta_path: str | None = None) -> "NativeBam | None":
+    """Cached whole-file handle (keyed by path+mtime, max 2 entries).
+    CRAM inputs decode through the native CRAM decoder (needs
+    ``fasta_path`` unless the file is referenceless)."""
     if _load() is None:
         return None
     try:
@@ -504,7 +562,7 @@ def open_native_bam(path: str) -> "NativeBam | None":
         if ent is not None and ent[0] == mtime:
             return ent[1]
         try:
-            nb = NativeBam(path)
+            nb = NativeBam(path, fasta_path)
         except Exception:  # noqa: BLE001
             return None
         _bam_cache[path] = (mtime, nb)

@@ -904,6 +904,63 @@ void* lps_bam_load(const char* path) {
 
 void lps_bam_free(void* hp) { delete (BamHandle*)hp; }
 
+// Build a whole-file handle from already-decoded records (the native CRAM
+// decoder's output): synthesizes an uncompressed BAM image so every
+// handle-based runtime (phase extraction, tag walk/write, modcall walk)
+// works identically on CRAM inputs.
+void* lps_bam_load_unpacked(const char* header_text, int64_t header_len,
+                            int64_t n_ref, const char* ref_names_blob,
+                            const int64_t* ref_name_off,
+                            const int64_t* ref_lens, const uint8_t* blob,
+                            const int64_t* rec_off, int64_t n_rec) {
+  auto* h = new BamHandle();
+  size_t names_total = 0;
+  for (int64_t i = 0; i < n_ref; ++i)
+    names_total += (size_t)(ref_name_off[i + 1] - ref_name_off[i]) + 1 + 8;
+  size_t total = 12 + (size_t)header_len + names_total +
+                 (size_t)rec_off[n_rec] + 4ull * n_rec;
+  h->data.reserve(total);
+  auto put_i32 = [&](int32_t v) {
+    const uint8_t* p = (const uint8_t*)&v;
+    h->data.insert(h->data.end(), p, p + 4);
+  };
+  h->data.insert(h->data.end(), {'B', 'A', 'M', 1});
+  h->header_off = h->data.size();
+  put_i32((int32_t)header_len);
+  h->data.insert(h->data.end(), (const uint8_t*)header_text,
+                 (const uint8_t*)header_text + header_len);
+  put_i32((int32_t)n_ref);
+  for (int64_t i = 0; i < n_ref; ++i) {
+    int64_t nl = ref_name_off[i + 1] - ref_name_off[i];
+    put_i32((int32_t)nl + 1);
+    h->data.insert(h->data.end(),
+                   (const uint8_t*)ref_names_blob + ref_name_off[i],
+                   (const uint8_t*)ref_names_blob + ref_name_off[i + 1]);
+    h->data.push_back(0);
+    put_i32((int32_t)ref_lens[i]);
+    h->ref_names.emplace_back(ref_names_blob + ref_name_off[i], (size_t)nl);
+    h->ref_lens.push_back(ref_lens[i]);
+  }
+  h->records_off = h->data.size();
+  h->tid_first.assign(n_ref, -1);
+  h->tid_last.assign(n_ref, -1);
+  for (int64_t i = 0; i < n_rec; ++i) {
+    int64_t sz = rec_off[i + 1] - rec_off[i];
+    put_i32((int32_t)sz);
+    size_t rp = h->data.size();
+    h->data.insert(h->data.end(), blob + rec_off[i], blob + rec_off[i + 1]);
+    int32_t tid = rd_i32(&h->data[rp]);
+    int64_t idx = (int64_t)h->rec_off.size();
+    h->rec_off.push_back(rp);
+    h->rec_len.push_back((uint32_t)sz);
+    if (tid >= 0 && tid < n_ref) {
+      if (h->tid_first[tid] < 0) h->tid_first[tid] = idx;
+      h->tid_last[tid] = idx + 1;
+    }
+  }
+  return h;
+}
+
 // Handle-based phase extraction: reuses an lps_bam_load'd whole-file handle
 // so the BGZF inflate is paid once per file per process, not once per
 // extraction call.
