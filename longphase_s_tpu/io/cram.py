@@ -1419,13 +1419,23 @@ class CramWriter:
 
     def __init__(self, path, header_text, references, lengths):
         self._path = path
-        self._f = open(path, "wb")
-        self._f.write(b"CRAM\x03\x00" + path.encode("latin-1")[-20:].ljust(20, b"\x00"))
         self._recs = []
         self._bases = 0
         self._cur_tid = None
         self._counter = 0
         self._index = []   # (ref, start, span, cont_off, slice_off, slice_sz)
+        # native encoder (lps_cram.cpp): same wire layout, C speed
+        self._nw = None
+        try:
+            from .. import native
+
+            self._nw = native.cram_writer_open(path, header_text)
+        except Exception:  # noqa: BLE001 — no native library
+            self._nw = None
+        if self._nw is not None:
+            return
+        self._f = open(path, "wb")
+        self._f.write(b"CRAM\x03\x00" + path.encode("latin-1")[-20:].ljust(20, b"\x00"))
         hdr = header_text.encode("latin-1")
         blob = struct.pack("<i", len(hdr)) + hdr
         blk = _encode_block(RAW, CT_FILE_HEADER, 0, blob)
@@ -1468,14 +1478,29 @@ class CramWriter:
     def flush(self):
         if not self._recs:
             return
+        tid = self._cur_tid if self._cur_tid is not None else -1
+        if self._nw is not None:
+            from .. import native
+
+            if not native.cram_writer_container(self._nw, self._recs, tid):
+                raise RuntimeError("native CRAM container encode failed")
+            self._recs = []
+            self._bases = 0
+            return
         recs = [BamRecord(r) for r in self._recs]
         self._recs = []
         self._bases = 0
-        self._write_data_container(recs, self._cur_tid
-                                   if self._cur_tid is not None else -1)
+        self._write_data_container(recs, tid)
 
     def close(self):
         self.flush()
+        if self._nw is not None:
+            from .. import native
+
+            if not native.cram_writer_close(self._nw):
+                raise RuntimeError("native CRAM writer close failed")
+            self._nw = None
+            return
         self._f.write(EOF_CONTAINER)
         self._f.close()
         # .crai companion index: gzipped text, one line per slice

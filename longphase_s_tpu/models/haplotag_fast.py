@@ -199,7 +199,7 @@ def run_haplotag_fast(cfg):
     from ..io.phased_vcf import PhasedVcfReader, VcfInfo
     from .haplotag import ReadStatistics
 
-    if cfg.write_read_log or cfg.output_cram:
+    if cfg.write_read_log:
         return None
     if os.environ.get("LPS_NO_NATIVE_TAG"):
         return None
@@ -317,18 +317,20 @@ def run_haplotag_fast(cfg):
             all_ps.append(min_ps)
             all_pq.append(pq)
 
-    with timer("write BAM"):
+    with timer("write CRAM" if cfg.output_cram else "write BAM"):
+        writer = nb.tag_write_cram if cfg.output_cram else nb.tag_write
+        out_path = cfg.result_prefix + (".cram" if cfg.output_cram
+                                        else ".bam")
         if all_rec:
             rec = np.concatenate(all_rec)
-            ok = nb.tag_write(header, rec, np.concatenate(all_mode),
-                              np.concatenate(all_hp), np.concatenate(all_ps),
-                              np.concatenate(all_pq), [""] * len(rec),
-                              cfg.result_prefix + ".bam")
+            ok = writer(header, rec, np.concatenate(all_mode),
+                        np.concatenate(all_hp), np.concatenate(all_ps),
+                        np.concatenate(all_pq), [""] * len(rec), out_path)
         else:
-            ok = nb.tag_write(header, np.zeros(0, np.int64),
-                              np.zeros(0, np.uint8), np.zeros(0, np.int32),
-                              np.zeros(0, np.int64), np.zeros(0, np.int32),
-                              [], cfg.result_prefix + ".bam")
+            ok = writer(header, np.zeros(0, np.int64),
+                        np.zeros(0, np.uint8), np.zeros(0, np.int32),
+                        np.zeros(0, np.int64), np.zeros(0, np.int32),
+                        [], out_path)
         if not ok:
             raise RuntimeError("native tag write failed")
 

@@ -848,17 +848,19 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
         hp_strs.extend(READ_HP_STR[int(h)] if m == 3 else ""
                        for h, m in zip(hp, mode))
 
+    writer = tum_nb.tag_write_cram if cfg.output_cram else tum_nb.tag_write
+    out_path = cfg.result_prefix + (".cram" if cfg.output_cram else ".bam")
     if all_rec:
         rec = np.concatenate(all_rec)
-        ok = tum_nb.tag_write(header, rec, np.concatenate(all_mode),
-                              np.zeros(len(rec), np.int32),
-                              np.concatenate(all_ps), np.concatenate(all_pq),
-                              hp_strs, cfg.result_prefix + ".bam")
+        ok = writer(header, rec, np.concatenate(all_mode),
+                    np.zeros(len(rec), np.int32),
+                    np.concatenate(all_ps), np.concatenate(all_pq),
+                    hp_strs, out_path)
     else:
-        ok = tum_nb.tag_write(header, np.zeros(0, np.int64),
-                              np.zeros(0, np.uint8), np.zeros(0, np.int32),
-                              np.zeros(0, np.int64), np.zeros(0, np.int32),
-                              [], cfg.result_prefix + ".bam")
+        ok = writer(header, np.zeros(0, np.int64),
+                    np.zeros(0, np.uint8), np.zeros(0, np.int32),
+                    np.zeros(0, np.int64), np.zeros(0, np.int32),
+                    [], out_path)
     if not ok:
         raise RuntimeError("native tag write failed")
 
@@ -1066,7 +1068,7 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
     # ---- tag tumor BAM (SINGLE_THREAD + output) --------------------------
     _nor_nb, tum_nb = _native_bams(cfg)
     if tum_nb is not None and not (cfg.write_read_log or cfg.write_calling_log
-                                   or benchmark.enabled or cfg.output_cram):
+                                   or benchmark.enabled):
         with timer("tag read"):
             _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
                               somatic_flags, nor_info, fasta, stats)

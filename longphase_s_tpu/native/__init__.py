@@ -271,6 +271,11 @@ def _tag_bind(lib):
     lib.lps_tag_fill.restype = ct.c_int64
     lib.lps_tag_fill.argtypes = [ct.c_void_p] + [ct.c_void_p] * 18
     lib.lps_tag_free.argtypes = [ct.c_void_p]
+    lib.lps_tag_write_cram.restype = ct.c_int64
+    lib.lps_tag_write_cram.argtypes = [
+        ct.c_void_p, ct.c_char_p, ct.c_int64, ct.c_int64, ct.c_void_p,
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_char_p,
+        ct.c_void_p, ct.c_char_p]
     lib.lps_tag_write.restype = ct.c_int64
     lib.lps_tag_write.argtypes = [
         ct.c_void_p, ct.c_char_p, ct.c_int64,
@@ -493,6 +498,26 @@ class NativeBam:
             out_path.encode(), level)
         return n >= 0
 
+    def tag_write_cram(self, header_text: str, rec_indices, mode, hp_int, ps,
+                       pq, hp_strs, out_path: str) -> bool:
+        """tag_write with native CRAM output (same aux surgery, containers
+        encoded by lps_cram.cpp)."""
+        rec_indices = np.ascontiguousarray(rec_indices, np.int64)
+        mode = np.ascontiguousarray(mode, np.uint8)
+        hp_int = np.ascontiguousarray(hp_int, np.int32)
+        ps = np.ascontiguousarray(ps, np.int64)
+        pq = np.ascontiguousarray(pq, np.int32)
+        blob = "".join(hp_strs).encode("ascii")
+        off = np.zeros(len(hp_strs) + 1, np.int64)
+        np.cumsum([len(s) for s in hp_strs], out=off[1:])
+        hdr = header_text.encode("ascii")
+        n = self._lib.lps_tag_write_cram(
+            self._h, hdr, len(hdr), len(rec_indices),
+            rec_indices.ctypes.data, mode.ctypes.data, hp_int.ctypes.data,
+            ps.ctypes.data, pq.ctypes.data, blob, off.ctypes.data,
+            out_path.encode())
+        return n == 0
+
 
 _bam_cache: dict[str, tuple[float, "NativeBam"]] = {}
 _bam_cache_lock = threading.Lock()
@@ -662,3 +687,42 @@ def filter_overlap(names: list[str], first_pos, last_pos,
     lib.lps_filter_overlap(A, blob, noff.ctypes.data, fp.ctypes.data,
                            lp.ctypes.data, float(threshold), keep.ctypes.data)
     return keep.astype(bool)
+
+
+def _cram_writer_bind(lib):
+    import ctypes as ct
+    if getattr(lib, "_cramw_bound", False):
+        return
+    lib._cramw_bound = True
+    lib.lps_cram_writer_open.restype = ct.c_void_p
+    lib.lps_cram_writer_open.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_int64]
+    lib.lps_cram_writer_container.restype = ct.c_int64
+    lib.lps_cram_writer_container.argtypes = [ct.c_void_p, ct.c_char_p,
+                                             ct.c_void_p, ct.c_int64,
+                                             ct.c_int32]
+    lib.lps_cram_writer_close.restype = ct.c_int64
+    lib.lps_cram_writer_close.argtypes = [ct.c_void_p]
+
+
+def cram_writer_open(path: str, header_text: str):
+    lib = _load()
+    if lib is None or os.environ.get("LPS_NO_NATIVE_CRAM"):
+        return None
+    _cram_writer_bind(lib)
+    hdr = header_text.encode("latin-1")
+    w = lib.lps_cram_writer_open(path.encode(), hdr, len(hdr))
+    return w or None
+
+
+def cram_writer_container(w, rec_blobs: list[bytes], tid: int) -> bool:
+    lib = _load()
+    blob = b"".join(rec_blobs)
+    off = np.zeros(len(rec_blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in rec_blobs], out=off[1:])
+    return lib.lps_cram_writer_container(w, blob, off.ctypes.data,
+                                         len(rec_blobs), tid) == 0
+
+
+def cram_writer_close(w) -> bool:
+    lib = _load()
+    return lib.lps_cram_writer_close(w) == 0

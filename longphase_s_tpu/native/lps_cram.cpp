@@ -1443,6 +1443,775 @@ static CramResult* decode_file(const char* path, const char* fasta_path,
     }
 }
 
+// ---------------------------------------------------------------------------
+// writer: referenceless CRAM 3.0 encode (port of io/cram.py CramWriter —
+// detached mates, verbatim bases via b/S/I features, rANS-or-gzip blocks)
+// ---------------------------------------------------------------------------
+
+static void itf8_put(int64_t v64, std::vector<uint8_t>& out) {
+    uint32_t v = (uint32_t)(v64 & 0xFFFFFFFF);
+    if (v < 0x80) {
+        out.push_back((uint8_t)v);
+    } else if (v < 0x4000) {
+        out.push_back((uint8_t)(0x80 | (v >> 8)));
+        out.push_back((uint8_t)(v & 0xFF));
+    } else if (v < 0x200000) {
+        out.push_back((uint8_t)(0xC0 | (v >> 16)));
+        out.push_back((uint8_t)((v >> 8) & 0xFF));
+        out.push_back((uint8_t)(v & 0xFF));
+    } else if (v < 0x10000000) {
+        out.push_back((uint8_t)(0xE0 | (v >> 24)));
+        out.push_back((uint8_t)((v >> 16) & 0xFF));
+        out.push_back((uint8_t)((v >> 8) & 0xFF));
+        out.push_back((uint8_t)(v & 0xFF));
+    } else {
+        out.push_back((uint8_t)(0xF0 | ((v >> 28) & 0x0F)));
+        out.push_back((uint8_t)((v >> 20) & 0xFF));
+        out.push_back((uint8_t)((v >> 12) & 0xFF));
+        out.push_back((uint8_t)((v >> 4) & 0xFF));
+        out.push_back((uint8_t)(v & 0x0F));
+    }
+}
+
+static void ltf8_put(int64_t v64, std::vector<uint8_t>& out) {
+    uint64_t v = (uint64_t)v64;
+    if (v < 0x80) {
+        out.push_back((uint8_t)v);
+        return;
+    }
+    // header byte: n leading ones, a zero, then (7-n) high value bits;
+    // n trailing value bytes. Matches the reader's ltf8_get.
+    for (int n = 1; n < 8; n++) {
+        if (v < (1ull << (7 * (n + 1) - n))) {  // same split as the Python put
+            uint8_t hdr = (uint8_t)(0xFF ^ (0xFF >> n));
+            out.push_back(hdr | (uint8_t)(v >> (8 * n)));
+            for (int i = n - 1; i >= 0; i--)
+                out.push_back((uint8_t)((v >> (8 * i)) & 0xFF));
+            return;
+        }
+    }
+    out.push_back(0xFF);
+    for (int i = 7; i >= 0; i--)
+        out.push_back((uint8_t)((v >> (8 * i)) & 0xFF));
+}
+
+static bool gzip_compress_buf(const uint8_t* d, size_t n, int level,
+                              std::vector<uint8_t>& out) {
+#ifdef USE_LIBDEFLATE
+    {
+        struct libdeflate_compressor* z = libdeflate_alloc_compressor(level);
+        size_t bound = libdeflate_gzip_compress_bound(z, n);
+        out.resize(bound);
+        size_t got = libdeflate_gzip_compress(z, d, n, out.data(), bound);
+        libdeflate_free_compressor(z);
+        if (got > 0) {
+            out.resize(got);
+            return true;
+        }
+    }
+#endif
+    uLongf bound = compressBound((uLong)n) + 32;
+    std::vector<uint8_t> tmp(bound);
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+        return false;
+    zs.next_in = const_cast<uint8_t*>(d);
+    zs.avail_in = (uInt)n;
+    zs.next_out = tmp.data();
+    zs.avail_out = (uInt)bound;
+    int r = deflate(&zs, Z_FINISH);
+    size_t got = bound - zs.avail_out;
+    deflateEnd(&zs);
+    if (r != Z_STREAM_END) return false;
+    tmp.resize(got);
+    out.swap(tmp);
+    return true;
+}
+
+// rANS 4x8 order-0 encode; port of io/cram.py:326-399
+static bool rans_encode_o0(const uint8_t* data, size_t n,
+                           std::vector<uint8_t>& out) {
+    if (n == 0) return false;
+    int64_t hist[256] = {0};
+    for (size_t i = 0; i < n; i++) hist[data[i]]++;
+    int64_t freqs[256] = {0};
+    int64_t fsum = 0, m_f = 0;
+    int m_sym = 0;
+    for (int sym = 0; sym < 256; sym++) {
+        if (hist[sym] == 0) continue;
+        int64_t f = hist[sym] * TOTFREQ / (int64_t)n;
+        if (f < 1) f = 1;
+        freqs[sym] = f;
+        fsum += f;
+        if (f > m_f) {
+            m_f = f;
+            m_sym = sym;
+        }
+    }
+    freqs[m_sym] += TOTFREQ - fsum;
+    if (freqs[m_sym] <= 0) return false;  // pathological; gzip instead
+    int64_t start[256];
+    {
+        int64_t x = 0;
+        for (int sym = 0; sym < 256; sym++) {
+            start[sym] = x;
+            x += freqs[sym];
+        }
+    }
+    // frequency table serialization (+1 RLE as in the reader)
+    std::vector<uint8_t> tab;
+    std::vector<int> syms;
+    for (int sym = 0; sym < 256; sym++)
+        if (freqs[sym]) syms.push_back(sym);
+    int rle = 0;
+    for (size_t idx = 0; idx < syms.size(); idx++) {
+        int sym = syms[idx];
+        if (rle) {
+            rle--;
+        } else {
+            tab.push_back((uint8_t)sym);
+            if (idx && sym == syms[idx - 1] + 1) {
+                int run = 0;
+                while (idx + run + 1 <= syms.size() - 1 &&
+                       syms[idx + run + 1] == sym + run + 1)
+                    run++;
+                tab.push_back((uint8_t)run);
+                rle = run;
+            }
+        }
+        int64_t f = freqs[sym];
+        if (f < 128) {
+            tab.push_back((uint8_t)f);
+        } else {
+            tab.push_back((uint8_t)(0x80 | (f >> 8)));
+            tab.push_back((uint8_t)(f & 0xFF));
+        }
+    }
+    tab.push_back(0);
+
+    uint32_t R[4] = {RANS_BYTE_L, RANS_BYTE_L, RANS_BYTE_L, RANS_BYTE_L};
+    std::vector<uint8_t> out_rev;
+    out_rev.reserve(n);
+    for (int64_t i = (int64_t)n - 1; i >= 0; i--) {
+        int k = i & 3;
+        int sym = data[i];
+        uint32_t f = (uint32_t)freqs[sym];
+        uint32_t x_max = ((RANS_BYTE_L >> TF_SHIFT) << 8) * f;
+        uint32_t x = R[k];
+        while (x >= x_max) {
+            out_rev.push_back((uint8_t)(x & 0xFF));
+            x >>= 8;
+        }
+        R[k] = ((x / f) << TF_SHIFT) + (x % f) + (uint32_t)start[sym];
+    }
+    size_t payload_n = tab.size() + 16 + out_rev.size();
+    out.clear();
+    out.reserve(9 + payload_n);
+    out.push_back(0);
+    uint32_t in_sz = (uint32_t)payload_n, out_sz = (uint32_t)n;
+    out.insert(out.end(), (uint8_t*)&in_sz, (uint8_t*)&in_sz + 4);
+    out.insert(out.end(), (uint8_t*)&out_sz, (uint8_t*)&out_sz + 4);
+    out.insert(out.end(), tab.begin(), tab.end());
+    for (int k = 0; k < 4; k++)
+        out.insert(out.end(), (uint8_t*)&R[k], (uint8_t*)&R[k] + 4);
+    out.insert(out.end(), out_rev.rbegin(), out_rev.rend());
+    return true;
+}
+
+// _encode_block: rANS when preferred and it wins over raw, else gzip
+// (unlike the Python writer we don't compress twice to pick the smaller —
+// block choice only affects size, not compatibility)
+static void encode_block(int method, int ctype, int64_t content_id,
+                         const uint8_t* raw, size_t n,
+                         std::vector<uint8_t>& out) {
+    int used = RAW;
+    std::vector<uint8_t> best(raw, raw + n);
+    if (method != RAW && n > 0) {
+        bool done = false;
+        if (method == M_RANS) {
+            std::vector<uint8_t> r;
+            if (rans_encode_o0(raw, n, r) && r.size() < best.size()) {
+                best.swap(r);
+                used = M_RANS;
+                done = true;
+            }
+        }
+        if (!done) {
+            std::vector<uint8_t> g;
+            if (gzip_compress_buf(raw, n, 6, g) && g.size() < best.size()) {
+                best.swap(g);
+                used = M_GZIP;
+            }
+        }
+    }
+    size_t base = out.size();
+    out.push_back((uint8_t)used);
+    out.push_back((uint8_t)ctype);
+    itf8_put(content_id, out);
+    itf8_put((int64_t)best.size(), out);
+    itf8_put((int64_t)n, out);
+    out.insert(out.end(), best.begin(), best.end());
+    uint32_t crc = crc32(0L, out.data() + base, (uInt)(out.size() - base));
+    out.insert(out.end(), (uint8_t*)&crc, (uint8_t*)&crc + 4);
+}
+
+// series layout mirrors io/cram.py _SERIES/_CID
+static const char* SERIES[] = {"BF", "CF", "RI", "RL", "AP", "MF", "NS",
+                               "NP", "TS", "TL", "FN", "FC", "FP", "DL",
+                               "RS", "PD", "HC", "MQ", "BA", "SC", "BB",
+                               "IN", "QS"};
+static const int N_SERIES = 23;
+// cid: series i -> i+1; SC_len/BB_len/IN_len -> 24,25,26; RN -> 27; tags 28+
+static int cid_of(int series_idx) { return series_idx + 1; }
+static const int CID_SC_LEN = 24, CID_BB_LEN = 25, CID_IN_LEN = 26;
+static const int CID_RN = 27, CID_TAG_BASE = 28;
+enum { S_BF, S_CF, S_RI, S_RL, S_AP, S_MF, S_NS, S_NP, S_TS, S_TL, S_FN,
+       S_FC, S_FP, S_DL, S_RS, S_PD, S_HC, S_MQ, S_BA, S_SC, S_BB, S_IN,
+       S_QS };
+
+struct CramWriterN {
+    FILE* f = nullptr;
+    std::string path;
+    int64_t counter = 0;
+    struct CraiEntry {
+        int64_t tid, start, span, coff, soff, ssz;
+    };
+    std::vector<CraiEntry> index;
+};
+
+static void enc_external(int cid, std::vector<uint8_t>& out) {
+    std::vector<uint8_t> params;
+    itf8_put(cid, params);
+    itf8_put(1, out);  // E_EXTERNAL
+    itf8_put((int64_t)params.size(), out);
+    out.insert(out.end(), params.begin(), params.end());
+}
+
+static void enc_huffman_const(int64_t value, std::vector<uint8_t>& out) {
+    std::vector<uint8_t> params;
+    itf8_put(1, params);
+    itf8_put(value, params);
+    itf8_put(1, params);
+    itf8_put(0, params);
+    itf8_put(3, out);  // E_HUFFMAN
+    itf8_put((int64_t)params.size(), out);
+    out.insert(out.end(), params.begin(), params.end());
+}
+
+static void enc_byte_array_stop(uint8_t stop, int cid,
+                                std::vector<uint8_t>& out) {
+    std::vector<uint8_t> params;
+    params.push_back(stop);
+    itf8_put(cid, params);
+    itf8_put(5, out);  // E_BYTE_ARRAY_STOP
+    itf8_put((int64_t)params.size(), out);
+    out.insert(out.end(), params.begin(), params.end());
+}
+
+static void enc_byte_array_len(int len_cid, int val_cid,
+                               std::vector<uint8_t>& out) {
+    std::vector<uint8_t> inner;
+    enc_external(len_cid, inner);
+    enc_external(val_cid, inner);
+    itf8_put(4, out);  // E_BYTE_ARRAY_LEN
+    itf8_put((int64_t)inner.size(), out);
+    out.insert(out.end(), inner.begin(), inner.end());
+}
+
+static int64_t write_container(CramWriterN* w,
+                               const std::vector<std::vector<uint8_t>>& blocks,
+                               int64_t ref_seq_id, int64_t ref_start,
+                               int64_t ref_span, int64_t num_records,
+                               int64_t num_bases,
+                               const std::vector<int64_t>& landmarks) {
+    int64_t cont_off = (int64_t)ftell(w->f);
+    size_t body_n = 0;
+    for (auto& b : blocks) body_n += b.size();
+    std::vector<uint8_t> head;
+    itf8_put(ref_seq_id, head);
+    itf8_put(ref_start, head);
+    itf8_put(ref_span, head);
+    itf8_put(num_records, head);
+    ltf8_put(w->counter, head);
+    ltf8_put(num_bases, head);
+    itf8_put((int64_t)blocks.size(), head);
+    itf8_put((int64_t)landmarks.size(), head);
+    for (int64_t lm : landmarks) itf8_put(lm, head);
+    int32_t length = (int32_t)body_n;
+    uint32_t crc = crc32(0L, (const uint8_t*)&length, 4);
+    crc = crc32(crc, head.data(), (uInt)head.size());
+    fwrite(&length, 4, 1, w->f);
+    fwrite(head.data(), 1, head.size(), w->f);
+    fwrite(&crc, 4, 1, w->f);
+    for (auto& b : blocks) fwrite(b.data(), 1, b.size(), w->f);
+    return cont_off;
+}
+
+static const char SEQ_NT16_STR[] = "=ACMGRSVTWYHKDBN";
+
+}  // namespace lps_cram
+
+extern "C" {
+
+void* lps_cram_writer_open(const char* path, const char* header_text,
+                           int64_t header_len) {
+    using namespace lps_cram;
+    auto* w = new CramWriterN();
+    w->path = path;
+    w->f = fopen(path, "wb");
+    if (!w->f) {
+        delete w;
+        return nullptr;
+    }
+    // magic + 20-byte file id (tail of the path, NUL-padded)
+    fwrite("CRAM\x03\x00", 1, 6, w->f);
+    char fid[20] = {0};
+    size_t plen = strlen(path);
+    const char* tail = path + (plen > 20 ? plen - 20 : 0);
+    size_t tlen = strlen(tail);
+    memcpy(fid, tail, tlen < 20 ? tlen : 20);
+    fwrite(fid, 1, 20, w->f);
+    // SAM header container (one RAW FILE_HEADER block)
+    std::vector<uint8_t> blob;
+    int32_t hl = (int32_t)header_len;
+    blob.insert(blob.end(), (uint8_t*)&hl, (uint8_t*)&hl + 4);
+    blob.insert(blob.end(), (const uint8_t*)header_text,
+                (const uint8_t*)header_text + header_len);
+    std::vector<std::vector<uint8_t>> blocks(1);
+    encode_block(RAW, CT_FILE_HEADER, 0, blob.data(), blob.size(), blocks[0]);
+    write_container(w, blocks, 0, 0, 0, 0, 0, {});
+    return w;
+}
+
+// Encode one data container from raw BAM record blobs (all same tid).
+int64_t lps_cram_writer_container(void* wp, const uint8_t* blob,
+                                  const int64_t* rec_off, int64_t n_rec,
+                                  int32_t tid) {
+    using namespace lps_cram;
+    auto* w = (CramWriterN*)wp;
+    std::vector<uint8_t> ext[N_SERIES];
+    std::vector<uint8_t> rn, sc_len, bb_len, in_len;
+    std::vector<std::vector<std::pair<std::string, char>>> tag_lists;
+    std::map<std::string, std::pair<std::vector<uint8_t>,
+                                    std::vector<uint8_t>>> tag_streams;
+    std::map<std::string, int64_t> tag_index;  // key: packed TD entry
+    int64_t num_bases = 0;
+    int64_t min_pos = INT64_MAX, max_end = 0;
+
+    for (int64_t ri = 0; ri < n_rec; ri++) {
+        const uint8_t* rec = blob + rec_off[ri];
+        int64_t rlen = rec_off[ri + 1] - rec_off[ri];
+        int32_t rtid, pos, l_seq, mate_tid, mate_pos, tlen;
+        memcpy(&rtid, rec, 4);
+        memcpy(&pos, rec + 4, 4);
+        uint8_t l_read_name = rec[8];
+        uint8_t mapq = rec[9];
+        uint16_t n_cigar, flag16;
+        memcpy(&n_cigar, rec + 12, 2);
+        memcpy(&flag16, rec + 14, 2);
+        memcpy(&l_seq, rec + 16, 4);
+        memcpy(&mate_tid, rec + 20, 4);
+        memcpy(&mate_pos, rec + 24, 4);
+        memcpy(&tlen, rec + 28, 4);
+        const char* qname = (const char*)(rec + 32);
+        const uint8_t* cigar = rec + 32 + l_read_name;
+        const uint8_t* seqp = cigar + 4ull * n_cigar;
+        const uint8_t* qualp = seqp + (l_seq + 1) / 2;
+        size_t aux_off = 32 + l_read_name + 4ull * n_cigar +
+                         ((size_t)l_seq + 1) / 2 + l_seq;
+
+        int flag = flag16 & 0xFFF;
+        itf8_put(flag, ext[S_BF]);
+        itf8_put(CF_DETACHED | CF_QUAL, ext[S_CF]);
+        itf8_put(rtid, ext[S_RI]);
+        itf8_put(l_seq, ext[S_RL]);
+        num_bases += l_seq;
+        itf8_put(pos + 1, ext[S_AP]);
+        rn.insert(rn.end(), (const uint8_t*)qname,
+                  (const uint8_t*)qname + (l_read_name - 1));
+        rn.push_back(0);
+        int mf = ((flag & BAM_FMREVERSE) ? MATE_REVERSE : 0) |
+                 ((flag & BAM_FMUNMAP) ? MATE_UNMAP : 0);
+        itf8_put(mf, ext[S_MF]);
+        itf8_put(mate_tid, ext[S_NS]);
+        itf8_put(mate_pos + 1, ext[S_NP]);
+        itf8_put(tlen, ext[S_TS]);
+
+        // aux tags -> TD entry + per-tag streams
+        std::string td_key;
+        std::vector<std::pair<std::string, char>> tags_here;
+        {
+            size_t i = aux_off;
+            while (i + 3 <= (size_t)rlen) {
+                char t0 = (char)rec[i], t1 = (char)rec[i + 1];
+                char ty = (char)rec[i + 2];
+                i += 3;
+                size_t vstart = i;
+                switch (ty) {
+                    case 'c': case 'C': case 'A': i += 1; break;
+                    case 's': case 'S': i += 2; break;
+                    case 'i': case 'I': case 'f': i += 4; break;
+                    case 'Z': case 'H':
+                        while (i < (size_t)rlen && rec[i] != 0) i++;
+                        i++;
+                        break;
+                    case 'B': {
+                        char sub = (char)rec[i];
+                        uint32_t cnt;
+                        memcpy(&cnt, rec + i + 1, 4);
+                        int sz = (sub == 'c' || sub == 'C') ? 1
+                                 : (sub == 's' || sub == 'S') ? 2 : 4;
+                        i += 5 + (size_t)cnt * sz;
+                        break;
+                    }
+                    default:
+                        return -1;  // unknown aux type
+                }
+                if (i > (size_t)rlen) return -1;
+                std::string name;
+                name += t0;
+                name += t1;
+                name += ty;
+                td_key += name;
+                tags_here.emplace_back(name, ty);
+                auto& st = tag_streams[name];
+                itf8_put((int64_t)(i - vstart), st.first);
+                st.second.insert(st.second.end(), rec + vstart, rec + i);
+            }
+        }
+        auto it = tag_index.find(td_key);
+        int64_t tl;
+        if (it == tag_index.end()) {
+            tl = (int64_t)tag_lists.size();
+            tag_index[td_key] = tl;
+            tag_lists.push_back(tags_here);
+        } else {
+            tl = it->second;
+        }
+        itf8_put(tl, ext[S_TL]);
+
+        // sequence (ASCII) + clamped quals
+        std::vector<uint8_t> seq(l_seq);
+        for (int32_t b = 0; b < l_seq; b++) {
+            uint8_t nib = (b & 1) ? (seqp[b >> 1] & 0xF) : (seqp[b >> 1] >> 4);
+            seq[b] = (uint8_t)SEQ_NT16_STR[nib];
+        }
+        for (int32_t b = 0; b < l_seq; b++)
+            ext[S_QS].push_back(qualp[b] > 93 ? 93 : qualp[b]);
+
+        if (flag & BAM_FUNMAP) {
+            ext[S_BA].insert(ext[S_BA].end(), seq.begin(), seq.end());
+            if (pos + 1 < min_pos) min_pos = pos + 1;
+            if (pos + 1 > max_end) max_end = pos + 1;
+            continue;
+        }
+
+        // features covering the whole read (referenceless encoding)
+        std::vector<std::pair<char, int64_t>> feats;
+        int64_t qpos = 0, ref_adv = 0;
+        for (uint16_t ci = 0; ci < n_cigar; ci++) {
+            uint32_t cv;
+            memcpy(&cv, cigar + 4ull * ci, 4);
+            int op = cv & 0xF;
+            int64_t ln = cv >> 4;
+            switch (op) {
+                case 0: case 7: case 8:
+                    feats.emplace_back('b', qpos + 1);
+                    ext[S_BB].insert(ext[S_BB].end(), seq.begin() + qpos,
+                                     seq.begin() + qpos + ln);
+                    itf8_put(ln, bb_len);
+                    qpos += ln;
+                    ref_adv += ln;
+                    break;
+                case 4:
+                    feats.emplace_back('S', qpos + 1);
+                    ext[S_SC].insert(ext[S_SC].end(), seq.begin() + qpos,
+                                     seq.begin() + qpos + ln);
+                    itf8_put(ln, sc_len);
+                    qpos += ln;
+                    break;
+                case 1:
+                    feats.emplace_back('I', qpos + 1);
+                    ext[S_IN].insert(ext[S_IN].end(), seq.begin() + qpos,
+                                     seq.begin() + qpos + ln);
+                    itf8_put(ln, in_len);
+                    qpos += ln;
+                    break;
+                case 2:
+                    feats.emplace_back('D', qpos + 1);
+                    itf8_put(ln, ext[S_DL]);
+                    ref_adv += ln;
+                    break;
+                case 3:
+                    feats.emplace_back('N', qpos + 1);
+                    itf8_put(ln, ext[S_RS]);
+                    ref_adv += ln;
+                    break;
+                case 5:
+                    feats.emplace_back('H', qpos + 1);
+                    itf8_put(ln, ext[S_HC]);
+                    break;
+                case 6:
+                    feats.emplace_back('P', qpos + 1);
+                    itf8_put(ln, ext[S_PD]);
+                    break;
+                default:
+                    return -1;
+            }
+        }
+        itf8_put((int64_t)feats.size(), ext[S_FN]);
+        int64_t prev = 0;
+        for (auto& fp2 : feats) {
+            ext[S_FC].push_back((uint8_t)fp2.first);
+            itf8_put(fp2.second - prev, ext[S_FP]);
+            prev = fp2.second;
+        }
+        itf8_put(mapq, ext[S_MQ]);
+        // crai span bookkeeping (bam_endpos semantics)
+        int64_t end = n_cigar ? pos + ref_adv : pos + 1;
+        if (pos + 1 < min_pos) min_pos = pos + 1;
+        if (end > max_end) max_end = end;
+    }
+
+    // ---- compression header --------------------------------------------
+    std::vector<uint8_t> pres_body;
+    itf8_put(4, pres_body);  // 4 preservation entries
+    const uint8_t rn_e[] = {'R', 'N', 1};
+    const uint8_t ap_e[] = {'A', 'P', 0};
+    const uint8_t rr_e[] = {'R', 'R', 0};
+    pres_body.insert(pres_body.end(), rn_e, rn_e + 3);
+    pres_body.insert(pres_body.end(), ap_e, ap_e + 3);
+    pres_body.insert(pres_body.end(), rr_e, rr_e + 3);
+    std::vector<uint8_t> td_blob;
+    for (auto& key : tag_lists) {
+        for (auto& t : key)
+            td_blob.insert(td_blob.end(), t.first.begin(), t.first.end());
+        td_blob.push_back(0);
+    }
+    pres_body.push_back('T');
+    pres_body.push_back('D');
+    itf8_put((int64_t)td_blob.size(), pres_body);
+    pres_body.insert(pres_body.end(), td_blob.begin(), td_blob.end());
+    std::vector<uint8_t> comp_raw;
+    itf8_put((int64_t)pres_body.size(), comp_raw);
+    comp_raw.insert(comp_raw.end(), pres_body.begin(), pres_body.end());
+
+    // record encoding map (order mirrors the Python writer)
+    std::vector<uint8_t> rec_body;
+    int rec_count = 0;
+    std::vector<uint8_t> rec_entries;
+    auto add_key = [&](const char* k, std::vector<uint8_t>& enc) {
+        rec_entries.push_back((uint8_t)k[0]);
+        rec_entries.push_back((uint8_t)k[1]);
+        rec_entries.insert(rec_entries.end(), enc.begin(), enc.end());
+        rec_count++;
+    };
+    for (int s = 0; s < N_SERIES; s++) {
+        const char* k = SERIES[s];
+        if (s == S_BA || s == S_SC || s == S_BB || s == S_IN || s == S_QS)
+            continue;
+        std::vector<uint8_t> e;
+        enc_external(cid_of(s), e);
+        add_key(k, e);
+    }
+    {
+        std::vector<uint8_t> e;
+        enc_huffman_const((int64_t)0xFFFFFFFF, e);
+        add_key("RG", e);
+        e.clear();
+        enc_byte_array_stop(0, CID_RN, e);
+        add_key("RN", e);
+        e.clear();
+        enc_external(cid_of(S_BA), e);
+        add_key("BA", e);
+        e.clear();
+        enc_external(cid_of(S_QS), e);
+        add_key("QS", e);
+        e.clear();
+        enc_byte_array_len(CID_SC_LEN, cid_of(S_SC), e);
+        add_key("SC", e);
+        e.clear();
+        enc_byte_array_len(CID_BB_LEN, cid_of(S_BB), e);
+        add_key("BB", e);
+        e.clear();
+        enc_byte_array_len(CID_IN_LEN, cid_of(S_IN), e);
+        add_key("IN", e);
+    }
+    itf8_put(rec_count, rec_body);
+    rec_body.insert(rec_body.end(), rec_entries.begin(), rec_entries.end());
+    itf8_put((int64_t)rec_body.size(), comp_raw);
+    comp_raw.insert(comp_raw.end(), rec_body.begin(), rec_body.end());
+
+    // tag encoding map (sorted by 3-char name, cids from CID_TAG_BASE)
+    std::vector<uint8_t> tag_body;
+    itf8_put((int64_t)tag_streams.size(), tag_body);
+    int next_cid = CID_TAG_BASE;
+    std::map<std::string, std::pair<int, int>> tag_cids;
+    for (auto& kv : tag_streams) {
+        int len_cid = next_cid, val_cid = next_cid + 1;
+        next_cid += 2;
+        tag_cids[kv.first] = {len_cid, val_cid};
+        const std::string& name = kv.first;
+        int64_t keyid = ((int64_t)(uint8_t)name[0] << 16) |
+                        ((int64_t)(uint8_t)name[1] << 8) | (uint8_t)name[2];
+        itf8_put(keyid, tag_body);
+        enc_byte_array_len(len_cid, val_cid, tag_body);
+    }
+    std::vector<uint8_t> tag_map_sz;
+    // tag_body currently holds count + entries; wrap with size prefix
+    {
+        std::vector<uint8_t> wrapped;
+        itf8_put((int64_t)tag_body.size(), wrapped);
+        wrapped.insert(wrapped.end(), tag_body.begin(), tag_body.end());
+        comp_raw.insert(comp_raw.end(), wrapped.begin(), wrapped.end());
+    }
+
+    std::vector<uint8_t> comp_block;
+    encode_block(M_GZIP, CT_COMP_HEADER, 0, comp_raw.data(), comp_raw.size(),
+                 comp_block);
+
+    // ---- external blocks (encoded across a thread pool) -----------------
+    struct BlockJob {
+        int cid;
+        const std::vector<uint8_t>* payload;
+        int prefer;
+    };
+    std::vector<BlockJob> jobs;
+    auto add_block = [&](int cid, const std::vector<uint8_t>& payload,
+                         int prefer) {
+        if (payload.empty()) return;
+        jobs.push_back({cid, &payload, prefer});
+    };
+    std::vector<uint8_t> core;
+    encode_block(RAW, CT_CORE, 0, nullptr, 0, core);
+    for (int s = 0; s < N_SERIES; s++) {
+        if (s == S_SC || s == S_BB || s == S_IN) continue;
+        add_block(cid_of(s), ext[s], M_RANS);
+    }
+    add_block(CID_RN, rn, M_GZIP);
+    add_block(cid_of(S_SC), ext[S_SC], M_RANS);
+    add_block(cid_of(S_BB), ext[S_BB], M_RANS);
+    add_block(cid_of(S_IN), ext[S_IN], M_RANS);
+    for (auto& kv : tag_streams) {
+        auto cids = tag_cids[kv.first];
+        add_block(cids.first, kv.second.first, M_RANS);
+        add_block(cids.second, kv.second.second, M_RANS);
+    }
+    add_block(CID_SC_LEN, sc_len, M_RANS);
+    add_block(CID_BB_LEN, bb_len, M_RANS);
+    add_block(CID_IN_LEN, in_len, M_RANS);
+
+    std::vector<std::vector<uint8_t>> data_blocks(jobs.size());
+    std::vector<int> content_ids(jobs.size());
+    {
+        std::atomic<size_t> nexti{0};
+        auto workerb = [&]() {
+            for (;;) {
+                size_t i = nexti.fetch_add(1);
+                if (i >= jobs.size()) return;
+                encode_block(jobs[i].prefer, CT_EXTERNAL, jobs[i].cid,
+                             jobs[i].payload->data(), jobs[i].payload->size(),
+                             data_blocks[i]);
+                content_ids[i] = jobs[i].cid;
+            }
+        };
+        unsigned nt = std::thread::hardware_concurrency();
+        if (nt < 1) nt = 1;
+        if (nt > 8) nt = 8;
+        if (jobs.size() < 2) nt = 1;
+        std::vector<std::thread> th;
+        for (unsigned t = 1; t < nt; t++) th.emplace_back(workerb);
+        workerb();
+        for (auto& t : th) t.join();
+    }
+
+    // ---- slice header ---------------------------------------------------
+    int64_t ref_start = 0, ref_span = 0;
+    if (tid >= 0 && n_rec > 0) {
+        ref_start = min_pos == INT64_MAX ? 0 : min_pos;
+        ref_span = max_end - ref_start + 1;
+        if (ref_span < 0) ref_span = 0;
+    }
+    std::vector<uint8_t> sh;
+    itf8_put(tid, sh);
+    itf8_put(ref_start, sh);
+    itf8_put(ref_span, sh);
+    itf8_put(n_rec, sh);
+    ltf8_put(w->counter, sh);
+    itf8_put((int64_t)data_blocks.size() + 1, sh);  // + core block
+    itf8_put((int64_t)content_ids.size(), sh);
+    for (int cid : content_ids) itf8_put(cid, sh);
+    itf8_put((int64_t)0xFFFFFFFF, sh);  // no embedded reference
+    for (int i = 0; i < 16; i++) sh.push_back(0);  // MD5 (RR=false)
+    std::vector<uint8_t> slice_hdr_block;
+    encode_block(RAW, CT_SLICE_HEADER, 0, sh.data(), sh.size(),
+                 slice_hdr_block);
+
+    std::vector<std::vector<uint8_t>> blocks;
+    blocks.push_back(std::move(comp_block));
+    blocks.push_back(std::move(slice_hdr_block));
+    blocks.push_back(std::move(core));
+    int64_t slice_sz = 0;
+    for (size_t i = 1; i < blocks.size(); i++)
+        slice_sz += (int64_t)blocks[i].size();
+    for (auto& b : data_blocks) {
+        slice_sz += (int64_t)b.size();
+        blocks.push_back(std::move(b));
+    }
+    int64_t comp_len = (int64_t)blocks[0].size();
+    int64_t cont_off = write_container(w, blocks, tid, ref_start, ref_span,
+                                       n_rec, num_bases, {comp_len});
+    w->index.push_back({tid, ref_start, ref_span, cont_off, comp_len,
+                        slice_sz});
+    w->counter += n_rec;
+    (void)tag_map_sz;
+    return 0;
+}
+
+int64_t lps_cram_writer_close(void* wp) {
+    using namespace lps_cram;
+    auto* w = (CramWriterN*)wp;
+    static const uint8_t EOFC[38] = {
+        0x0f, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff, 0xff, 0x0f, 0xe0,
+        0x45, 0x4f, 0x46, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x05,
+        0xbd, 0xd9, 0x4f, 0x00, 0x01, 0x00, 0x06, 0x06, 0x01, 0x00,
+        0x01, 0x00, 0x01, 0x00, 0xee, 0x63, 0x01, 0x4b};
+    fwrite(EOFC, 1, 38, w->f);
+    fclose(w->f);
+    w->f = nullptr;
+    // .crai companion (gzipped text)
+    std::string crai;
+    char line[256];
+    for (auto& e : w->index) {
+        snprintf(line, sizeof(line),
+                 "%lld\t%lld\t%lld\t%lld\t%lld\t%lld\n", (long long)e.tid,
+                 (long long)e.start, (long long)e.span, (long long)e.coff,
+                 (long long)e.soff, (long long)e.ssz);
+        crai += line;
+    }
+    std::vector<uint8_t> gz;
+    int64_t ok = 0;
+    if (gzip_compress_buf((const uint8_t*)crai.data(), crai.size(), 6, gz)) {
+        FILE* cf = fopen((w->path + ".crai").c_str(), "wb");
+        if (cf) {
+            ok = fwrite(gz.data(), 1, gz.size(), cf) == gz.size() ? 0 : -1;
+            fclose(cf);
+        } else {
+            ok = -1;
+        }
+    } else {
+        ok = -1;
+    }
+    delete w;
+    return ok;
+}
+
+}  // extern "C"
+
+namespace lps_cram {
+
 }  // namespace lps_cram
 
 extern "C" {

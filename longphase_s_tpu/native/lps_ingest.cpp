@@ -1256,6 +1256,82 @@ void lps_tag_free(void* rp) { delete (TagResult*)rp; }
 //   mode 0: passthrough; 1: strip HP/PS/PQ only;
 //   2: strip + HP:i + PS:i + PQ:i (germline);
 //   3: strip + HP:Z <hp_str> [+ PS:i unless ps==INT64_MIN] + PQ:i (somatic).
+// Assemble one output record (aux HP/PS/PQ surgery per `mode`) into `body`.
+// Modes: 0 passthrough, 1 strip, 2 germline HP:i/PS:i/PQ:i,
+// 3 somatic HP:Z[/PS:i]/PQ:i.
+static void assemble_tagged_record(const BamHandle* h, int64_t ri, uint8_t m,
+                                   int64_t oi, const int32_t* hp_int,
+                                   const int64_t* ps, const int32_t* pq,
+                                   const char* hp_str_blob,
+                                   const int64_t* hp_str_off,
+                                   std::vector<uint8_t>& body) {
+  const uint8_t* rec = &h->data[h->rec_off[ri]];
+  uint32_t rlen = h->rec_len[ri];
+  auto type_size = [](uint8_t t) -> int {
+    switch (t) {
+      case 'A': case 'c': case 'C': return 1;
+      case 's': case 'S': return 2;
+      case 'i': case 'I': case 'f': return 4;
+      default: return -1;
+    }
+  };
+  if (m == 0) {
+    body.insert(body.end(), rec, rec + rlen);
+    return;
+  }
+  // copy up to aux, then filter aux entries
+  uint16_t n_cigar = rd_u16(rec + 12);
+  int32_t l_seq = rd_i32(rec + 16);
+  size_t aux_off =
+      32 + rec[8] + 4ull * n_cigar + ((size_t)l_seq + 1) / 2 + l_seq;
+  body.insert(body.end(), rec, rec + std::min((size_t)rlen, aux_off));
+  size_t i = aux_off;
+  while (i + 3 <= rlen) {
+    size_t start = i;
+    char c0 = rec[i], c1 = rec[i + 1];
+    uint8_t t = rec[i + 2];
+    i += 3;
+    int ts = type_size(t);
+    if (ts > 0) {
+      i += ts;
+    } else if (t == 'Z' || t == 'H') {
+      while (i < rlen && rec[i] != 0) ++i;
+      ++i;
+    } else if (t == 'B') {
+      int ss = type_size(rec[i]);
+      uint32_t cnt = rd_u32(rec + i + 1);
+      i += 5 + (size_t)(ss > 0 ? ss : 0) * cnt;
+    } else {
+      break;  // malformed; copy rest verbatim
+    }
+    bool is_hp_ps_pq = (c0 == 'H' && c1 == 'P') || (c0 == 'P' && c1 == 'S') ||
+                       (c0 == 'P' && c1 == 'Q');
+    if (!is_hp_ps_pq)
+      body.insert(body.end(), rec + start, rec + std::min((size_t)rlen, i));
+  }
+  auto app_int = [&](char a, char b, int32_t v) {
+    body.push_back(a);
+    body.push_back(b);
+    body.push_back('i');
+    body.insert(body.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+  };
+  if (m == 2) {
+    app_int('H', 'P', hp_int[oi]);
+    app_int('P', 'S', (int32_t)ps[oi]);
+    app_int('P', 'Q', pq[oi]);
+  } else if (m == 3) {
+    body.push_back('H');
+    body.push_back('P');
+    body.push_back('Z');
+    const char* s = hp_str_blob + hp_str_off[oi];
+    const char* e = hp_str_blob + hp_str_off[oi + 1];
+    body.insert(body.end(), s, e);
+    body.push_back(0);
+    if (ps[oi] != INT64_MIN) app_int('P', 'S', (int32_t)ps[oi]);
+    app_int('P', 'Q', pq[oi]);
+  }
+}
+
 int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
                       int64_t n_out, const int64_t* rec_indices,
                       const uint8_t* mode, const int32_t* hp_int,
@@ -1326,78 +1402,11 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
   std::vector<uint8_t>* body = &stages[cur];
   body->reserve(STAGE + (4u << 20));
   body->insert(body->end(), head.begin(), head.end());
-  auto type_size = [](uint8_t t) -> int {
-    switch (t) {
-      case 'A': case 'c': case 'C': return 1;
-      case 's': case 'S': return 2;
-      case 'i': case 'I': case 'f': return 4;
-      default: return -1;
-    }
-  };
   for (int64_t oi = 0; oi < n_out; ++oi) {
-    int64_t ri = rec_indices[oi];
-    const uint8_t* rec = &h->data[h->rec_off[ri]];
-    uint32_t rlen = h->rec_len[ri];
-    uint8_t m = mode[oi];
     size_t body_rec_start = body->size();
     body->resize(body->size() + 4);  // block_size placeholder
-    if (m == 0) {
-      body->insert(body->end(), rec, rec + rlen);
-    } else {
-      // copy up to aux, then filter aux entries
-      uint16_t n_cigar = rd_u16(rec + 12);
-      int32_t l_seq = rd_i32(rec + 16);
-      size_t aux_off =
-          32 + rec[8] + 4ull * n_cigar + ((size_t)l_seq + 1) / 2 + l_seq;
-      body->insert(body->end(), rec, rec + std::min((size_t)rlen, aux_off));
-      size_t i = aux_off;
-      while (i + 3 <= rlen) {
-        size_t start = i;
-        char c0 = rec[i], c1 = rec[i + 1];
-        uint8_t t = rec[i + 2];
-        i += 3;
-        int ts = type_size(t);
-        if (ts > 0) {
-          i += ts;
-        } else if (t == 'Z' || t == 'H') {
-          while (i < rlen && rec[i] != 0) ++i;
-          ++i;
-        } else if (t == 'B') {
-          int ss = type_size(rec[i]);
-          uint32_t cnt = rd_u32(rec + i + 1);
-          i += 5 + (size_t)(ss > 0 ? ss : 0) * cnt;
-        } else {
-          break;  // malformed; copy rest verbatim
-        }
-        bool is_hp_ps_pq =
-            (c0 == 'H' && c1 == 'P') || (c0 == 'P' && c1 == 'S') ||
-            (c0 == 'P' && c1 == 'Q');
-        if (!is_hp_ps_pq)
-          body->insert(body->end(), rec + start,
-                       rec + std::min((size_t)rlen, i));
-      }
-      auto app_int = [&](char a, char b, int32_t v) {
-        body->push_back(a);
-        body->push_back(b);
-        body->push_back('i');
-        body->insert(body->end(), (uint8_t*)&v, (uint8_t*)&v + 4);
-      };
-      if (m == 2) {
-        app_int('H', 'P', hp_int[oi]);
-        app_int('P', 'S', (int32_t)ps[oi]);
-        app_int('P', 'Q', pq[oi]);
-      } else if (m == 3) {
-        body->push_back('H');
-        body->push_back('P');
-        body->push_back('Z');
-        const char* s = hp_str_blob + hp_str_off[oi];
-        const char* e = hp_str_blob + hp_str_off[oi + 1];
-        body->insert(body->end(), s, e);
-        body->push_back(0);
-        if (ps[oi] != INT64_MIN) app_int('P', 'S', (int32_t)ps[oi]);
-        app_int('P', 'Q', pq[oi]);
-      }
-    }
+    assemble_tagged_record(h, rec_indices[oi], mode[oi], oi, hp_int, ps, pq,
+                           hp_str_blob, hp_str_off, *body);
     int32_t bsz = (int32_t)(body->size() - body_rec_start - 4);
     memcpy(&(*body)[body_rec_start], &bsz, 4);
     if (body->size() >= STAGE) {  // flush only between records
@@ -1423,6 +1432,62 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
   ok = ok && fwrite(EOF_BLOCK, 1, 28, f) == 28;
   fclose(f);
   return ok ? total_comp : -1;
+}
+
+// CRAM-output variant of lps_tag_write: the same aux surgery feeds the
+// native CRAM encoder (lps_cram.cpp) in containers of up to 10000 records
+// flushed on tid change (mirrors io/cram.py CramWriter batching).
+extern "C" void* lps_cram_writer_open(const char* path,
+                                      const char* header_text,
+                                      int64_t header_len);
+extern "C" int64_t lps_cram_writer_container(void* w, const uint8_t* blob,
+                                             const int64_t* rec_off,
+                                             int64_t n_rec, int32_t tid);
+extern "C" int64_t lps_cram_writer_close(void* w);
+
+int64_t lps_tag_write_cram(void* hp, const char* header_text,
+                           int64_t header_len, int64_t n_out,
+                           const int64_t* rec_indices, const uint8_t* mode,
+                           const int32_t* hp_int, const int64_t* ps,
+                           const int32_t* pq, const char* hp_str_blob,
+                           const int64_t* hp_str_off, const char* out_path) {
+  auto* h = (BamHandle*)hp;
+  void* w = lps_cram_writer_open(out_path, header_text, header_len);
+  if (!w) return -1;
+  static const int64_t RECS_PER = 10000;
+  static const int64_t BASES_PER = 32ll << 20;
+  std::vector<uint8_t> blob;
+  std::vector<int64_t> offs{0};
+  int32_t cur_tid = INT32_MIN;
+  int64_t bases = 0;
+  bool ok = true;
+  auto flush = [&]() {
+    if (offs.size() > 1) {
+      if (lps_cram_writer_container(w, blob.data(), offs.data(),
+                                    (int64_t)offs.size() - 1, cur_tid) != 0)
+        ok = false;
+    }
+    blob.clear();
+    offs.assign(1, 0);
+    bases = 0;
+  };
+  for (int64_t oi = 0; oi < n_out && ok; ++oi) {
+    int64_t ri = rec_indices[oi];
+    const uint8_t* rec = &h->data[h->rec_off[ri]];
+    int32_t tid = rd_i32(rec);
+    if (offs.size() > 1 &&
+        (tid != cur_tid || (int64_t)offs.size() - 1 >= RECS_PER ||
+         bases >= BASES_PER))
+      flush();
+    cur_tid = tid;
+    bases += rd_i32(rec + 16);
+    assemble_tagged_record(h, ri, mode[oi], oi, hp_int, ps, pq, hp_str_blob,
+                           hp_str_off, blob);
+    offs.push_back((int64_t)blob.size());
+  }
+  flush();
+  if (lps_cram_writer_close(w) != 0) ok = false;
+  return ok ? 0 : -1;
 }
 
 // One-shot raw-deflate decode with known output size (per-BGZF-block).
