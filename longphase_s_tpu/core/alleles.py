@@ -330,9 +330,9 @@ def extract_chromosome(bam_paths: list[str], chrom: str, last_snp_pos: int,
     """
     from ..io.cram import open_alignment
 
-    # native fast path (C++ BGZF/CRAM decode + CIGAR walk); only covers the
-    # SNP/indel stream — SV/MOD co-phasing falls back to the Python walker
-    if sv_entries is None and mod_entries is None:
+    # native fast path (C++ BGZF/CRAM decode + full three-stream CIGAR walk
+    # incl. SV/MOD co-phasing observations)
+    if True:
         from .. import native
 
         if native.available():
@@ -343,7 +343,11 @@ def extract_chromosome(bam_paths: list[str], chrom: str, last_snp_pos: int,
                 r = native.extract_phase(path, chrom, last_snp_pos, positions,
                                          infos, ref_string, mapping_quality,
                                          fasta_path=getattr(fasta, "path",
-                                                            None))
+                                                            None),
+                                         sv_entries=sv_entries,
+                                         mod_entries=mod_entries,
+                                         sv_window=sv_window,
+                                         sv_threshold=sv_threshold)
                 if r is None:
                     ok = False
                     break

@@ -183,8 +183,7 @@ def run_phase(cfg: PhaseConfig) -> dict:
             mod_entries = sorted(meth_set.by_chrom.get(chrom, {}).items())
 
         # flat fast path: native ingest arrays straight to the device tensors
-        if cfg.engine == "tpu" and sv_entries is None and mod_entries is None \
-                and not cfg.dot:
+        if cfg.engine == "tpu" and not cfg.dot:
             from .. import native
 
             if native.available():
@@ -195,7 +194,11 @@ def run_phase(cfg: PhaseConfig) -> dict:
                     f = native.extract_phase(path, chrom, last_snp, positions,
                                              infos, ref_string,
                                              cfg.params.mapping_quality,
-                                             fasta_path=cfg.fasta_file)
+                                             fasta_path=cfg.fasta_file,
+                                             sv_entries=sv_entries,
+                                             mod_entries=mod_entries,
+                                             sv_window=cfg.params.sv_window,
+                                             sv_threshold=cfg.params.sv_threshold)
                     if f is None:
                         ok = False
                         break

@@ -93,7 +93,9 @@ def available() -> bool:
 
 def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
                   positions, infos, ref_string: str, mapping_quality: int,
-                  fasta_path: str | None = None):
+                  fasta_path: str | None = None, sv_entries=None,
+                  mod_entries=None, sv_window: int = 20,
+                  sv_threshold: float = 0.1):
     """Native get_snp walk. Returns dict of flat numpy arrays or None.
 
     Prefers the cached whole-file handle (one BGZF inflate — or native CRAM
@@ -119,6 +121,9 @@ def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
     danger = np.fromiter((1 if i.is_danger else 0 for i in infos), np.uint8, n)
     ref_bytes = ref_string.encode("ascii")
 
+    has_svmod = bool(sv_entries) or bool(mod_entries)
+    if nb is None and has_svmod:
+        return None  # the SV/MOD walk needs the handle path
     if nb is not None:
         if not getattr(lib, "_phase_h_bound", False):
             lib._phase_h_bound = True
@@ -130,11 +135,47 @@ def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
                 ctypes.c_int32,
             ]
-        handle = lib.lps_extract_phase_h(
-            nb._h, chrom.encode(), last_snp_pos,
-            n, var_pos.ctypes.data, ref0.tobytes(), alt0.tobytes(),
-            ref_len.ctypes.data, alt_len.ctypes.data, danger.ctypes.data,
-            ref_bytes, len(ref_bytes), mapping_quality)
+            lib.lps_extract_phase_hx.restype = ctypes.c_void_p
+            lib.lps_extract_phase_hx.argtypes = \
+                lib.lps_extract_phase_h.argtypes + [
+                    ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_int32, ctypes.c_double,
+                ]
+        if has_svmod:
+            svs = sv_entries or []
+            mods = mod_entries or []
+            sv_start = np.asarray([p for p, _l in svs], np.int64)
+            sv_len = np.asarray([l for _p, l in svs], np.int64)
+            mod_pos = np.asarray([p for p, _e in mods], np.int64)
+            entry_off = np.zeros(len(mods) + 1, np.int64)
+            np.cumsum([len(e) for _p, e in mods], out=entry_off[1:])
+            names = []
+            flags = []
+            for _p, e in mods:
+                for qname, (rev, is_modify) in e.items():
+                    names.append(qname)
+                    flags.append((1 if rev else 0) | (2 if is_modify else 0))
+            name_blob = "".join(names).encode("latin-1")
+            name_off = np.zeros(len(names) + 1, np.int64)
+            np.cumsum([len(s) for s in names], out=name_off[1:])
+            flags_arr = np.asarray(flags, np.uint8)
+            handle = lib.lps_extract_phase_hx(
+                nb._h, chrom.encode(), last_snp_pos,
+                n, var_pos.ctypes.data, ref0.tobytes(), alt0.tobytes(),
+                ref_len.ctypes.data, alt_len.ctypes.data, danger.ctypes.data,
+                ref_bytes, len(ref_bytes), mapping_quality,
+                len(svs), sv_start.ctypes.data, sv_len.ctypes.data,
+                len(mods), mod_pos.ctypes.data, entry_off.ctypes.data,
+                name_blob, name_off.ctypes.data, flags_arr.ctypes.data,
+                sv_window, float(sv_threshold))
+        else:
+            handle = lib.lps_extract_phase_h(
+                nb._h, chrom.encode(), last_snp_pos,
+                n, var_pos.ctypes.data, ref0.tobytes(), alt0.tobytes(),
+                ref_len.ctypes.data, alt_len.ctypes.data, danger.ctypes.data,
+                ref_bytes, len(ref_bytes), mapping_quality)
     else:
         handle = lib.lps_extract_phase(
             bam_path.encode(), chrom.encode(), last_snp_pos,

@@ -228,21 +228,51 @@ extern "C" {
 
 // Pass-2 walk over precomputed record offsets; shared by the path-based and
 // handle-based entry points.
-static ExtractResult* phase_walk(const uint8_t* bam,
-                                 const std::vector<size_t>& rec_offsets,
-                                 int64_t n_var, const int64_t* var_pos,
-                                 const char* var_ref0, const char* var_alt0,
-                                 const int32_t* var_ref_len,
-                                 const int32_t* var_alt_len,
-                                 const uint8_t* var_danger,
-                                 const char* ref_string, int64_t ref_len) {
+// Full get_snp walk over precomputed record offsets, shared by the
+// path-based and handle-based entry points. Mirrors the object walker
+// core/alleles.AlleleExtractor.process_record (ParsingBam.cpp:1321-1434)
+// exactly, including the SV / MOD head interleave:
+//  - heads: SNP at var_pos[vi], SV at sv_start[si]-1, MOD at mod_pos[mi];
+//    the minimal head below the current op limit is consumed each round,
+//  - SV allele 1 iff an I/D op within +-sv_window cigar ops has
+//    |sv_region - oplen|/|sv_region| < sv_threshold,
+//  - MOD observation emitted iff this read has an entry for the site with
+//    matching strand AND mod_pos < stale_v, where stale_v reproduces the
+//    reference's unguarded *map::end() read (libstdc++ node count == number
+//    of SNPs) that silently drops mods past the last SNP,
+//  - sentinel quals: -1 SV, -2/-3 MOD fwd/rev, -4 indel, -5 danger indel.
+static ExtractResult* phase_walk(
+    const uint8_t* bam, const std::vector<size_t>& rec_offsets,
+    int64_t n_var, const int64_t* var_pos, const char* var_ref0,
+    const char* var_alt0, const int32_t* var_ref_len,
+    const int32_t* var_alt_len, const uint8_t* var_danger,
+    const char* ref_string, int64_t ref_len,
+    // SV stream (sorted by start)
+    int64_t n_sv = 0, const int64_t* sv_start = nullptr,
+    const int64_t* sv_len = nullptr,
+    // MOD stream (sorted by position) with per-site read-name entries
+    int64_t n_mod = 0, const int64_t* mod_pos_arr = nullptr,
+    const int64_t* mod_entry_off = nullptr,
+    const char* mod_names_blob = nullptr,
+    const int64_t* mod_name_off = nullptr, const uint8_t* mod_flags = nullptr,
+    int32_t sv_window = 20, double sv_threshold = 0.1) {
   auto* res = new ExtractResult();
   res->aln_offsets.push_back(0);
   res->name_offsets.push_back(0);
 
-  // walk records in parallel chunks (the stateful firstVariantIter
-  // is a pure function of the record start position: lower_bound(var_pos,
-  // rec.pos), so chunks are independent).
+  // per-MOD-site read-name lookup (flags: bit0 entry_rev, bit1 is_modify)
+  std::vector<std::unordered_map<std::string, uint8_t>> mod_maps(n_mod);
+  for (int64_t i = 0; i < n_mod; ++i) {
+    for (int64_t e = mod_entry_off[i]; e < mod_entry_off[i + 1]; ++e)
+      mod_maps[i].emplace(
+          std::string(mod_names_blob + mod_name_off[e],
+                      (size_t)(mod_name_off[e + 1] - mod_name_off[e])),
+          mod_flags[e]);
+  }
+
+  // walk records in parallel chunks (the stateful first*Iter values are
+  // pure functions of the record start position: lower_bound(stream, pos),
+  // so chunks are independent).
   unsigned n_threads = std::thread::hardware_concurrency();
   if (n_threads < 1) n_threads = 1;
   if (n_threads > 8) n_threads = 8;
@@ -251,154 +281,209 @@ static ExtractResult* phase_walk(const uint8_t* bam,
   size_t chunk = (rec_offsets.size() + n_threads - 1) / n_threads;
 
   auto walk_range = [&](size_t begin, size_t end, ExtractResult* out_r) {
-    int64_t first_idx = 0;
+    int64_t first_idx = 0, first_sv = 0, first_mod = 0;
+    const int64_t BIG = int64_t(1) << 60;
     for (size_t ri = begin; ri < end; ++ri) {
       const uint8_t* rec = &bam[rec_offsets[ri]];
       int32_t pos = rd_i32(rec + 4);
       uint8_t l_read_name = rec[8];
       uint16_t n_cigar = rd_u16(rec + 12);
+      uint16_t flag = rd_u16(rec + 14);
       int32_t l_seq = rd_i32(rec + 16);
       const char* qname = (const char*)(rec + 32);
       const uint8_t* cigar = rec + 32 + l_read_name;
       const uint8_t* seq = cigar + 4ull * n_cigar;
       const uint8_t* qual = seq + (l_seq + 1) / 2;
-      ExtractResult* res = out_r;
+      bool is_rev = (flag & 0x10) != 0;
+      std::string qname_s;
+      if (n_mod) qname_s.assign(qname, l_read_name - 1);
+      ExtractResult* res2 = out_r;
 
       while (first_idx < n_var && var_pos[first_idx] < pos) ++first_idx;
-      int64_t vi = first_idx;
+      while (first_sv < n_sv && sv_start[first_sv] < pos) ++first_sv;
+      while (first_mod < n_mod && mod_pos_arr[first_mod] < pos) ++first_mod;
+      int64_t vi = first_idx, si = first_sv, mi = first_mod;
 
-    int64_t obs_begin = (int64_t)res->obs_pos.size();
-    int64_t ref_pos = pos;
-    int64_t query_pos = 0;
-    bool discarded = false;
+      int64_t obs_begin = (int64_t)res2->obs_pos.size();
+      int64_t ref_pos = pos;
+      int64_t query_pos = 0;
+      bool discarded = false;
 
-    for (uint32_t ci = 0; ci < n_cigar && !discarded; ++ci) {
-      uint32_t cv = rd_u32(cigar + 4ull * ci);
-      int op = cv & 0xF;
-      int64_t oplen = cv >> 4;
-      while (vi < n_var && var_pos[vi] < ref_pos) ++vi;
+      auto emit = [&](int64_t p, int8_t a, int16_t q) {
+        res2->obs_pos.push_back(p);
+        res2->obs_allele.push_back(a);
+        res2->obs_qual.push_back(q);
+      };
+      auto discard = [&]() {
+        res2->obs_pos.resize(obs_begin);
+        res2->obs_allele.resize(obs_begin);
+        res2->obs_qual.resize(obs_begin);
+        discarded = true;
+      };
+      auto base_at = [&](int64_t qp) -> char {
+        uint8_t nib = (qp & 1) ? (seq[qp >> 1] & 0xF) : (seq[qp >> 1] >> 4);
+        return SEQ_NT16[nib];
+      };
 
-      if (op == 0 || op == 7 || op == 8) {  // M/=/X
-        while (vi < n_var && var_pos[vi] < ref_pos + oplen) {
-          int64_t vpos = var_pos[vi];
-          int64_t offset = vpos - ref_pos;
-          int16_t base_q = 0;
-          int8_t allele = -1;
-          if (query_pos + offset + 1 > l_seq) {
-            // whole-alignment discard (ParsingBam.cpp:1453)
-            res->obs_pos.resize(obs_begin);
-            res->obs_allele.resize(obs_begin);
-            res->obs_qual.resize(obs_begin);
-            discarded = true;
-            break;
-          }
-          int rl = var_ref_len[vi], al = var_alt_len[vi];
-          if (rl == 1 && al == 1) {
-            int64_t qp = query_pos + offset;
-            uint8_t nib = (qp & 1) ? (seq[qp >> 1] & 0xF) : (seq[qp >> 1] >> 4);
-            char base = SEQ_NT16[nib];
-            if (base == var_ref0[vi])
-              allele = 0;
-            else if (base == var_alt0[vi])
-              allele = 1;
-            base_q = qual[qp];
-          }
-          if (rl == 1 && al != 1 && ci + 1u < n_cigar) {  // insertion
-            uint32_t nv = rd_u32(cigar + 4ull * (ci + 1));
-            allele = (ref_pos + oplen - 1 == vpos && (nv & 0xF) == 1) ? 1 : 0;
-            base_q = var_danger[vi] ? -5 : -4;
-          }
-          if (rl != 1 && al == 1 && ci + 1u < n_cigar) {  // deletion
-            uint32_t nv = rd_u32(cigar + 4ull * (ci + 1));
-            allele = (ref_pos + oplen - 1 == vpos && (nv & 0xF) == 2) ? 1 : 0;
-            base_q = var_danger[vi] ? -5 : -4;
-          }
-          if (allele != -1) {
-            res->obs_pos.push_back(vpos);
-            res->obs_allele.push_back(allele);
-            res->obs_qual.push_back(base_q);
-          }
-          ++vi;
-        }
-        if (discarded) break;
-        query_pos += oplen;
-        ref_pos += oplen;
-      } else if (op == 1) {  // I
-        query_pos += oplen;
-      } else if (op == 2) {  // D
-        if (ref_len > 0 && vi < n_var) {
-          int64_t vpos = var_pos[vi];
-          if (ref_pos + oplen + 1 == vpos) {
-            // reference's empty special case
-          } else if (vpos >= ref_pos && vpos < ref_pos + oplen) {
-            if (homopolymer_length(vpos, ref_string, ref_len) >= 3) {
-              int rl = var_ref_len[vi], al = var_alt_len[vi];
-              int16_t base_q = 0;
-              if (query_pos + 1 > l_seq) {
-                res->obs_pos.resize(obs_begin);
-                res->obs_allele.resize(obs_begin);
-                res->obs_qual.resize(obs_begin);
-                discarded = true;
+      for (uint32_t ci = 0; ci < n_cigar && !discarded; ++ci) {
+        uint32_t cv = rd_u32(cigar + 4ull * ci);
+        int op = cv & 0xF;
+        int64_t oplen = cv >> 4;
+        while (vi < n_var && var_pos[vi] < ref_pos) ++vi;
+
+        // three-way head loop (ParsingBam.cpp:1350-1434)
+        for (;;) {
+          int64_t m = mi < n_mod ? mod_pos_arr[mi] : BIG;
+          int64_t s = si < n_sv ? sv_start[si] - 1 : BIG;
+          int64_t v = vi < n_var ? var_pos[vi] : BIG;
+          int64_t limit = ref_pos + oplen;
+          if (!(m < limit || s < limit || v < limit)) break;
+
+          if (mi < n_mod && m < v && m < s) {
+            // modification head is minimal (ParsingBam.cpp:1373-1395)
+            int64_t stale_v = vi < n_var ? var_pos[vi] : n_var;
+            auto it = mod_maps[mi].find(qname_s);
+            if (it != mod_maps[mi].end() && m < stale_v) {
+              bool entry_rev = it->second & 1;
+              bool is_modify = it->second & 2;
+              if (entry_rev == is_rev)
+                emit(m, is_modify ? 0 : 1, is_rev ? -3 : -2);
+            }
+            ++mi;
+          } else if (si < n_sv && s < v && s < m) {
+            // SV head is minimal (ParsingBam.cpp:1397-1434)
+            int8_t allele = 0;
+            int64_t sv_end = sv_start[si] + (sv_len[si] < 0 ? -sv_len[si]
+                                                            : sv_len[si]);
+            int64_t sv_region = sv_end - sv_start[si] + 1;
+            int64_t j0 = (int64_t)ci - sv_window;
+            if (j0 < 0) j0 = 0;
+            int64_t j1 = (int64_t)ci + sv_window;
+            if (j1 > n_cigar) j1 = n_cigar;
+            for (int64_t j = j0; j < j1; ++j) {
+              uint32_t jcv = rd_u32(cigar + 4ull * j);
+              int jop = jcv & 0xF;
+              int64_t joplen = jcv >> 4;
+              if ((jop == 1 || jop == 2) &&
+                  (double)(sv_region - joplen < 0 ? joplen - sv_region
+                                                  : sv_region - joplen) /
+                          (double)(sv_region < 0 ? -sv_region : sv_region) <
+                      sv_threshold) {
+                allele = 1;
                 break;
               }
+            }
+            emit(s, allele, -1);
+            ++si;
+          } else if (vi < n_var && v < s && v < m) {
+            if (op == 0 || op == 7 || op == 8) {
+              int64_t offset = v - ref_pos;
+              int16_t base_q = 0;
               int8_t allele = -1;
+              if (query_pos + offset + 1 > l_seq) {
+                discard();  // whole-alignment discard (ParsingBam.cpp:1453)
+                break;
+              }
+              int rl = var_ref_len[vi], al = var_alt_len[vi];
               if (rl == 1 && al == 1) {
-                uint8_t nib = (query_pos & 1) ? (seq[query_pos >> 1] & 0xF)
-                                              : (seq[query_pos >> 1] >> 4);
-                char base = SEQ_NT16[nib];
+                char base = base_at(query_pos + offset);
                 if (base == var_ref0[vi])
                   allele = 0;
                 else if (base == var_alt0[vi])
                   allele = 1;
-                base_q = qual[query_pos];
-              } else if (rl != 1 && al == 1) {
-                allele = 1;
-                base_q = -4;
+                base_q = qual[query_pos + offset];
               }
-              if (allele != -1) {
-                res->obs_pos.push_back(vpos);
-                res->obs_allele.push_back(allele);
-                res->obs_qual.push_back(base_q);
-                ++vi;
+              if (rl == 1 && al != 1 && ci + 1u < n_cigar) {  // insertion
+                uint32_t nv = rd_u32(cigar + 4ull * (ci + 1));
+                allele = (ref_pos + oplen - 1 == v && (nv & 0xF) == 1) ? 1 : 0;
+                base_q = var_danger[vi] ? -5 : -4;
+              }
+              if (rl != 1 && al == 1 && ci + 1u < n_cigar) {  // deletion
+                uint32_t nv = rd_u32(cigar + 4ull * (ci + 1));
+                allele = (ref_pos + oplen - 1 == v && (nv & 0xF) == 2) ? 1 : 0;
+                base_q = var_danger[vi] ? -5 : -4;
+              }
+              if (allele != -1) emit(v, allele, base_q);
+              ++vi;
+            } else {
+              break;  // var head under a non-M op: handled by op advance
+            }
+          } else {
+            break;  // equal heads cannot occur (distinct site streams)
+          }
+        }
+        if (discarded) break;
+
+        // advance by op (ParsingBam.cpp:1531-1628)
+        if (op == 0 || op == 7 || op == 8) {  // M/=/X
+          query_pos += oplen;
+          ref_pos += oplen;
+        } else if (op == 1) {  // I
+          query_pos += oplen;
+        } else if (op == 2) {  // D
+          if (ref_len > 0 && vi < n_var) {
+            int64_t vpos = var_pos[vi];
+            if (ref_pos + oplen + 1 == vpos) {
+              // reference's empty special case
+            } else if (vpos >= ref_pos && vpos < ref_pos + oplen) {
+              if (homopolymer_length(vpos, ref_string, ref_len) >= 3) {
+                int rl = var_ref_len[vi], al = var_alt_len[vi];
+                int16_t base_q = 0;
+                if (query_pos + 1 > l_seq) {
+                  discard();
+                  break;
+                }
+                int8_t allele = -1;
+                if (rl == 1 && al == 1) {
+                  char base = base_at(query_pos);
+                  if (base == var_ref0[vi])
+                    allele = 0;
+                  else if (base == var_alt0[vi])
+                    allele = 1;
+                  base_q = qual[query_pos];
+                } else if (rl != 1 && al == 1) {
+                  allele = 1;
+                  base_q = -4;
+                }
+                if (allele != -1) {
+                  emit(vpos, allele, base_q);
+                  ++vi;
+                }
               }
             }
           }
+          ref_pos += oplen;
+        } else if (op == 3) {  // N
+          ref_pos += oplen;
+        } else if (op == 4) {  // S
+          query_pos += oplen;
+          if (oplen > 5) {
+            res2->clip_pos.push_back(ref_pos);
+            res2->clip_side.push_back(ci == 0 ? 0 : 1);
+          }
+        } else if (op == 5) {  // H
+          if (oplen > 5) {
+            res2->clip_pos.push_back(ref_pos);
+            res2->clip_side.push_back(ci == 0 ? 0 : 1);
+          }
+        } else if (op == 6) {  // P
+        } else {
+          // unsupported op: reference exits; skip record conservatively
+          discard();
         }
-        ref_pos += oplen;
-      } else if (op == 3) {  // N
-        ref_pos += oplen;
-      } else if (op == 4) {  // S
-        query_pos += oplen;
-        if (oplen > 5) {
-          res->clip_pos.push_back(ref_pos);
-          res->clip_side.push_back(ci == 0 ? 0 : 1);
-        }
-      } else if (op == 5) {  // H
-        if (oplen > 5) {
-          res->clip_pos.push_back(ref_pos);
-          res->clip_side.push_back(ci == 0 ? 0 : 1);
-        }
-      } else if (op == 6) {  // P
-      } else {
-        // unsupported op: reference exits; skip record conservatively
-        res->obs_pos.resize(obs_begin);
-        res->obs_allele.resize(obs_begin);
-        res->obs_qual.resize(obs_begin);
-        discarded = true;
       }
-    }
 
-    if (!discarded && (int64_t)res->obs_pos.size() > obs_begin) {
-      res->aln_offsets.push_back((int64_t)res->obs_pos.size());
-      res->aln_start.push_back(pos);
-      res->names.append(qname, l_read_name - 1);
-      res->name_offsets.push_back((int64_t)res->names.size());
-    } else if (!discarded) {
-      // alignment emitted nothing: dropped (matches variantVec.size()>0 gate)
-      res->obs_pos.resize(obs_begin);
-      res->obs_allele.resize(obs_begin);
-      res->obs_qual.resize(obs_begin);
-    }
+      if (!discarded && (int64_t)res2->obs_pos.size() > obs_begin) {
+        res2->aln_offsets.push_back((int64_t)res2->obs_pos.size());
+        res2->aln_start.push_back(pos);
+        res2->names.append(qname, l_read_name - 1);
+        res2->name_offsets.push_back((int64_t)res2->names.size());
+      } else if (!discarded) {
+        // alignment emitted nothing: dropped (matches variantVec gate)
+        res2->obs_pos.resize(obs_begin);
+        res2->obs_allele.resize(obs_begin);
+        res2->obs_qual.resize(obs_begin);
+      }
     }
   };
 
@@ -997,6 +1082,48 @@ void* lps_extract_phase_h(void* hp, const char* chrom, int64_t last_snp_pos,
   return phase_walk(h->data.data(), rec_offsets, n_var, var_pos, var_ref0,
                     var_alt0, var_ref_len, var_alt_len, var_danger,
                     ref_string, ref_len);
+}
+
+// Extended handle-based extraction with SV / MOD co-phasing streams
+// (ParsingBam.cpp:1321-1434's full three-stream walk).
+void* lps_extract_phase_hx(
+    void* hp, const char* chrom, int64_t last_snp_pos, int64_t n_var,
+    const int64_t* var_pos, const char* var_ref0, const char* var_alt0,
+    const int32_t* var_ref_len, const int32_t* var_alt_len,
+    const uint8_t* var_danger, const char* ref_string, int64_t ref_len,
+    int32_t mapping_quality, int64_t n_sv, const int64_t* sv_start,
+    const int64_t* sv_len, int64_t n_mod, const int64_t* mod_pos,
+    const int64_t* mod_entry_off, const char* mod_names_blob,
+    const int64_t* mod_name_off, const uint8_t* mod_flags, int32_t sv_window,
+    double sv_threshold) {
+  auto* h = (BamHandle*)hp;
+  int32_t tid = -1;
+  for (size_t i = 0; i < h->ref_names.size(); ++i)
+    if (h->ref_names[i] == chrom) {
+      tid = (int32_t)i;
+      break;
+    }
+  std::vector<size_t> rec_offsets;
+  if (tid >= 0 && h->tid_first[tid] >= 0) {
+    const uint8_t* d = h->data.data();
+    for (int64_t idx = h->tid_first[tid]; idx < h->tid_last[tid]; ++idx) {
+      const uint8_t* rec = d + h->rec_off[idx];
+      if (rd_i32(rec) != tid) continue;
+      int32_t pos = rd_i32(rec + 4);
+      if (pos >= last_snp_pos) break;
+      uint8_t mapq = rec[9];
+      uint16_t flag = rd_u16(rec + 14);
+      if (mapq < mapping_quality || (flag & 0x4) || (flag & 0x100) ||
+          (flag & 0x400))
+        continue;
+      rec_offsets.push_back(h->rec_off[idx]);
+    }
+  }
+  return phase_walk(h->data.data(), rec_offsets, n_var, var_pos, var_ref0,
+                    var_alt0, var_ref_len, var_alt_len, var_danger,
+                    ref_string, ref_len, n_sv, sv_start, sv_len, n_mod,
+                    mod_pos, mod_entry_off, mod_names_blob, mod_name_off,
+                    mod_flags, sv_window, sv_threshold);
 }
 
 int32_t lps_bam_tid(void* hp, const char* chrom) {

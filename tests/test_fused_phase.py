@@ -81,3 +81,44 @@ def test_flat_path_covers_cnv_intervals(tmp_path, monkeypatch):
     oracle = run_phase(cfg("oracle", "oracle"))
     assert used.get("cnv_flat"), "fixture produced no CNV intervals"
     assert tpu == oracle
+
+
+def test_flat_path_covers_svmod(tmp_path, monkeypatch):
+    """SV/MOD co-phasing rides the native flat fast path (no object-pipeline
+    fallback) and matches the oracle engine."""
+    import longphase_s_tpu.core.fastpath as fp
+    from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+    from longphase_s_tpu.testing.simulate import make_fixture
+
+    fx = make_fixture(str(tmp_path / "fix"), seed=55, length=150000,
+                      coverage=20, read_len=8000, snp_rate=0.0015,
+                      n_svs=4, n_mods=5)
+    used = {}
+    orig = fp.phase_chromosome_flat
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        if r is not None:
+            used["flat"] = True
+        return r
+
+    monkeypatch.setattr(fp, "phase_chromosome_flat", spy)
+    import longphase_s_tpu.models.phase as pm
+    monkeypatch.setattr(pm, "phase_chromosome_flat", spy, raising=False)
+
+    def cfg(out, engine):
+        return PhaseConfig(snp_file=fx["vcf"], bam_files=[fx["bam"]],
+                           fasta_file=fx["fasta"], sv_file=fx["sv_vcf"],
+                           mod_file=fx["mod_vcf"],
+                           result_prefix=str(tmp_path / out),
+                           num_threads=1, is_pb=True, engine=engine)
+
+    tpu = run_phase(cfg("tpu", "tpu"))
+    oracle = run_phase(cfg("oracle", "oracle"))
+    assert used.get("flat"), "SV/MOD run fell back off the flat fast path"
+    assert tpu == oracle
+    for suffix in (".vcf", "_SV.vcf", "_mod.vcf"):
+        a = (tmp_path / f"tpu{suffix}").read_text().splitlines()
+        b = (tmp_path / f"oracle{suffix}").read_text().splitlines()
+        assert [l for l in a if not l.startswith("##")] == \
+            [l for l in b if not l.startswith("##")]
