@@ -150,6 +150,8 @@ def main(argv=None):
         sp.add_argument("--truth-vcf", default="")
         sp.add_argument("--truth-bed", default="")
         sp.add_argument("--benchmark-log", action="store_true")
+        # ours-only extension: multi-host contig sharding (SURVEY.md §2.6)
+        sp.add_argument("--dist", default="", metavar="HOST:PORT,NPROCS,PID")
     mc = sub.add_parser("modcall", help="5mC methylation calling")
     mc.add_argument("-b", "--bam-file", action="append", required=True)
     mc.add_argument("-r", "--reference", required=True)
@@ -226,7 +228,7 @@ def main(argv=None):
             truth_vcf=args.truth_vcf, truth_bed=args.truth_bed,
             write_benchmark_log=args.benchmark_log,
             output_cram=args.cram,
-            command=" ".join(sys.argv))
+            command=" ".join(sys.argv), dist=args.dist)
         if args.command == "somatic_haplotag":
             run_somatic_haplotag(cfg)
         else:

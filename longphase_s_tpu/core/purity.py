@@ -86,6 +86,10 @@ class PurityEstimator:
         print("estimating tumor purity ... ", end="", file=sys.stderr)
         try:
             points = self.build_points()
+            points = self._merge_distributed(points)
+            if not points:
+                raise RuntimeError(
+                    "Failed to build purity feature vector: empty vector")
             self.threshold = self.find_bimodal_valley_threshold(points)
             points = self.bimodal_valley_filter(points, self.threshold)
             plot = self.statistic(points)
@@ -136,9 +140,35 @@ class PurityEstimator:
                 else:
                     out.append(PurityPoint(chrom, pos, imb, nor_count))
                     self.flags[(chrom, pos)] = True
-        if not out:
-            raise RuntimeError("Failed to build purity feature vector: empty vector")
-        return out
+        return out  # empty-vector error raised post-merge in estimate()
+
+    def _merge_distributed(self, points):
+        """Multi-host merge (SURVEY §2.6): all-gather the per-shard purity
+        feature points + filter tallies so the global median/IQR/histogram
+        of TumorPurityEstimator.cpp:31-84 is computed over every contig.
+        Points re-sort into chr_vec order so numerics match the
+        single-process scan order exactly. No-op without jax.distributed."""
+        from ..parallel import distributed as dist
+
+        if not dist.is_active():
+            return points
+        import dataclasses
+        import json
+
+        blob = json.dumps([[p.chrom, p.pos, p.imbalance, p.read_count_nor]
+                           for p in points]).encode()
+        merged = []
+        for b in dist.allgather_bytes(blob):
+            merged.extend(PurityPoint(c, p, i, n)
+                          for c, p, i, n in json.loads(b))
+        order = {c: i for i, c in enumerate(self.chr_vec)}
+        merged.sort(key=lambda p: (order.get(p.chrom, 1 << 30), p.pos))
+        tallies = dist.psum_counters(
+            {**dataclasses.asdict(self.counts),
+             "initial_data_size": self.initial_data_size})
+        self.initial_data_size = tallies.pop("initial_data_size")
+        self.counts = FilterCounts(**tallies)
+        return merged
 
     # -- histogram / peaks ---------------------------------------------
     def find_bimodal_valley_threshold(self, points) -> int:
@@ -228,6 +258,10 @@ class PurityEstimator:
     def write_result(self, purity, plot):
         """writePurityResult (TumorPurityEstimator.cpp:375-424)."""
         if not self.result_prefix:
+            return
+        from ..parallel import distributed as dist
+
+        if not dist.is_writer():
             return
         path = self.result_prefix + "_purity.out"
         with open(path, "w") as f:

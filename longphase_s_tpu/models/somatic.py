@@ -63,6 +63,7 @@ class SomaticConfig:
     write_benchmark_log: bool = False
     output_cram: bool = False
     command: str = ""
+    dist: str = ""  # "host:port,nprocs,pid" multi-host spec (SURVEY §2.6)
 
 
 def _last_var_pos(variants_sorted, variants, genome_sample):
@@ -1267,7 +1268,15 @@ def _print_somatic_report(stats):
 
 
 def run_estimate_purity(cfg: SomaticConfig) -> float:
-    """estimate_purity pipeline (PurityEstimationProcess.cpp:34-71)."""
+    """estimate_purity pipeline (PurityEstimationProcess.cpp:34-71).
+
+    Multi-host: each process extracts its contig shard, then the purity
+    estimator all-gathers the per-shard feature points and filter tallies
+    so the global statistics match a single-process run exactly."""
+    from ..parallel import distributed as dist
+
+    dist.init_from_spec(cfg.dist)
+    dist.maybe_init_from_env()
     timer = StageTimer()
     chr_multi: dict[str, dict[int, dict[int, object]]] = {}
     nor_info = VcfInfo(sample=NORMAL)
@@ -1287,8 +1296,9 @@ def run_estimate_purity(cfg: SomaticConfig) -> float:
 
     state = SomaticCallState()
     nor_nb, tum_nb = _native_bams(cfg)
+    my_chroms = dist.shard_contigs(chr_vec) if dist.is_active() else chr_vec
     with timer("extracting data from normal BAM"):
-        for chrom in chr_vec:
+        for chrom in my_chroms:
             variants = chr_multi.get(chrom, {})
             positions = sorted(variants)
             last = _last_var_pos(positions, variants, NORMAL)
@@ -1304,7 +1314,7 @@ def run_estimate_purity(cfg: SomaticConfig) -> float:
                     cfg.bam_file, chrom, chr_length.get(chrom), positions,
                     variants, ref_string, nor_info.read_sv_hap_count, cfg)
     with timer("extracting data from tumor BAM"):
-        for chrom in chr_vec:
+        for chrom in my_chroms:
             variants = chr_multi.get(chrom, {})
             positions = sorted(variants)
             last = _last_var_pos(positions, variants, TUMOR)

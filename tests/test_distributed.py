@@ -80,3 +80,61 @@ def test_shard_contigs_single_process_is_identity():
     contigs = ["chr1", "chr2", "chr3"]
     assert dist.shard_contigs(contigs) == contigs  # process_count() == 1
     assert dist.is_writer()
+
+
+WORKER_PURITY = textwrap.dedent("""
+    import json, sys
+    sys.path.insert(0, "/root/repo")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    cfg_json, spec = sys.argv[1], sys.argv[2]
+    from longphase_s_tpu.models.somatic import SomaticConfig, run_estimate_purity
+    cfg = SomaticConfig(**json.loads(cfg_json), dist=spec)
+    p = run_estimate_purity(cfg)
+    print(f"PURITY={p!r}")
+""")
+
+
+def test_two_process_estimate_purity_matches_single(tmp_path):
+    """estimate_purity with contig-sharded extraction + all-gathered purity
+    feature points must reproduce the single-process purity and report."""
+    from longphase_s_tpu.models.somatic import SomaticConfig, run_estimate_purity
+    from longphase_s_tpu.testing.simulate import make_multichrom_somatic_fixture
+
+    fix = make_multichrom_somatic_fixture(str(tmp_path / "fix"), seed=81,
+                                          n_chroms=3)
+    phased = str(tmp_path / "phased")
+    run_phase(PhaseConfig(snp_file=fix["normal_vcf"],
+                          bam_files=[fix["normal_bam"]],
+                          fasta_file=fix["fasta"], result_prefix=phased,
+                          num_threads=2, is_pb=True, engine="oracle"))
+    base = dict(snp_file=phased + ".vcf",
+                tumor_snv_file=fix["tumor_vcf"],
+                bam_file=fix["normal_bam"],
+                tumor_bam_file=fix["tumor_bam"],
+                fasta_file=fix["fasta"], quality_threshold=20,
+                tag_supplementary=True)
+    single = run_estimate_purity(SomaticConfig(
+        **base, result_prefix=str(tmp_path / "single")))
+
+    port = _free_port()
+    cfg = dict(base, result_prefix=str(tmp_path / "dist"))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_PURITY, json.dumps(cfg),
+             f"127.0.0.1:{port},2,{pid}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    purities = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+        line = [l for l in out.decode().splitlines() if l.startswith("PURITY=")]
+        purities.append(eval(line[0][7:]))
+    assert purities[0] == purities[1] == single
+    a = (tmp_path / "single_purity.out").read_text()
+    b = (tmp_path / "dist_purity.out").read_text()
+    assert a == b
