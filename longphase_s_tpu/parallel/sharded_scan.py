@@ -7,10 +7,18 @@ into a carry chain: shard k scans its block starting from shard k-1's final
 carry (the W-deep vote ring + last-connect/block-start ranks), passed over
 ICI with ``lax.ppermute``.
 
-SPMD schedule: all shards step through N rounds; in round j only shard j's
-scan output is kept (the redundant compute keeps the program SPMD-uniform —
-in production the rounds pipeline across chromosomes in a wavefront so every
-device stays busy; see SURVEY.md §2.6 sequence-parallelism mapping).
+Two schedules:
+
+- ``sharded_vote_scan`` — ONE chromosome across the mesh. All shards step
+  through N rounds; in round j only shard j's output is kept (the redundant
+  compute keeps the program SPMD-uniform; with a single carry chain there is
+  no independent work to overlap).
+- ``wavefront_vote_scan`` — C chromosomes across the mesh, pipelined: at
+  global round r device k scans block k of chromosome r-k, so after an
+  N-1-round ramp-up every device does useful work each round (C+N-1 rounds
+  total vs C*N for the naive schedule). Device 0 starts a fresh carry each
+  round; every other device consumes the carry ppermuted from its left
+  neighbour — which is exactly the same chromosome one block earlier.
 
 The band inputs are "self-haloed": counts[t], vtype_band[t] and valid_band[t]
 describe targets t+1..t+W regardless of which shard owns them, so only the
@@ -93,5 +101,71 @@ def sharded_vote_scan(mesh: Mesh, counts_hi, counts_lo, gap, vtype,
                   spec, spec, P(SITE_AXIS, None), P(SITE_AXIS, None)),
         out_specs=(spec, spec, spec))
     # reshape to [n, block, ...] blocks: shard_map slices the leading axis
+    return jax.jit(fn)(counts_hi, counts_lo, gap, vtype.astype(jnp.int32),
+                       vtype_band.astype(jnp.int32), valid_band)
+
+
+def wavefront_vote_scan(mesh: Mesh, counts_hi, counts_lo, gap, vtype,
+                        vtype_band, valid_band, window: int, distance: int,
+                        edge_threshold_x10: float):
+    """Pipelined site-sharded scan over C stacked chromosomes.
+
+    Inputs carry a leading chromosome axis [C, S, ...]; the site axis S is
+    sharded over ``mesh`` and the C carry chains wavefront across devices
+    (device k works on chromosome r-k at round r). Returns (assigned, hp,
+    bstart) shaped [C, S], identical to per-chromosome single-device scans.
+    """
+    n = mesh.devices.size
+    C, S = counts_hi.shape[0], counts_hi.shape[1]
+    assert S % n == 0, (S, n)
+    block = S // n
+
+    def local_fn(c_hi, c_lo, g, vt, vtb, vb):
+        my = jax.lax.axis_index(SITE_AXIS)
+        t0 = my * block
+
+        def pvary(x):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.pvary(a, (SITE_AXIS,)), x)
+
+        def round_body(r, state):
+            carry_in, outs = state
+            chrom = r - my
+            c_idx = jnp.clip(chrom, 0, C - 1)
+            args = [jnp.take(a, c_idx, axis=0)
+                    for a in (c_hi, c_lo, g, vt, vtb, vb)]
+            fresh = pvary(init_scan_carry(window))
+            carry_use = jax.tree_util.tree_map(
+                lambda f, c: jnp.where(my == 0, f, c), fresh, carry_in)
+            new_carry, (a, h, b) = vote_scan_core(
+                *args, window=window, distance=distance,
+                edge_threshold_x10=edge_threshold_x10,
+                init_carry=carry_use, t_offset=t0, return_carry=True)
+            valid = (chrom >= 0) & (chrom < C)
+            oa, oh, ob = outs
+            oa = oa.at[c_idx].set(jnp.where(valid, a, oa[c_idx]))
+            oh = oh.at[c_idx].set(jnp.where(valid, h, oh[c_idx]))
+            ob = ob.at[c_idx].set(jnp.where(valid, b, ob[c_idx]))
+            passed = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(
+                    x, SITE_AXIS, [(k, (k + 1) % n) for k in range(n)]),
+                new_carry)
+            return passed, (oa, oh, ob)
+
+        outs0 = pvary((jnp.zeros((C, block), bool),
+                       jnp.zeros((C, block), jnp.int32),
+                       jnp.zeros((C, block), jnp.int32)))
+        _, outs = jax.lax.fori_loop(0, C + n - 1, round_body,
+                                    (pvary(init_scan_carry(window)), outs0))
+        return outs
+
+    spec = P(None, SITE_AXIS)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, SITE_AXIS, None, None),
+                  P(None, SITE_AXIS, None, None),
+                  spec, spec, P(None, SITE_AXIS, None),
+                  P(None, SITE_AXIS, None)),
+        out_specs=(spec, spec, spec))
     return jax.jit(fn)(counts_hi, counts_lo, gap, vtype.astype(jnp.int32),
                        vtype_band.astype(jnp.int32), valid_band)

@@ -78,3 +78,40 @@ def test_chrom_mesh_matches_per_chromosome():
         assert (np.array(bstart[b]) == np.array(s1)).all()
         total_single += int(np.array(a1).sum())
     assert int(total) == total_single
+
+
+@pytest.mark.parametrize("C", [3, 10])
+def test_wavefront_scan_matches_per_chromosome(C):
+    """The cross-chromosome wavefront schedule (device k scans chromosome
+    r-k at round r) must equal per-chromosome single-device scans."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from longphase_s_tpu.parallel.sharded_scan import wavefront_vote_scan
+
+    W, S = 35, 512
+    rng = np.random.default_rng(7)
+    ch = rng.integers(0, 15, size=(C, S, W, 4)).astype(np.int32)
+    ch[rng.random(ch.shape) < 0.8] = 0
+    cl = rng.integers(0, 2, size=(C, S, W, 4)).astype(np.int32)
+    cl[rng.random(cl.shape) < 0.9] = 0
+    gap = rng.integers(50, 4000, size=(C, S)).astype(np.int32)
+    gap[rng.random((C, S)) < 0.02] = 10 ** 6
+    vt = rng.choice([0, 0, 0, 3, 4], size=(C, S)).astype(np.int8)
+    tgt = np.arange(S)[:, None] + np.arange(1, W + 1)[None, :]
+    vb = np.broadcast_to(tgt < S, (C, S, W))
+    vtb = np.stack([np.where(tgt < S, vt[c][np.minimum(tgt, S - 1)], 0)
+                    for c in range(C)]).astype(np.int8)
+
+    singles = [vote_scan_jax(*[jnp.asarray(x[c]) for x in
+                               (ch, cl, gap, vt, vtb, vb)],
+                             window=W, distance=300000,
+                             edge_threshold_x10=7.0) for c in range(C)]
+
+    mesh = make_site_mesh(jax.devices()[:8])
+    wa, wh, wb = wavefront_vote_scan(
+        mesh, *[jnp.asarray(x) for x in (ch, cl, gap, vt, vtb, vb)],
+        window=W, distance=300000, edge_threshold_x10=7.0)
+    for c in range(C):
+        np.testing.assert_array_equal(np.array(singles[c][0]), np.array(wa[c]))
+        np.testing.assert_array_equal(np.array(singles[c][1]), np.array(wh[c]))
+        np.testing.assert_array_equal(np.array(singles[c][2]), np.array(wb[c]))
