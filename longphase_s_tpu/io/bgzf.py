@@ -44,18 +44,60 @@ class BgzfReader(io.RawIOBase):
 
     Virtual offsets are ``coffset << 16 | uoffset`` as in the spec, enabling
     BAI-index seeks later.
+
+    With the native library, blocks decode in batched multi-MB spans (one
+    ctypes call + parallel inflate per span instead of one call per 64KB
+    block) while the per-block offset tables keep virtual offsets exact.
     """
+
+    _SPAN = 4 << 20  # compressed readahead per native span decode
 
     def __init__(self, path: str):
         self._fh = open(path, "rb")
         self._block_data = b""
         self._block_coffset = 0
         self._within = 0
+        # span-mode state (native batched decode)
+        self._span = None        # decoded bytes of the current span
+        self._span_pos = 0       # cursor within the decoded span
+        self._span_base = 0      # file offset of the span's first block
+        self._span_coff = None   # per-block compressed offsets (within span)
+        self._span_uoff = None   # per-block uncompressed starts (+ total)
         try:
             from .. import native
             self._native = native if native.available() else None
         except Exception:  # noqa: BLE001
             self._native = None
+
+    # -- native span machinery -------------------------------------------
+    def _load_span(self) -> bool:
+        """Decode the next batch of blocks via one native call. Returns
+        False at EOF or when the native path can't serve (fallback to the
+        per-block loader)."""
+        if self._native is None:
+            return False
+        base = self._fh.tell()
+        raw = self._fh.read(self._SPAN)
+        if not raw:
+            self._span = None
+            return False
+        res = self._native.bgzf_inflate_span(raw)
+        if res is None:
+            self._fh.seek(base)
+            self._span = None
+            return False
+        data, coff, uoff, used = res
+        if used == 0:
+            self._fh.seek(base)
+            self._span = None
+            return False
+        self._fh.seek(base + used)
+        self._span = data
+        self._span_pos = 0
+        self._span_base = base
+        self._span_coff = coff
+        self._span_uoff = uoff
+        return True
 
     def close(self):
         self._fh.close()
@@ -101,6 +143,12 @@ class BgzfReader(io.RawIOBase):
         chunks = []
         if n < 0:
             while True:
+                if self._span is not None and self._span_pos < len(self._span):
+                    chunks.append(self._span[self._span_pos:])
+                    self._span_pos = len(self._span)
+                    continue
+                if self._load_span():
+                    continue
                 if self._within >= len(self._block_data):
                     if not self._load_block():
                         break
@@ -109,6 +157,14 @@ class BgzfReader(io.RawIOBase):
             return b"".join(chunks)
         remaining = n
         while remaining > 0:
+            if self._span is not None and self._span_pos < len(self._span):
+                take = min(remaining, len(self._span) - self._span_pos)
+                chunks.append(self._span[self._span_pos:self._span_pos + take])
+                self._span_pos += take
+                remaining -= take
+                continue
+            if self._load_span():
+                continue
             if self._within >= len(self._block_data):
                 if not self._load_block():
                     break
@@ -123,11 +179,25 @@ class BgzfReader(io.RawIOBase):
 
     # -- virtual offsets -------------------------------------------------
     def tell_virtual(self) -> int:
+        if self._span is not None:
+            import bisect
+
+            # block containing the cursor (cursor==uoff[i+1] maps to the
+            # next block at uoffset 0 — an equivalent virtual offset)
+            i = bisect.bisect_right(self._span_uoff, self._span_pos) - 1
+            if i >= len(self._span_coff):
+                i = len(self._span_coff) - 1
+            return ((self._span_base + self._span_coff[i]) << 16) | \
+                (self._span_pos - self._span_uoff[i])
         return (self._block_coffset << 16) | self._within
 
     def seek_virtual(self, voffset: int):
         coffset, uoffset = voffset >> 16, voffset & 0xFFFF
         self._fh.seek(coffset)
+        self._span = None
+        if self._load_span():
+            self._span_pos = uoffset
+            return
         if not self._load_block():
             if uoffset:
                 raise ValueError("seek past EOF")

@@ -767,3 +767,44 @@ def cram_writer_container(w, rec_blobs: list[bytes], tid: int) -> bool:
 def cram_writer_close(w) -> bool:
     lib = _load()
     return lib.lps_cram_writer_close(w) == 0
+
+
+def bgzf_inflate_span(raw: bytes):
+    """Batched BGZF span inflate: decode all complete blocks in ``raw``.
+    Returns (data, block_coffsets, block_uoffsets(+total), used_bytes) or
+    None when unavailable/malformed."""
+    import ctypes as ct
+
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_span_bound", False):
+        lib._span_bound = True
+        lib.lps_bgzf_inflate_span.restype = ct.c_int64
+        lib.lps_bgzf_inflate_span.argtypes = [
+            ct.c_char_p, ct.c_int64, ct.POINTER(ct.c_void_p),
+            ct.POINTER(ct.c_void_p), ct.POINTER(ct.c_void_p),
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64)]
+    out_p = ctypes.c_void_p()
+    coff_p = ctypes.c_void_p()
+    uoff_p = ctypes.c_void_p()
+    n_blocks = ctypes.c_int64()
+    n_used = ctypes.c_int64()
+    n = lib.lps_bgzf_inflate_span(raw, len(raw), ctypes.byref(out_p),
+                                  ctypes.byref(coff_p), ctypes.byref(uoff_p),
+                                  ctypes.byref(n_blocks), ctypes.byref(n_used))
+    if n < 0:
+        return None
+    try:
+        data = ctypes.string_at(out_p, n)
+        nb = n_blocks.value
+        coff = list(np.ctypeslib.as_array(
+            ctypes.cast(coff_p, ctypes.POINTER(ctypes.c_int64)), (max(nb, 1),))
+            [:nb])
+        uoff = list(np.ctypeslib.as_array(
+            ctypes.cast(uoff_p, ctypes.POINTER(ctypes.c_int64)), (nb + 1,)))
+        return data, coff, uoff, n_used.value
+    finally:
+        lib.lps_buf_free(out_p)
+        lib.lps_buf_free(coff_p)
+        lib.lps_buf_free(uoff_p)

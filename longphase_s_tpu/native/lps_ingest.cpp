@@ -758,6 +758,118 @@ int64_t lps_bgzf_inflate_file(const char* path, uint8_t** out_p) {
   return (int64_t)buf.size();
 }
 
+// Inflate the consecutive complete BGZF blocks found in a byte span
+// (parallel), preserving virtual-offset bookkeeping: per-block compressed
+// offsets within the span + uncompressed start offsets. A trailing partial
+// block is left unconsumed (*n_used reports consumed bytes) so streaming
+// readers can refill. Returns total uncompressed bytes or -1.
+int64_t lps_bgzf_inflate_span(const uint8_t* raw, int64_t n, uint8_t** out_p,
+                              int64_t** coff_p, int64_t** uoff_p,
+                              int64_t* n_blocks, int64_t* n_used) {
+  struct Blk {
+    size_t coff, clen, uoff, ulen;
+  };
+  std::vector<Blk> blocks;
+  size_t pos = 0, total_u = 0;
+  while (pos + 28 <= (size_t)n) {
+    const uint8_t* src = raw + pos;
+    if (src[0] != 0x1f || src[1] != 0x8b) {
+      if (blocks.empty()) return -1;  // not BGZF at all
+      break;                          // garbage after valid blocks: stop
+    }
+    uint16_t xlen = src[10] | (src[11] << 8);
+    if (pos + 12 + (size_t)xlen + 8 > (size_t)n) break;
+    size_t bsize = 0, off = 0;
+    while (off + 4 <= xlen) {
+      uint8_t si1 = src[12 + off], si2 = src[12 + off + 1];
+      uint16_t slen = src[12 + off + 2] | (src[12 + off + 3] << 8);
+      if (si1 == 66 && si2 == 67 && slen == 2)
+        bsize = (src[12 + off + 4] | (src[12 + off + 5] << 8)) + 1;
+      off += 4 + slen;
+    }
+    if (bsize == 0) return -1;  // missing BC subfield: malformed
+    if (pos + bsize > (size_t)n) break;  // partial trailing block
+    uint32_t isize;
+    memcpy(&isize, src + bsize - 4, 4);
+    blocks.push_back({pos, bsize, total_u, isize});
+    total_u += isize;
+    pos += bsize;
+  }
+  *n_used = (int64_t)pos;
+  *n_blocks = (int64_t)blocks.size();
+  uint8_t* out = (uint8_t*)malloc(total_u ? total_u : 1);
+  int64_t* coffs = (int64_t*)malloc(sizeof(int64_t) *
+                                    (blocks.size() ? blocks.size() : 1));
+  int64_t* uoffs = (int64_t*)malloc(sizeof(int64_t) *
+                                    (blocks.size() + 1));
+  for (size_t i = 0; i < blocks.size(); ++i) {
+    coffs[i] = (int64_t)blocks[i].coff;
+    uoffs[i] = (int64_t)blocks[i].uoff;
+  }
+  uoffs[blocks.size()] = (int64_t)total_u;
+
+  unsigned n_threads = std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+  if (blocks.size() < 4) n_threads = 1;
+  std::atomic<size_t> next{0};
+  std::atomic<bool> failed{false};
+  auto worker = [&]() {
+#ifdef USE_LIBDEFLATE
+    struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+#endif
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || failed.load()) break;
+      const Blk& b = blocks[i];
+      if (b.ulen == 0) continue;
+      const uint8_t* src = raw + b.coff;
+      uint16_t xlen = src[10] | (src[11] << 8);
+      const uint8_t* cdata = src + 12 + xlen;
+      size_t clen = b.clen - 12 - xlen - 8;
+#ifdef USE_LIBDEFLATE
+      size_t actual = 0;
+      if (libdeflate_deflate_decompress(d, cdata, clen, out + b.uoff, b.ulen,
+                                        &actual) != LIBDEFLATE_SUCCESS ||
+          actual != b.ulen) {
+        failed.store(true);
+      }
+#else
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) {
+        failed.store(true);
+        continue;
+      }
+      zs.next_in = const_cast<uint8_t*>(cdata);
+      zs.avail_in = (uInt)clen;
+      zs.next_out = out + b.uoff;
+      zs.avail_out = (uInt)b.ulen;
+      int r = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (r != Z_STREAM_END) failed.store(true);
+#endif
+    }
+#ifdef USE_LIBDEFLATE
+    libdeflate_free_decompressor(d);
+#endif
+  };
+  std::vector<std::thread> ts;
+  for (unsigned t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+  if (failed.load()) {
+    free(out);
+    free(coffs);
+    free(uoffs);
+    return -1;
+  }
+  *out_p = out;
+  *coff_p = coffs;
+  *uoff_p = uoffs;
+  return (int64_t)total_u;
+}
+
 void lps_buf_free(uint8_t* p) { free(p); }
 
 // One-shot whole-buffer gzip member (libdeflate when built, zlib otherwise).

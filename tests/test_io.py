@@ -53,3 +53,24 @@ def test_vcf_het_parse(small_fixture):
     want = {pos for pos, *_ in small_fixture["variants"]}
     assert set(het.by_chrom[chrom]) == want
     assert het.last_snp(chrom) == max(want)
+
+
+def test_bgzf_span_reader_matches_per_block(small_fixture):
+    """The batched native span decode must byte-match the per-block loader
+    and keep virtual offsets exact (tell/seek round-trip)."""
+    from longphase_s_tpu.io.bgzf import BgzfReader
+
+    path = small_fixture["bam"]
+    a = BgzfReader(path).read()
+    blk = BgzfReader(path)
+    blk._load_span = lambda: False  # force the legacy per-block path
+    b = blk.read()
+    assert a == b and len(a) > 0
+
+    rr = BgzfReader(path)
+    rr.read(len(a) // 3)
+    v = rr.tell_virtual()
+    want = rr.read(256)
+    rr2 = BgzfReader(path)
+    rr2.seek_virtual(v)
+    assert rr2.read(256) == want
