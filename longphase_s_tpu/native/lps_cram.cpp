@@ -751,6 +751,12 @@ static void decode_seq(const CompHeader& comp, Block& core, ExtMap& ext,
 
     auto copy_ref = [&](int64_t dst, int64_t src, int64_t span) {
         if (!use_ref) return;
+        // common case: the whole span is in range — one memcpy
+        if (src >= 0 && dst >= 0 && src + span <= (int64_t)ref_len &&
+            dst + span <= (int64_t)r.seq.size()) {
+            memcpy(r.seq.data() + dst, ref->data() + src, (size_t)span);
+            return;
+        }
         for (int64_t i = 0; i < span; i++) {
             int64_t s = src + i, d = dst + i;
             if (s >= 0 && (size_t)s < ref_len && d >= 0 && d < (int64_t)r.seq.size())
