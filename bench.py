@@ -289,6 +289,9 @@ def bench_modcall(results):
 
 
 def main():
+    # a Mosaic/device regression must fail the bench loudly, not silently
+    # revert to the host packer (ADVICE r1: no invisible perf cliffs)
+    os.environ.setdefault("LPS_STRICT_DEVICE", "1")
     results = []  # (name, n_units, ours_s, ref_s|None)
     for fn in (bench_phase, bench_haplotag, bench_somatic, bench_purity,
                bench_modcall):

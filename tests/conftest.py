@@ -39,3 +39,9 @@ def small_fixture(tmp_path_factory):
     out = tmp_path_factory.mktemp("fix_small")
     return make_fixture(str(out), seed=7, length=120000, coverage=20,
                         read_len=12000, snp_rate=0.001)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: exercises the real accelerator (skipped when no "
+        "backend is reachable)")
