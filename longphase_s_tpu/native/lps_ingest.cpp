@@ -1596,74 +1596,83 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
     head.insert(head.end(), (uint8_t*)&l_ref, (uint8_t*)&l_ref + 4);
   }
 
-  // Streaming double-buffered output: records are assembled into bounded
-  // 32MB stages; a writer thread BGZF-compresses (parallel) and writes each
-  // stage while the next one is being assembled. Bounded buffers are reused,
-  // so timing stays stable under allocator/page-fault churn (the previous
-  // whole-file body+payload+comp buffers (~800MB) were re-faulted per call).
+  // Chunked pipeline: record assembly (aux surgery) parallelizes across a
+  // worker pool in fixed record-count chunks; a writer thread consumes the
+  // chunks IN ORDER, BGZF-compresses each (parallel) and appends to the
+  // file. In-flight chunks are bounded so memory stays ~tens of MB and the
+  // buffers never balloon to whole-file size (stable timing under
+  // allocator/page-fault churn).
   FILE* f = fopen(out_path, "wb");
   if (!f) return -1;
-  static const size_t STAGE = 32u << 20;
-  std::vector<uint8_t> stages[2];
+  static const int64_t CHUNK = 512;      // records per chunk
+  static const size_t IN_FLIGHT = 8;     // assembled-chunk window
+  int64_t n_chunks = (n_out + CHUNK - 1) / CHUNK;
+  std::vector<std::vector<uint8_t>> bufs((size_t)n_chunks);
+  std::vector<uint8_t> chunk_done((size_t)n_chunks, 0);
   std::mutex mu;
   std::condition_variable cv;
-  std::vector<uint8_t>* pending = nullptr;
-  bool finish = false;
+  int64_t write_cursor = 0;  // first chunk not yet written
   bool ok = true;
   int64_t total_comp = 0;
-  std::thread writer([&]() {
-    std::unique_lock<std::mutex> lk(mu);
+
+  auto compress_write = [&](const std::vector<uint8_t>& payload) {
+    uint8_t* comp = nullptr;
+    int64_t nc = lps_bgzf_compress(payload.data(), (int64_t)payload.size(),
+                                   level, &comp);
+    if (fwrite(comp, 1, (size_t)nc, f) != (size_t)nc) ok = false;
+    free(comp);
+    total_comp += nc;
+  };
+  compress_write(head);
+
+  std::atomic<int64_t> next_chunk{0};
+  auto assembler = [&]() {
     for (;;) {
-      cv.wait(lk, [&] { return pending != nullptr || finish; });
-      if (pending == nullptr) return;  // finish && nothing queued
-      std::vector<uint8_t>* buf = pending;  // stays set: busy marker
-      lk.unlock();
-      uint8_t* comp = nullptr;
-      int64_t n = lps_bgzf_compress(buf->data(), (int64_t)buf->size(), level,
-                                    &comp);
-      if (fwrite(comp, 1, (size_t)n, f) != (size_t)n) ok = false;
-      free(comp);
-      total_comp += n;
-      buf->clear();
-      lk.lock();
-      pending = nullptr;
+      int64_t ci = next_chunk.fetch_add(1);
+      if (ci >= n_chunks) return;
+      {
+        // bound the window: wait until the writer is close enough
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return ci - write_cursor < (int64_t)IN_FLIGHT; });
+      }
+      std::vector<uint8_t>& body = bufs[(size_t)ci];
+      int64_t b = ci * CHUNK, e = std::min(n_out, (ci + 1) * CHUNK);
+      for (int64_t oi = b; oi < e; ++oi) {
+        size_t rec_start = body.size();
+        body.resize(body.size() + 4);  // block_size placeholder
+        assemble_tagged_record(h, rec_indices[oi], mode[oi], oi, hp_int, ps,
+                               pq, hp_str_blob, hp_str_off, body);
+        int32_t bsz = (int32_t)(body.size() - rec_start - 4);
+        memcpy(&body[rec_start], &bsz, 4);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        chunk_done[(size_t)ci] = 1;
+      }
       cv.notify_all();
     }
-  });
-  auto submit = [&](std::vector<uint8_t>& buf) {
-    std::unique_lock<std::mutex> lk(mu);
-    cv.wait(lk, [&] { return pending == nullptr; });
-    pending = &buf;
-    cv.notify_all();
   };
 
-  int cur = 0;
-  std::vector<uint8_t>* body = &stages[cur];
-  body->reserve(STAGE + (4u << 20));
-  body->insert(body->end(), head.begin(), head.end());
-  for (int64_t oi = 0; oi < n_out; ++oi) {
-    size_t body_rec_start = body->size();
-    body->resize(body->size() + 4);  // block_size placeholder
-    assemble_tagged_record(h, rec_indices[oi], mode[oi], oi, hp_int, ps, pq,
-                           hp_str_blob, hp_str_off, *body);
-    int32_t bsz = (int32_t)(body->size() - body_rec_start - 4);
-    memcpy(&(*body)[body_rec_start], &bsz, 4);
-    if (body->size() >= STAGE) {  // flush only between records
-      submit(*body);
-      cur ^= 1;
-      body = &stages[cur];
-      body->reserve(STAGE + (4u << 20));
-    }
-  }
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 2) nt = 2;
+  if (nt > 8) nt = 8;
+  std::vector<std::thread> workers;
+  for (unsigned t = 0; t + 1 < nt; ++t) workers.emplace_back(assembler);
 
-  if (!body->empty()) submit(*body);
-  {
-    std::unique_lock<std::mutex> lk(mu);
-    cv.wait(lk, [&] { return pending == nullptr; });
-    finish = true;
+  for (int64_t ci = 0; ci < n_chunks; ++ci) {
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv.wait(lk, [&] { return chunk_done[(size_t)ci] != 0; });
+    }
+    compress_write(bufs[(size_t)ci]);
+    std::vector<uint8_t>().swap(bufs[(size_t)ci]);  // release eagerly
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      write_cursor = ci + 1;
+    }
     cv.notify_all();
   }
-  writer.join();
+  for (auto& t : workers) t.join();
   static const uint8_t EOF_BLOCK[28] = {
       0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
       0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
