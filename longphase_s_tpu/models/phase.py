@@ -61,7 +61,11 @@ def _make_multichip_sink(cfg):
     try:
         import jax
 
-        return [] if len(jax.devices()) > 1 else None
+        # per-process local devices: under jax.distributed each process
+        # meshes only its own chips (contig shards are disjoint)
+        n = len(jax.local_devices() if jax.process_count() > 1
+                else jax.devices())
+        return [] if n > 1 else None
     except Exception:  # noqa: BLE001 — no usable backend: single-chip path
         return None
 

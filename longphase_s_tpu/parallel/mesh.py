@@ -21,7 +21,12 @@ CHROM_AXIS = "chrom"
 
 
 def make_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    if devices is None:
+        # under jax.distributed each process phases a DIFFERENT contig
+        # shard, so the per-process mesh must be local-only — a global mesh
+        # would make the processes trace divergent collectives and deadlock
+        devices = (jax.local_devices() if jax.process_count() > 1
+                   else jax.devices())
     return Mesh(np.array(devices), (CHROM_AXIS,))
 
 

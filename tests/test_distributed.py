@@ -138,3 +138,60 @@ def test_two_process_estimate_purity_matches_single(tmp_path):
     a = (tmp_path / "single_purity.out").read_text()
     b = (tmp_path / "dist_purity.out").read_text()
     assert a == b
+
+
+WORKER_COMBO = textwrap.dedent("""
+    import json, sys
+    sys.path.insert(0, "/root/repo")
+    import os
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["LPS_MULTICHIP"] = "1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    cfg_json, spec = sys.argv[1], sys.argv[2]
+    from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+    cfg = PhaseConfig(**json.loads(cfg_json), dist=spec)
+    run_phase(cfg)
+""")
+
+
+def test_distributed_multichip_checkpointed_phase(fix, tmp_path):
+    """All three scaling/robustness features at once: 2 jax.distributed
+    processes, each running the mesh-batched multichip engine over 4 local
+    virtual devices, writing per-contig checkpoints — output must match a
+    plain single-process oracle run, and a re-run must resume everything
+    from the checkpoints."""
+    single = tmp_path / "single"
+    run_phase(PhaseConfig(snp_file=fix["vcf"], bam_files=[fix["bam"]],
+                          fasta_file=fix["fasta"], result_prefix=str(single),
+                          num_threads=2, is_pb=True, engine="oracle"))
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = dict(snp_file=fix["vcf"], bam_files=[fix["bam"]],
+               fasta_file=fix["fasta"],
+               result_prefix=str(tmp_path / "combo"),
+               num_threads=1, is_pb=True, engine="tpu",
+               checkpoint_dir=ckpt)
+
+    def run_pair():
+        port = _free_port()
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        env.pop("XLA_FLAGS", None)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", WORKER_COMBO, json.dumps(cfg),
+                 f"127.0.0.1:{port},2,{pid}"],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=240) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err.decode()[-2000:]
+        return outs
+
+    run_pair()
+    assert _vcf_body(tmp_path / "combo.vcf") == _vcf_body(f"{single}.vcf")
+    # second run resumes every contig from the checkpoints
+    outs = run_pair()
+    assert any(b"checkpoint: resumed" in err for _o, err in outs)
+    assert _vcf_body(tmp_path / "combo.vcf") == _vcf_body(f"{single}.vcf")
