@@ -109,15 +109,21 @@ class SomaticCallState:
 
 
 def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
-                        sv_counts, fasta: FastaFile,
-                        timer: StageTimer) -> SomaticCallState:
-    """SomaticVarCaller::variantCalling (SomaticVarCaller.cpp:796-905)."""
+                        sv_counts, fasta: FastaFile, timer: StageTimer,
+                        loop_chroms=None) -> SomaticCallState:
+    """SomaticVarCaller::variantCalling (SomaticVarCaller.cpp:796-905).
+
+    ``loop_chroms`` restricts the extraction/calling loops to this process's
+    contig shard (multi-host mode); the purity estimator still receives the
+    global chr_vec ordering and merges feature points across hosts."""
     state = SomaticCallState()
+    if loop_chroms is None:
+        loop_chroms = chr_vec
 
     nor_nb, tum_nb = _native_bams(cfg)
 
     with timer("extracting data from normal BAM"):
-        for chrom in chr_vec:
+        for chrom in loop_chroms:
             variants = chr_multi.get(chrom, {})
             positions = sorted(variants)
             last = _last_var_pos(positions, variants, NORMAL)
@@ -134,7 +140,7 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
                     variants, ref_string, sv_counts, cfg, fasta=fasta)
 
     with timer("extracting data from tumor BAM"):
-        for chrom in chr_vec:
+        for chrom in loop_chroms:
             variants = chr_multi.get(chrom, {})
             positions = sorted(variants)
             last = _last_var_pos(positions, variants, TUMOR)
@@ -166,7 +172,7 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
           file=sys.stderr)
 
     with timer("calling somatic variants"):
-        for chrom in chr_vec:
+        for chrom in loop_chroms:
             variants = chr_multi.get(chrom, {})
             si = state.somatic_info[chrom]
             rs = state.read_hp_sets[chrom]
@@ -713,8 +719,58 @@ def write_somatic_vcf(tumor_snv_file, out_path, chr_multi, somatic_flags,
 # Somatic tagging pass
 # ---------------------------------------------------------------------------
 
+def _gather_tag_segments(segs, all_rec, all_mode, all_ps, all_pq, hp_strs,
+                         stats):
+    """Multi-host merge of the per-chromosome tag decisions: all-gather each
+    process's (chr_vec-indexed) record/mode/PS/PQ/HP:Z segments plus the
+    tag-statistics counters; every process returns the full set in chr_vec
+    order (record indices refer to the shared tumor BAM, identical on every
+    host). The stats counters are psum-merged in place."""
+    import io as _io
+
+    from ..parallel import distributed as dist
+
+    buf = _io.BytesIO()
+    hp_blob = "".join(hp_strs).encode("ascii")
+    hp_off = np.zeros(len(hp_strs) + 1, np.int64)
+    np.cumsum([len(s) for s in hp_strs], out=hp_off[1:])
+    np.savez(buf, segs=np.asarray(segs, np.int64).reshape(-1, 2),
+             rec=np.concatenate(all_rec) if all_rec else np.zeros(0, np.int64),
+             mode=np.concatenate(all_mode) if all_mode
+             else np.zeros(0, np.uint8),
+             ps=np.concatenate(all_ps) if all_ps else np.zeros(0, np.int64),
+             pq=np.concatenate(all_pq) if all_pq else np.zeros(0, np.int32),
+             hp_blob=np.frombuffer(hp_blob, np.uint8), hp_off=hp_off)
+    entries = []
+    for blob in dist.allgather_bytes(buf.getvalue()):
+        z = np.load(_io.BytesIO(blob))
+        off = 0
+        for ci, n in z["segs"].reshape(-1, 2):
+            sl = slice(off, off + int(n))
+            hb, ho = z["hp_blob"].tobytes(), z["hp_off"]
+            entries.append((int(ci), z["rec"][sl], z["mode"][sl], z["ps"][sl],
+                            z["pq"][sl],
+                            [hb[ho[k]:ho[k + 1]].decode("ascii")
+                             for k in range(sl.start, sl.stop)]))
+            off += int(n)
+    entries.sort(key=lambda e: e[0])
+    counters = {f.name: getattr(stats, f.name)
+                for f in stats.__dataclass_fields__.values()
+                if f.name != "hp_count"}
+    counters.update({f"hp_{k}": v for k, v in stats.hp_count.items()})
+    merged = dist.psum_counters(counters)
+    for k, v in merged.items():
+        if k.startswith("hp_"):
+            stats.hp_count[int(k[3:])] = v
+        else:
+            setattr(stats, k, v)
+    return ([e[1] for e in entries], [e[2] for e in entries],
+            [e[3] for e in entries], [e[4] for e in entries],
+            [s for e in entries for s in e[5]])
+
+
 def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
-                      somatic_flags, nor_info, fasta, stats):
+                      somatic_flags, nor_info, fasta, stats, my_chroms=None):
     """Vectorized tumor-BAM tagging (SomaticHaplotagChrProcessor +
     SomaticHaplotagStrategy, SomaticHaplotagProcess.cpp:310-536) over the
     native walk; writes HP:Z/PS:i/PQ:i with the native tag writer."""
@@ -737,8 +793,10 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
 
     all_rec, all_mode, all_ps, all_pq = [], [], [], []
     hp_strs: list[str] = []
+    segs: list[tuple[int, int]] = []  # (chr_vec index, n records) per chrom
+    loop = chr_vec if my_chroms is None else my_chroms
 
-    for chrom in chr_vec:
+    for chrom in loop:
         if chrom not in ref_ids:
             continue
         variants = chr_multi.get(chrom, {})
@@ -848,6 +906,15 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
         all_pq.append(pq)
         hp_strs.extend(READ_HP_STR[int(h)] if m == 3 else ""
                        for h, m in zip(hp, mode))
+        segs.append((chr_vec.index(chrom), len(walk["rec_idx"])))
+
+    if my_chroms is not None:
+        all_rec, all_mode, all_ps, all_pq, hp_strs = _gather_tag_segments(
+            segs, all_rec, all_mode, all_ps, all_pq, hp_strs, stats)
+        from ..parallel import distributed as dist
+
+        if not dist.is_writer():
+            return
 
     writer = tum_nb.tag_write_cram if cfg.output_cram else tum_nb.tag_write
     out_path = cfg.result_prefix + (".cram" if cfg.output_cram else ".bam")
@@ -975,6 +1042,10 @@ def _write_somatic_log_row(f, rec, chrom, walker, hp, pq, nor_sim, derive_sim,
 
 
 def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
+    from ..parallel import distributed as dist
+
+    dist.init_from_spec(cfg.dist)
+    dist.maybe_init_from_env()
     timer = StageTimer()
     stats = ReadStatistics()
 
@@ -1033,8 +1104,17 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
 
     fasta = FastaFile(cfg.fasta_file)
 
+    # multi-host: shard extraction/calling/tagging by contig; the log and
+    # benchmark paths stay unsharded (every process computes everything and
+    # only process 0 writes)
+    shard = dist.is_active() and not (cfg.write_read_log
+                                      or cfg.write_calling_log
+                                      or benchmark.enabled)
+    my_chroms = dist.shard_contigs(chr_vec) if shard else chr_vec
+
     state = run_somatic_calling(cfg, chr_vec, chr_length, chr_multi,
-                                nor_info.read_sv_hap_count, fasta, timer)
+                                nor_info.read_sv_hap_count, fasta, timer,
+                                loop_chroms=my_chroms)
     if cfg.write_calling_log:
         with timer("writing somatic variants calling log"):
             write_somatic_var_log(cfg, state, chr_vec, chr_multi)
@@ -1054,8 +1134,19 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
             write_messy_read_filter_log(cfg, state, chr_vec)
             write_read_hp_detail_log(cfg, state, chr_vec)
     somatic_flags = apply_somatic_flags(state, chr_vec)
+    if shard:
+        import json as _json
 
-    if cfg.write_somatic_vcf:
+        merged_flags: dict[str, dict[int, int]] = {}
+        for blob in dist.allgather_bytes(_json.dumps(
+                {c: {str(p): v for p, v in d.items()}
+                 for c, d in somatic_flags.items()}).encode()):
+            for c, d in _json.loads(blob).items():
+                merged_flags.setdefault(c, {}).update(
+                    {int(p): v for p, v in d.items()})
+        somatic_flags = merged_flags
+
+    if cfg.write_somatic_vcf and dist.is_writer():
         with timer("writing somatic variants to vcf file"):
             write_somatic_vcf(cfg.tumor_snv_file,
                               cfg.result_prefix + "_sc.vcf", chr_multi,
@@ -1072,7 +1163,8 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
                                    or benchmark.enabled):
         with timer("tag read"):
             _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
-                              somatic_flags, nor_info, fasta, stats)
+                              somatic_flags, nor_info, fasta, stats,
+                              my_chroms=my_chroms if shard else None)
         _print_somatic_report(stats)
         return stats
 

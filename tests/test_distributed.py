@@ -195,3 +195,65 @@ def test_distributed_multichip_checkpointed_phase(fix, tmp_path):
     outs = run_pair()
     assert any(b"checkpoint: resumed" in err for _o, err in outs)
     assert _vcf_body(tmp_path / "combo.vcf") == _vcf_body(f"{single}.vcf")
+
+
+WORKER_SOMATIC = textwrap.dedent("""
+    import json, sys
+    sys.path.insert(0, "/root/repo")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    cfg_json, spec = sys.argv[1], sys.argv[2]
+    from longphase_s_tpu.models.somatic import SomaticConfig, run_somatic_haplotag
+    cfg = SomaticConfig(**json.loads(cfg_json), dist=spec)
+    run_somatic_haplotag(cfg)
+""")
+
+
+def test_two_process_somatic_haplotag_matches_single(tmp_path):
+    """Distributed somatic_haplotag: contig-sharded extraction/calling/
+    tagging with purity-point, flag and tag-segment all-gathers must
+    reproduce the single-process tagged BAM and _sc.vcf exactly."""
+    from longphase_s_tpu.io.bam import BamReader
+    from longphase_s_tpu.models.somatic import SomaticConfig, run_somatic_haplotag
+    from longphase_s_tpu.testing.simulate import make_multichrom_somatic_fixture
+
+    fix = make_multichrom_somatic_fixture(str(tmp_path / "fix"), seed=82,
+                                          n_chroms=3)
+    phased = str(tmp_path / "phased")
+    run_phase(PhaseConfig(snp_file=fix["normal_vcf"],
+                          bam_files=[fix["normal_bam"]],
+                          fasta_file=fix["fasta"], result_prefix=phased,
+                          num_threads=2, is_pb=True, engine="oracle"))
+    base = dict(snp_file=phased + ".vcf", tumor_snv_file=fix["tumor_vcf"],
+                bam_file=fix["normal_bam"],
+                tumor_bam_file=fix["tumor_bam"],
+                fasta_file=fix["fasta"], write_somatic_vcf=True)
+    run_somatic_haplotag(SomaticConfig(
+        **base, result_prefix=str(tmp_path / "single")))
+
+    port = _free_port()
+    cfg = dict(base, result_prefix=str(tmp_path / "dist"))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_SOMATIC, json.dumps(cfg),
+             f"127.0.0.1:{port},2,{pid}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    def tags(path):
+        return [(r.qname, r.pos, r.get_tag("HP"), r.get_tag("PS"),
+                 r.get_tag("PQ")) for r in BamReader(path)]
+
+    assert tags(str(tmp_path / "dist.bam")) == \
+        tags(str(tmp_path / "single.bam"))
+    a = [l for l in open(tmp_path / "single_sc.vcf")
+         if not l.startswith("##commandline")]
+    b = [l for l in open(tmp_path / "dist_sc.vcf")
+         if not l.startswith("##commandline")]
+    assert a == b
