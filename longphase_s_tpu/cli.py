@@ -122,6 +122,8 @@ def main(argv=None):
     hp.add_argument("--region", default="")
     hp.add_argument("--cram", action="store_true")
     hp.add_argument("--log", action="store_true")
+    # ours-only extension: multi-host contig sharding (SURVEY.md §2.6)
+    hp.add_argument("--dist", default="", metavar="HOST:PORT,NPROCS,PID")
     for name in ("somatic_haplotag", "estimate_purity"):
         sp = sub.add_parser(name, help=f"{name.replace('_', ' ')}")
         sp.add_argument("-s", "--snp-file", required=True,
@@ -166,6 +168,8 @@ def main(argv=None):
     mc.add_argument("-c", "--connectConfidence", type=float, default=0.9)
     mc.add_argument("-k", "--iterCount", type=int, default=2)
     mc.add_argument("--all", dest="output_all", action="store_true")
+    # ours-only extension: multi-host contig sharding (SURVEY.md §2.6)
+    mc.add_argument("--dist", default="", metavar="HOST:PORT,NPROCS,PID")
 
     args = parser.parse_args(argv)
     if args.command == "phase":
@@ -193,7 +197,7 @@ def main(argv=None):
             percentage_threshold=args.percentageThreshold,
             tag_supplementary=args.tagSupplementary, region=args.region,
             write_read_log=args.log, output_cram=args.cram,
-            command=" ".join(sys.argv))
+            command=" ".join(sys.argv), dist=args.dist)
         run_haplotag(cfg)
         return 0
     if args.command in ("somatic_haplotag", "estimate_purity"):
@@ -248,7 +252,8 @@ def main(argv=None):
             unmod_threshold=args.unModThreshold, heter_ratio=args.heterRatio,
             noise_ratio=args.noiseRatio, connect_adjacent=args.connectAdjacent,
             connect_confidence=args.connectConfidence, iter_count=args.iterCount,
-            output_all_mod=args.output_all, command=" ".join(sys.argv)))
+            output_all_mod=args.output_all, command=" ".join(sys.argv),
+            dist=args.dist))
         return 0
     parser.print_help()
     return 1

@@ -45,6 +45,7 @@ class HaplotagConfig:
     write_read_log: bool = False
     output_cram: bool = False
     command: str = ""
+    dist: str = ""  # "host:port,nprocs,pid" multi-host spec (SURVEY §2.6)
 
 
 @dataclass

@@ -190,6 +190,47 @@ def judge_reads(h1_cnt, h2_cnt, n_ps, percentage_threshold):
     return hp, pq, n_high_sim, n_without
 
 
+def _gather_int_segments(segs, all_rec, all_mode, all_hp, all_ps, all_pq,
+                         stats):
+    """Multi-host merge of germline tag segments (integer HP stream) +
+    psum-merged statistics; mirrors somatic._gather_tag_segments."""
+    import io as _io
+
+    from ..parallel import distributed as dist
+
+    buf = _io.BytesIO()
+    np.savez(buf, segs=np.asarray(segs, np.int64).reshape(-1, 2),
+             rec=np.concatenate(all_rec) if all_rec else np.zeros(0, np.int64),
+             mode=np.concatenate(all_mode) if all_mode
+             else np.zeros(0, np.uint8),
+             hp=np.concatenate(all_hp) if all_hp else np.zeros(0, np.int32),
+             ps=np.concatenate(all_ps) if all_ps else np.zeros(0, np.int64),
+             pq=np.concatenate(all_pq) if all_pq else np.zeros(0, np.int32))
+    entries = []
+    for blob in dist.allgather_bytes(buf.getvalue()):
+        z = np.load(_io.BytesIO(blob))
+        off = 0
+        for ci, n in z["segs"].reshape(-1, 2):
+            sl = slice(off, off + int(n))
+            entries.append((int(ci), z["rec"][sl], z["mode"][sl],
+                            z["hp"][sl], z["ps"][sl], z["pq"][sl]))
+            off += int(n)
+    entries.sort(key=lambda e: e[0])
+    counters = {f.name: getattr(stats, f.name)
+                for f in stats.__dataclass_fields__.values()
+                if f.name != "hp_count"}
+    counters.update({f"hp_{k}": v for k, v in stats.hp_count.items()})
+    merged = dist.psum_counters(counters)
+    for k, v in merged.items():
+        if k.startswith("hp_"):
+            stats.hp_count[int(k[3:])] = v
+        else:
+            setattr(stats, k, v)
+    return ([e[1] for e in entries], [e[2] for e in entries],
+            [e[3] for e in entries], [e[4] for e in entries],
+            [e[5] for e in entries])
+
+
 def run_haplotag_fast(cfg):
     """Native+vectorized run_haplotag. Returns ReadStatistics, or None when
     the configuration requires the object fallback (read log, CRAM out)."""
@@ -199,12 +240,20 @@ def run_haplotag_fast(cfg):
     from ..io.phased_vcf import PhasedVcfReader, VcfInfo
     from .haplotag import ReadStatistics
 
+    from ..parallel import distributed as dist
+
+    dist.init_from_spec(getattr(cfg, "dist", ""))
+    dist.maybe_init_from_env()
     if cfg.write_read_log:
+        if dist.is_active():
+            raise RuntimeError("--dist does not support --log")
         return None
     if os.environ.get("LPS_NO_NATIVE_TAG"):
         return None
     nb = native.open_native_bam(cfg.bam_file, cfg.fasta_file)
     if nb is None:
+        if dist.is_active():
+            raise RuntimeError("--dist requires the native runtime")
         return None
 
     timer = StageTimer()
@@ -252,8 +301,11 @@ def run_haplotag_fast(cfg):
     all_ps = []
     all_pq = []
 
+    shard = dist.is_active()
+    loop = dist.shard_contigs(chr_vec) if shard else chr_vec
+    segs: list[tuple[int, int]] = []
     with timer("tag read"):
-        for chrom in chr_vec:
+        for chrom in loop:
             if chrom not in ref_ids:
                 continue
             variants = chr_multi.get(chrom, {})
@@ -316,6 +368,13 @@ def run_haplotag_fast(cfg):
             all_hp.append(hp)
             all_ps.append(min_ps)
             all_pq.append(pq)
+            segs.append((chr_vec.index(chrom), len(walk["rec_idx"])))
+
+    if shard:
+        all_rec, all_mode, all_hp, all_ps, all_pq = _gather_int_segments(
+            segs, all_rec, all_mode, all_hp, all_ps, all_pq, stats)
+        if not dist.is_writer():
+            return stats
 
     with timer("write CRAM" if cfg.output_cram else "write BAM"):
         writer = nb.tag_write_cram if cfg.output_cram else nb.tag_write

@@ -44,6 +44,7 @@ class ModCallConfig:
     iter_count: int = 2
     output_all_mod: bool = False
     command: str = ""
+    dist: str = ""  # "host:port,nprocs,pid" multi-host spec (SURVEY §2.6)
 
 
 @dataclass
@@ -598,6 +599,10 @@ class MethylationGraph:
 
 
 def run_modcall(cfg: ModCallConfig):
+    from ..parallel import distributed as dist
+
+    dist.init_from_spec(cfg.dist)
+    dist.maybe_init_from_env()
     timer = StageTimer()
     with timer("parsing VCF"):
         het = (vcf_io.read_het_variants(cfg.snp_file)
@@ -609,8 +614,11 @@ def run_modcall(cfg: ModCallConfig):
 
     results: dict[str, list] = {}
     chrs = [(name, fasta.length(name)) for name in fasta.references]
+    my_chrs = ([c for c in chrs
+                if c[0] in set(dist.shard_contigs([n for n, _l in chrs]))]
+               if dist.is_active() else chrs)
     with timer("modcall"):
-        for chrom, chrom_len in chrs:
+        for chrom, chrom_len in my_chrs:
             chr_seq = fasta.fetch(chrom, 0, chrom_len + 2)
             variants = het.by_chrom.get(chrom, {})
             if has_snp and variants:
@@ -642,6 +650,17 @@ def run_modcall(cfg: ModCallConfig):
             results[chrom] = out
             print(f"({chrom})", end="", file=sys.stderr)
         print("", file=sys.stderr)
+
+    if dist.is_active():
+        import json as _json
+
+        with timer("allgather shard results"):
+            merged: dict[str, list] = {}
+            for blob in dist.allgather_bytes(_json.dumps(results).encode()):
+                merged.update(_json.loads(blob))
+            results = merged
+        if not dist.is_writer():
+            return results
 
     with timer("write vcf"):
         with open(cfg.result_prefix + ".vcf", "a") as f:

@@ -1115,7 +1115,7 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
     state = run_somatic_calling(cfg, chr_vec, chr_length, chr_multi,
                                 nor_info.read_sv_hap_count, fasta, timer,
                                 loop_chroms=my_chroms)
-    if cfg.write_calling_log:
+    if cfg.write_calling_log and dist.is_writer():
         with timer("writing somatic variants calling log"):
             write_somatic_var_log(cfg, state, chr_vec, chr_multi)
             write_dense_interval_log(cfg, state, chr_vec)
@@ -1166,6 +1166,11 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
                               somatic_flags, nor_info, fasta, stats,
                               my_chroms=my_chroms if shard else None)
         _print_somatic_report(stats)
+        return stats
+
+    if dist.is_active() and not dist.is_writer():
+        # unsharded (log/benchmark) object path: calling ran everywhere for
+        # the shared statistics, but only process 0 tags and writes files
         return stats
 
     from ..io.cram import CramWriter, open_alignment

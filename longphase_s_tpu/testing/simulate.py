@@ -822,3 +822,56 @@ def make_multichrom_somatic_fixture(out_dir: str, seed: int = 7,
     tbam = merge_bams("tumor_bam", "tumor.bam")
     return {"fasta": fa, "normal_vcf": nvcf, "tumor_vcf": tvcf,
             "normal_bam": nbam, "tumor_bam": tbam, "chroms": chroms}
+
+
+def make_multichrom_meth_fixture(out_dir: str, seed: int = 7,
+                                 n_chroms: int = 3,
+                                 base_length: int = 120000):
+    """MM/ML fixture spanning several chromosomes — exercises modcall's
+    per-chromosome loop and multi-host sharding."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    chroms = []
+    seqs = {}
+    per_chrom = []
+    for c in range(n_chroms):
+        name = f"chr{20 + c}"
+        length = base_length + c * 30000
+        sub = make_meth_fixture(os.path.join(out_dir, f"_c{c}"),
+                                seed=seed + 37 * c, chrom=name, length=length)
+        chroms.append((name, length))
+        with open(sub["fasta"]) as f:
+            seqs[name] = "".join(l.strip() for l in f
+                                 if not l.startswith(">"))
+        per_chrom.append(sub)
+
+    fa = os.path.join(out_dir, "ref.fa")
+    write_fasta(fa, seqs)
+
+    vcf_path = os.path.join(out_dir, "snp.vcf")
+    with open(vcf_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        for name, ln in chroms:
+            f.write(f"##contig=<ID={name},length={ln}>\n")
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,'
+                'Description="Genotype">\n')
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                "\tSAMPLE\n")
+        for sub in per_chrom:
+            for line in open(sub["vcf"]):
+                if not line.startswith("#"):
+                    f.write(line)
+
+    from ..io.bam import BamReader
+    bam = os.path.join(out_dir, "reads.bam")
+    reads_by_chrom = []
+    for sub in per_chrom:
+        entries = []
+        for rec in BamReader(sub["bam"]):
+            entries.append((rec.qname, rec.pos, rec.cigar_tuples(),
+                            rec.seq(), bytes(rec.qual()),
+                            rec.raw[rec._aux_offset():], rec.flag))
+        reads_by_chrom.append(entries)
+    write_bam_multi(bam, chroms, reads_by_chrom)
+    return {"chroms": chroms, "fasta": fa, "vcf": vcf_path, "bam": bam}

@@ -257,3 +257,105 @@ def test_two_process_somatic_haplotag_matches_single(tmp_path):
     b = [l for l in open(tmp_path / "dist_sc.vcf")
          if not l.startswith("##commandline")]
     assert a == b
+
+
+WORKER_HAPLOTAG = textwrap.dedent("""
+    import json, sys
+    sys.path.insert(0, "/root/repo")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    cfg_json, spec = sys.argv[1], sys.argv[2]
+    from longphase_s_tpu.models.haplotag import HaplotagConfig, run_haplotag
+    cfg = HaplotagConfig(**json.loads(cfg_json), dist=spec)
+    run_haplotag(cfg)
+""")
+
+
+def test_two_process_haplotag_matches_single(fix, tmp_path):
+    """Distributed germline haplotag: sharded tag walks, gathered segments,
+    process-0 write — tagged BAM identical to single-process."""
+    from longphase_s_tpu.io.bam import BamReader
+    from longphase_s_tpu.models.haplotag import HaplotagConfig, run_haplotag
+
+    phased = str(tmp_path / "phased")
+    run_phase(PhaseConfig(snp_file=fix["vcf"], bam_files=[fix["bam"]],
+                          fasta_file=fix["fasta"], result_prefix=phased,
+                          num_threads=2, is_pb=True, engine="oracle"))
+    base = dict(snp_file=phased + ".vcf", bam_file=fix["bam"],
+                fasta_file=fix["fasta"])
+    run_haplotag(HaplotagConfig(**base,
+                                result_prefix=str(tmp_path / "single")))
+
+    port = _free_port()
+    cfg = dict(base, result_prefix=str(tmp_path / "dist"))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_HAPLOTAG, json.dumps(cfg),
+             f"127.0.0.1:{port},2,{pid}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    def tags(path):
+        return [(r.qname, r.pos, r.get_tag("HP"), r.get_tag("PS"),
+                 r.get_tag("PQ")) for r in BamReader(path)]
+
+    assert tags(str(tmp_path / "dist.bam")) == \
+        tags(str(tmp_path / "single.bam"))
+
+
+WORKER_MODCALL = textwrap.dedent("""
+    import json, sys
+    sys.path.insert(0, "/root/repo")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    cfg_json, spec = sys.argv[1], sys.argv[2]
+    from longphase_s_tpu.models.modcall import ModCallConfig, run_modcall
+    cfg = ModCallConfig(**json.loads(cfg_json), dist=spec)
+    run_modcall(cfg)
+""")
+
+
+def test_two_process_modcall_matches_single(tmp_path):
+    """Distributed modcall: sharded per-chromosome calling, gathered
+    result lines, process-0 VCF — identical to single-process."""
+    from longphase_s_tpu.models.modcall import ModCallConfig, run_modcall
+    from longphase_s_tpu.testing.simulate import make_multichrom_meth_fixture
+
+    try:
+        fix = make_multichrom_meth_fixture(str(tmp_path / "fix"), seed=5,
+                                           n_chroms=3)
+    except (ImportError, AttributeError):
+        from longphase_s_tpu.testing.simulate import make_meth_fixture
+
+        fix = make_meth_fixture(str(tmp_path / "fix"), seed=5)
+    base = dict(bam_files=[fix["bam"]], fasta_file=fix["fasta"],
+                snp_file=fix.get("vcf", ""))
+    run_modcall(ModCallConfig(**base,
+                              result_prefix=str(tmp_path / "single")))
+
+    port = _free_port()
+    cfg = dict(base, result_prefix=str(tmp_path / "dist"))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_MODCALL, json.dumps(cfg),
+             f"127.0.0.1:{port},2,{pid}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    a = [l for l in open(tmp_path / "single.vcf")
+         if not l.startswith("##commandline")]
+    b = [l for l in open(tmp_path / "dist.vcf")
+         if not l.startswith("##commandline")]
+    assert a == b and len(a) > 10
