@@ -231,9 +231,9 @@ def nor_ps_aggregate(walk, t, cps_nor):
 def nor_ps_dict(ps_triples, a):
     """nor_count_ps dict for alignment ``a`` from the sorted triples."""
     u_aln, psv, cnt = ps_triples
-    lo = np.searchsorted(u_aln, a)
-    hi = np.searchsorted(u_aln, a + 1)
-    return {int(psv[i]): int(cnt[i]) for i in range(lo, hi)}
+    lo = int(np.searchsorted(u_aln, a))
+    hi = int(np.searchsorted(u_aln, a + 1))
+    return dict(zip(psv[lo:hi].tolist(), cnt[lo:hi].tolist()))
 
 
 def judge_somatic_reads(h1, h2, h3, n_nor_ps, thr):
@@ -561,13 +561,18 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
         bounds = np.flatnonzero(np.diff(sv) | np.diff(sa.astype(np.int16)))
         starts = np.concatenate(([0], bounds + 1))
         ends = np.concatenate((bounds + 1, [len(sv)]))
-        for s, e in zip(starts, ends):
-            sd = sd_by_vi.get(int(sv[s]))
+        # one bulk conversion instead of per-element int()/chr() calls
+        so_l = so.tolist()
+        sb_l = sb.tobytes().decode("latin-1")
+        sv_l = sv.tolist()
+        sa_l = sa.tolist()
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            sd = sd_by_vi.get(sv_l[s])
             if sd is None:
-                sd = somatic_pos_info.setdefault(positions[int(sv[s])],
+                sd = somatic_pos_info.setdefault(positions[sv_l[s]],
                                                  SomaticData())
-            lst = sd.offset_bases[int(sa[s])]
-            lst.extend((int(so[k]), chr(sb[k])) for k in range(s, e))
+            lst = sd.offset_bases[sa_l[s]]
+            lst.extend(zip(so_l[s:e], sb_l[s:e]))
 
     # per-alignment sequential block: read_hp_result_set + tumor_pos_read_corr
     names = walk["names"]
@@ -577,6 +582,11 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     voted = base_hp != 0
     sort_keys_obs = np.flatnonzero(tsp | voted)  # obs needed per aln, in order
     obs_ptr = np.searchsorted(al[sort_keys_obs], np.arange(A + 1))
+    # bulk scalar conversions for the per-alignment loop below
+    obs_pos1 = (t["pos"][vi[sort_keys_obs]] + 1).tolist()
+    obs_hp_l = base_hp[sort_keys_obs].tolist()
+    obs_voted = voted[sort_keys_obs].tolist()
+    obs_tsp = tsp[sort_keys_obs].tolist()
     for a in np.flatnonzero(tsp_aln_b):
         read_id = names[noff[a]:noff[a + 1]]
         orig_id = read_id
@@ -591,17 +601,18 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
             end_pos=int(walk["end_ref_pos"][a]),
             read_length=int(walk["end_query_pos"][a]),
             hp_result=int(hp[a]))
-        oslice = sort_keys_obs[obs_ptr[a]:obs_ptr[a + 1]]
+        lo, hi = int(obs_ptr[a]), int(obs_ptr[a + 1])
         has_somatic = h3_cnt[a] > 0
         if r.hp_result in (RH_H1_1, RH_H2_1, RH_H3) or \
                 (has_somatic and r.hp_result in (RH_UNTAG, RH_H1, RH_H2)):
-            vsl = oslice[voted[oslice]]
             r.pos_hp_pairs = sorted(
-                (int(t["pos"][vi[o]]) + 1, int(base_hp[o])) for o in vsl)
+                (obs_pos1[k], obs_hp_l[k]) for k in range(lo, hi)
+                if obs_voted[k])
         read_hp_result_set[read_id] = r
-        for o in oslice[tsp[oslice]]:
-            pos = int(t["pos"][vi[o]])
-            tumor_pos_read_corr.setdefault(pos, {})[read_id] = int(base_hp[o])
+        for k in range(lo, hi):
+            if obs_tsp[k]:
+                tumor_pos_read_corr.setdefault(
+                    obs_pos1[k] - 1, {})[read_id] = obs_hp_l[k]
 
     # postProcess (SomaticVarCaller.cpp:520-603)
     from .somatic_types import _imbalance
