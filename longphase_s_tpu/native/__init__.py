@@ -105,9 +105,15 @@ def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
     if lib is None:
         return None
     nb = open_native_bam(bam_path, fasta_path)
-    with open(bam_path, "rb") as _f:
-        if nb is None and _f.read(4) == b"CRAM":
-            return None  # CRAM needs the handle path
+    if nb is None:
+        with open(bam_path, "rb") as _f:
+            if _f.read(4) == b"CRAM":
+                return None  # CRAM needs the handle path
+        try:
+            if os.path.getsize(bam_path) > _inmem_budget():
+                return None  # streaming (Python) walker: bounded memory
+        except OSError:
+            return None
     n = len(positions)
     var_pos = np.asarray(positions, dtype=np.int64)
     ref0 = np.frombuffer(
@@ -612,15 +618,32 @@ def _load_cram_handle(lib, path: str, fasta_path: str):
         ref_lens.ctypes.data, blob, rec_off.ctypes.data, len(rec_off) - 1)
 
 
+def _inmem_budget() -> int:
+    """Compressed-size cap for the whole-file in-memory handle: a BAM
+    inflates ~4-6x, and two handles may be cached, so default to 1/12 of
+    system RAM (LPS_MAX_INMEM_BAM overrides, bytes)."""
+    env = os.environ.get("LPS_MAX_INMEM_BAM")
+    if env:
+        return int(env)
+    try:
+        ram = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):
+        ram = 16 << 30
+    return ram // 12
+
+
 def open_native_bam(path: str,
                     fasta_path: str | None = None) -> "NativeBam | None":
     """Cached whole-file handle (keyed by path+mtime, max 2 entries).
     CRAM inputs decode through the native CRAM decoder (needs
-    ``fasta_path`` unless the file is referenceless)."""
+    ``fasta_path`` unless the file is referenceless). Files too large for
+    the in-memory budget fall back to the streaming readers."""
     if _load() is None:
         return None
     try:
         mtime = os.path.getmtime(path)
+        if os.path.getsize(path) > _inmem_budget():
+            return None
     except OSError:
         return None
     with _bam_cache_lock:
