@@ -42,6 +42,15 @@ QUAL_MOD_REV = -3
 QUAL_INDEL = -4
 QUAL_DANGER = -5
 
+# Compat switch for the reference's unguarded `modPos < *variantIter` read
+# at map::end() (libstdc++ yields the node count, silently dropping mods
+# past the last SNP). Default emulates the quirk for byte parity with a
+# libstdc++-built oracle; LPS_GUARD_MOD_END=1 keeps those mods (the
+# guarded/correct behavior). Mirrored in native/lps_ingest.cpp:phase_walk.
+import os as _os
+
+_GUARD_MOD_END = bool(_os.environ.get("LPS_GUARD_MOD_END"))
+
 
 @dataclass
 class ReadAln:
@@ -175,7 +184,13 @@ class AlleleExtractor:
                     # tree's node count, so an exhausted SNP iterator makes
                     # variantPos == len(SNP map) and mods past the last SNP
                     # are silently dropped from the read.
-                    stale_v = positions[vi] if vi < n else n
+                    # LPS_GUARD_MOD_END=1 selects the guarded (correct)
+                    # behavior instead; parity default emulates libstdc++'s
+                    # *map::end() node-count read (see PARITY.md)
+                    if _GUARD_MOD_END:
+                        stale_v = positions[vi] if vi < n else (1 << 62)
+                    else:
+                        stale_v = positions[vi] if vi < n else n
                     if entry is not None and mod_pos < stale_v:
                         entry_rev, is_modify = entry
                         if entry_rev == is_rev:

@@ -280,6 +280,13 @@ static ExtractResult* phase_walk(
   std::vector<ExtractResult> parts(n_threads);
   size_t chunk = (rec_offsets.size() + n_threads - 1) / n_threads;
 
+  // LPS_GUARD_MOD_END=1 selects the guarded behavior (keep mods past the
+  // last SNP); default emulates libstdc++'s *map::end() node-count read
+  // (read per walk so tests can toggle it within one process)
+  const int64_t stale_end = getenv("LPS_GUARD_MOD_END") != nullptr
+                                ? (int64_t(1) << 62)
+                                : n_var;
+
   auto walk_range = [&](size_t begin, size_t end, ExtractResult* out_r) {
     int64_t first_idx = 0, first_sv = 0, first_mod = 0;
     const int64_t BIG = int64_t(1) << 60;
@@ -341,7 +348,7 @@ static ExtractResult* phase_walk(
 
           if (mi < n_mod && m < v && m < s) {
             // modification head is minimal (ParsingBam.cpp:1373-1395)
-            int64_t stale_v = vi < n_var ? var_pos[vi] : n_var;
+            int64_t stale_v = vi < n_var ? var_pos[vi] : stale_end;
             auto it = mod_maps[mi].find(qname_s);
             if (it != mod_maps[mi].end() && m < stale_v) {
               bool entry_rev = it->second & 1;

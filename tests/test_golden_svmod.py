@@ -74,3 +74,51 @@ def test_haplotag_sv_mod(reference_binary, svmod_fixture, tmp_path):
     assert len(g) == len(o)
     mism = [(a, b) for a, b in zip(g, o) if a != b]
     assert not mism, f"{len(mism)} differing records; first: {mism[0]}"
+
+
+def test_guard_mod_end_flag(tmp_path, monkeypatch):
+    """LPS_GUARD_MOD_END=1 selects the guarded (correct) behavior for mods
+    past the last SNP instead of the reference's libstdc++ *map::end()
+    quirk; the native and pure-Python walkers must agree under either
+    setting."""
+    import importlib
+
+    import pytest
+
+    from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+    from longphase_s_tpu.testing.simulate import make_fixture
+
+    fx = make_fixture(str(tmp_path / "fix"), seed=66, length=120000,
+                      coverage=18, read_len=8000, snp_rate=0.0015,
+                      n_svs=2, n_mods=8)
+
+    def run(tag, engine):
+        import longphase_s_tpu.core.alleles as al
+        importlib.reload(al) if False else None  # flag read at call site
+        return run_phase(PhaseConfig(
+            snp_file=fx["vcf"], bam_files=[fx["bam"]],
+            fasta_file=fx["fasta"], sv_file=fx["sv_vcf"],
+            mod_file=fx["mod_vcf"], result_prefix=str(tmp_path / tag),
+            num_threads=1, is_pb=True, engine=engine))
+
+    import longphase_s_tpu.core.alleles as al
+    from longphase_s_tpu import native as nat
+
+    def python_walker_only():
+        # force the pure-Python AlleleExtractor for the oracle run so the
+        # flag is exercised in BOTH implementations
+        return pytest.MonkeyPatch()
+
+    quirk_tpu = run("q_tpu", "tpu")          # native walk, quirk on
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(nat, "extract_phase", lambda *a, **k: None)
+        quirk_oracle = run("q_oracle", "oracle")  # python walk, quirk on
+    assert quirk_tpu == quirk_oracle
+
+    monkeypatch.setenv("LPS_GUARD_MOD_END", "1")
+    monkeypatch.setattr(al, "_GUARD_MOD_END", True)
+    guarded_tpu = run("g_tpu", "tpu")        # native walk, guarded
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(nat, "extract_phase", lambda *a, **k: None)
+        guarded_oracle = run("g_oracle", "oracle")  # python walk, guarded
+    assert guarded_tpu == guarded_oracle
