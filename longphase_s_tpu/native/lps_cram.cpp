@@ -17,7 +17,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <condition_variable>
 #include <cstring>
+#include <deque>
 #include <map>
 #include <memory>
 #include <mutex>
@@ -1685,6 +1687,21 @@ struct CramWriterN {
         int64_t tid, start, span, coff, soff, ssz;
     };
     std::vector<CraiEntry> index;
+    // container pipeline: encode+write runs on a worker thread so the
+    // caller can assemble the next container concurrently
+    struct Job {
+        std::vector<uint8_t> blob;
+        std::vector<int64_t> rec_off;
+        int32_t tid;
+        int64_t counter;
+    };
+    std::thread worker;
+    std::mutex mu;
+    std::condition_variable cv;
+    std::deque<Job> q;
+    bool finish = false;
+    bool failed = false;
+    bool started = false;
 };
 
 static void enc_external(int cid, std::vector<uint8_t>& out) {
@@ -1731,7 +1748,8 @@ static int64_t write_container(CramWriterN* w,
                                int64_t ref_seq_id, int64_t ref_start,
                                int64_t ref_span, int64_t num_records,
                                int64_t num_bases,
-                               const std::vector<int64_t>& landmarks) {
+                               const std::vector<int64_t>& landmarks,
+                               int64_t counter) {
     int64_t cont_off = (int64_t)ftell(w->f);
     size_t body_n = 0;
     for (auto& b : blocks) body_n += b.size();
@@ -1740,7 +1758,7 @@ static int64_t write_container(CramWriterN* w,
     itf8_put(ref_start, head);
     itf8_put(ref_span, head);
     itf8_put(num_records, head);
-    ltf8_put(w->counter, head);
+    ltf8_put(counter, head);
     ltf8_put(num_bases, head);
     itf8_put((int64_t)blocks.size(), head);
     itf8_put((int64_t)landmarks.size(), head);
@@ -1787,16 +1805,16 @@ void* lps_cram_writer_open(const char* path, const char* header_text,
                 (const uint8_t*)header_text + header_len);
     std::vector<std::vector<uint8_t>> blocks(1);
     encode_block(RAW, CT_FILE_HEADER, 0, blob.data(), blob.size(), blocks[0]);
-    write_container(w, blocks, 0, 0, 0, 0, 0, {});
+    write_container(w, blocks, 0, 0, 0, 0, 0, {}, 0);
     return w;
 }
 
 // Encode one data container from raw BAM record blobs (all same tid).
-int64_t lps_cram_writer_container(void* wp, const uint8_t* blob,
-                                  const int64_t* rec_off, int64_t n_rec,
-                                  int32_t tid) {
+static int64_t encode_write_container(lps_cram::CramWriterN* w,
+                                      const uint8_t* blob,
+                                      const int64_t* rec_off, int64_t n_rec,
+                                      int32_t tid, int64_t counter) {
     using namespace lps_cram;
-    auto* w = (CramWriterN*)wp;
     std::vector<uint8_t> ext[N_SERIES];
     std::vector<uint8_t> rn, sc_len, bb_len, in_len;
     std::vector<std::vector<std::pair<std::string, char>>> tag_lists;
@@ -2145,7 +2163,7 @@ int64_t lps_cram_writer_container(void* wp, const uint8_t* blob,
     itf8_put(ref_start, sh);
     itf8_put(ref_span, sh);
     itf8_put(n_rec, sh);
-    ltf8_put(w->counter, sh);
+    ltf8_put(counter, sh);
     itf8_put((int64_t)data_blocks.size() + 1, sh);  // + core block
     itf8_put((int64_t)content_ids.size(), sh);
     for (int cid : content_ids) itf8_put(cid, sh);
@@ -2168,17 +2186,73 @@ int64_t lps_cram_writer_container(void* wp, const uint8_t* blob,
     }
     int64_t comp_len = (int64_t)blocks[0].size();
     int64_t cont_off = write_container(w, blocks, tid, ref_start, ref_span,
-                                       n_rec, num_bases, {comp_len});
+                                       n_rec, num_bases, {comp_len}, counter);
     w->index.push_back({tid, ref_start, ref_span, cont_off, comp_len,
                         slice_sz});
-    w->counter += n_rec;
     (void)tag_map_sz;
+    return 0;
+}
+
+// Public entry: enqueue the container for the pipelined worker (bounded
+// queue depth 2); encode+write happen off the caller thread, in order.
+int64_t lps_cram_writer_container(void* wp, const uint8_t* blob,
+                                  const int64_t* rec_off, int64_t n_rec,
+                                  int32_t tid) {
+    using namespace lps_cram;
+    auto* w = (CramWriterN*)wp;
+    if (!w->started) {
+        w->started = true;
+        w->worker = std::thread([w]() {
+            for (;;) {
+                CramWriterN::Job job;
+                {
+                    std::unique_lock<std::mutex> lk(w->mu);
+                    w->cv.wait(lk, [w] { return !w->q.empty() || w->finish; });
+                    if (w->q.empty()) return;
+                    job = std::move(w->q.front());
+                    w->q.pop_front();
+                }
+                if (encode_write_container(w, job.blob.data(),
+                                           job.rec_off.data(),
+                                           (int64_t)job.rec_off.size() - 1,
+                                           job.tid, job.counter) != 0)
+                    w->failed = true;
+                w->cv.notify_all();
+            }
+        });
+    }
+    CramWriterN::Job job;
+    job.blob.assign(blob, blob + rec_off[n_rec]);
+    job.rec_off.assign(rec_off, rec_off + n_rec + 1);
+    job.tid = tid;
+    job.counter = w->counter;
+    w->counter += n_rec;
+    {
+        std::unique_lock<std::mutex> lk(w->mu);
+        w->cv.wait(lk, [w] { return w->q.size() < 2; });
+        if (w->failed) return -1;
+        w->q.push_back(std::move(job));
+    }
+    w->cv.notify_all();
     return 0;
 }
 
 int64_t lps_cram_writer_close(void* wp) {
     using namespace lps_cram;
     auto* w = (CramWriterN*)wp;
+    if (w->started) {
+        {
+            std::unique_lock<std::mutex> lk(w->mu);
+            w->finish = true;
+        }
+        w->cv.notify_all();
+        w->worker.join();
+    }
+    if (w->failed) {
+        fclose(w->f);
+        delete w;
+        return -1;
+    }
     static const uint8_t EOFC[38] = {
         0x0f, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff, 0xff, 0x0f, 0xe0,
         0x45, 0x4f, 0x46, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x05,
