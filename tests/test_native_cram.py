@@ -78,3 +78,34 @@ def test_native_fetch_matches_python(own_cram, small_fixture, monkeypatch):
     monkeypatch.setenv("LPS_NO_NATIVE_CRAM", "1")
     py = _raw_records(CramReader(own_cram, fasta=fa).fetch(chrom, start, end))
     assert nat == py and len(nat) > 0
+
+
+@pytest.mark.skipif(not native.available(), reason="no native library")
+def test_pipelined_writer_multi_container(tmp_path, small_fixture):
+    """More records than RECORDS_PER_CONTAINER forces multiple containers
+    through the pipelined worker; order and counters must survive."""
+    br = BamReader(small_fixture["bam"])
+    recs = list(br)
+    # duplicate the records (fresh names) until we exceed two containers
+    per = CramWriter.RECORDS_PER_CONTAINER
+    reps = max(3, (2 * per) // max(len(recs), 1) + 1)
+    path = str(tmp_path / "multi.cram")
+    w = CramWriter(path, br.header_text, br.references, br.lengths)
+    n = 0
+    for rep in range(reps):
+        for r in recs:
+            w.write(r)
+            n += 1
+    w.close()
+    assert n > per  # really multi-container
+    fa = FastaFile(small_fixture["fasta"])
+    got = sum(1 for _ in CramReader(path, fasta=fa))
+    assert got == n
+    # python decoder agrees (exercises slice record counters)
+    import os
+    os.environ["LPS_NO_NATIVE_CRAM"] = "1"
+    try:
+        got_py = sum(1 for _ in CramReader(path, fasta=fa))
+    finally:
+        del os.environ["LPS_NO_NATIVE_CRAM"]
+    assert got_py == n
