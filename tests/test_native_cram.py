@@ -86,13 +86,13 @@ def test_pipelined_writer_multi_container(tmp_path, small_fixture):
     through the pipelined worker; order and counters must survive."""
     br = BamReader(small_fixture["bam"])
     recs = list(br)
-    # duplicate the records (fresh names) until we exceed two containers
+    # duplicate records until we just exceed one container boundary
     per = CramWriter.RECORDS_PER_CONTAINER
-    reps = max(3, (2 * per) // max(len(recs), 1) + 1)
+    want = per + max(len(recs), 200)
     path = str(tmp_path / "multi.cram")
     w = CramWriter(path, br.header_text, br.references, br.lengths)
     n = 0
-    for rep in range(reps):
+    while n < want:
         for r in recs:
             w.write(r)
             n += 1
