@@ -1630,7 +1630,12 @@ static bool rans_encode_o0(const uint8_t* data, size_t n,
 
 // _encode_block: rANS when preferred and it wins over raw, else gzip
 // (unlike the Python writer we don't compress twice to pick the smaller —
-// block choice only affects size, not compatibility)
+// block choice only affects size, not compatibility).
+// rANS is capped to small blocks: the 4x8 decode is a serial per-byte loop
+// on every reader (ours and htslib's scalar path), so multi-MB rANS blocks
+// decode an order of magnitude slower than libdeflate gzip.
+static const size_t RANS_ENCODE_MAX = 256u << 10;
+
 static void encode_block(int method, int ctype, int64_t content_id,
                          const uint8_t* raw, size_t n,
                          std::vector<uint8_t>& out) {
@@ -1638,7 +1643,9 @@ static void encode_block(int method, int ctype, int64_t content_id,
     std::vector<uint8_t> best(raw, raw + n);
     if (method != RAW && n > 0) {
         bool done = false;
-        if (method == M_RANS) {
+        if (method == M_RANS && n > RANS_ENCODE_MAX) {
+            // big payload: gzip compresses comparably and decodes ~5x faster
+        } else if (method == M_RANS) {
             std::vector<uint8_t> r;
             if (rans_encode_o0(raw, n, r) && r.size() < best.size()) {
                 best.swap(r);

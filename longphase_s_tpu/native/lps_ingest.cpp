@@ -22,10 +22,24 @@
 #include <cstdio>
 #include <cstring>
 #include <condition_variable>
+#include <malloc.h>
 #include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
+
+// On this class of VM (Firecracker-style) minor page faults can cost tens
+// of microseconds: glibc munmap()ing each multi-MB buffer and re-faulting
+// it on the next call made identical runs swing 1s <-> 10s+ (pure system
+// time). Keep large allocations on the heap and never trim, so transient
+// decode/compress buffers are reused across calls. LPS_NO_MALLOC_TUNING=1
+// opts out (restores default trim behavior).
+__attribute__((constructor)) static void lps_malloc_tuning() {
+  if (getenv("LPS_NO_MALLOC_TUNING")) return;
+  mallopt(M_MMAP_THRESHOLD, 256 << 20);
+  mallopt(M_TRIM_THRESHOLD, 256 << 20);
+  mallopt(M_ARENA_MAX, 2);  // fewer per-thread arenas -> fewer fresh mmaps
+}
 
 namespace {
 
