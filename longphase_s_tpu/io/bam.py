@@ -378,6 +378,26 @@ class BamReader:
                 raise ValueError("truncated BAM record")
             yield BamRecord(raw)
 
+    def seek_chromosome(self, chrom: str) -> int:
+        """Position the BGZF stream at the chromosome's first candidate
+        chunk (BAI) or at the data start; returns the tid. Used by the
+        bounded-memory streaming extraction."""
+        tid = self.ref_id[chrom]
+        bai = self._load_bai()
+        if bai is not None and tid < len(bai):
+            bins, intervals = bai[tid]
+            qend = self.lengths[tid] or (1 << 29) - 1
+            chunks = []
+            for b in self._reg2bins(0, max(qend, 1)):
+                chunks.extend(bins.get(b, ()))
+            if chunks:
+                min_lin = intervals[0] if len(intervals) else 0
+                cand = [c for c in chunks if c[1] > min_lin] or chunks
+                self._bgzf.seek_virtual(min(c[0] for c in cand))
+                return tid
+        self._bgzf.seek_virtual(self._data_voffset)
+        return tid
+
     def fetch(self, chrom: str, start: int = 0, end: int | None = None):
         """Region iteration (records overlapping [start, end)), htslib
         region-query semantics (the reference queries ``chr:1-lastSNPPos``,

@@ -111,20 +111,18 @@ def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
                 return None  # CRAM needs the handle path
         try:
             if os.path.getsize(bam_path) > _inmem_budget():
-                return None  # streaming (Python) walker: bounded memory
+                # bounded-memory native streaming extraction
+                return extract_phase_streaming(
+                    bam_path, chrom, last_snp_pos, positions, infos,
+                    ref_string, mapping_quality, sv_entries=sv_entries,
+                    mod_entries=mod_entries, sv_window=sv_window,
+                    sv_threshold=sv_threshold)
         except OSError:
             return None
-    n = len(positions)
-    var_pos = np.asarray(positions, dtype=np.int64)
-    ref0 = np.frombuffer(
-        "".join((i.ref[0] if i.ref else "N") for i in infos).encode("ascii"),
-        dtype=np.uint8) if n else np.zeros(0, np.uint8)
-    alt0 = np.frombuffer(
-        "".join((i.alt[0] if i.alt else "N") for i in infos).encode("ascii"),
-        dtype=np.uint8) if n else np.zeros(0, np.uint8)
-    ref_len = np.fromiter((len(i.ref) for i in infos), np.int32, n)
-    alt_len = np.fromiter((len(i.alt) for i in infos), np.int32, n)
-    danger = np.fromiter((1 if i.is_danger else 0 for i in infos), np.uint8, n)
+    t = _marshal_var_tables(positions, infos)
+    n = t["n"]
+    var_pos, ref0, alt0 = t["var_pos"], t["ref0"], t["alt0"]
+    ref_len, alt_len, danger = t["ref_len"], t["alt_len"], t["danger"]
     ref_bytes = ref_string.encode("ascii")
 
     has_svmod = bool(sv_entries) or bool(mod_entries)
@@ -190,36 +188,7 @@ def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
             ref_bytes, len(ref_bytes), mapping_quality)
     if not handle:
         return None
-    try:
-        n_obs = ctypes.c_int64()
-        n_aln = ctypes.c_int64()
-        names_len = ctypes.c_int64()
-        n_clip = ctypes.c_int64()
-        lib.lps_result_sizes(handle, ctypes.byref(n_obs), ctypes.byref(n_aln),
-                             ctypes.byref(names_len), ctypes.byref(n_clip))
-        obs_pos = np.empty(n_obs.value, np.int64)
-        obs_allele = np.empty(n_obs.value, np.int8)
-        obs_qual = np.empty(n_obs.value, np.int16)
-        aln_offsets = np.empty(n_aln.value + 1, np.int64)
-        aln_start = np.empty(n_aln.value, np.int32)
-        name_offsets = np.empty(n_aln.value + 1, np.int64)
-        names = ctypes.create_string_buffer(max(names_len.value, 1))
-        clip_pos = np.empty(n_clip.value, np.int64)
-        clip_side = np.empty(n_clip.value, np.int8)
-        lib.lps_result_fill(
-            handle, obs_pos.ctypes.data, obs_allele.ctypes.data,
-            obs_qual.ctypes.data, aln_offsets.ctypes.data,
-            aln_start.ctypes.data, name_offsets.ctypes.data, names,
-            clip_pos.ctypes.data, clip_side.ctypes.data)
-        return {
-            "obs_pos": obs_pos, "obs_allele": obs_allele, "obs_qual": obs_qual,
-            "aln_offsets": aln_offsets, "aln_start": aln_start,
-            "name_offsets": name_offsets,
-            "names": names.raw[:names_len.value].decode("ascii"),
-            "clip_pos": clip_pos, "clip_side": clip_side,
-        }
-    finally:
-        lib.lps_result_free(handle)
+    return _read_extract_result(lib, handle)
 
 
 def _bgzf_bind(lib):
@@ -831,3 +800,208 @@ def bgzf_inflate_span(raw: bytes):
         lib.lps_buf_free(out_p)
         lib.lps_buf_free(coff_p)
         lib.lps_buf_free(uoff_p)
+
+def _marshal_var_tables(positions, infos):
+    n = len(positions)
+    return {
+        "n": n,
+        "var_pos": np.asarray(positions, dtype=np.int64),
+        "ref0": np.frombuffer(
+            "".join((i.ref[0] if i.ref else "N")
+                    for i in infos).encode("ascii"), dtype=np.uint8)
+        if n else np.zeros(0, np.uint8),
+        "alt0": np.frombuffer(
+            "".join((i.alt[0] if i.alt else "N")
+                    for i in infos).encode("ascii"), dtype=np.uint8)
+        if n else np.zeros(0, np.uint8),
+        "ref_len": np.fromiter((len(i.ref) for i in infos), np.int32, n),
+        "alt_len": np.fromiter((len(i.alt) for i in infos), np.int32, n),
+        "danger": np.fromiter((1 if i.is_danger else 0 for i in infos),
+                              np.uint8, n),
+    }
+
+
+def _marshal_svmod(sv_entries, mod_entries):
+    svs = sv_entries or []
+    mods = mod_entries or []
+    names = []
+    flags = []
+    for _p, e in mods:
+        for qname, (rev, is_modify) in e.items():
+            names.append(qname)
+            flags.append((1 if rev else 0) | (2 if is_modify else 0))
+    entry_off = np.zeros(len(mods) + 1, np.int64)
+    np.cumsum([len(e) for _p, e in mods], out=entry_off[1:])
+    name_off = np.zeros(len(names) + 1, np.int64)
+    np.cumsum([len(s) for s in names], out=name_off[1:])
+    return {
+        "n_sv": len(svs),
+        "sv_start": np.asarray([p for p, _l in svs], np.int64),
+        "sv_len": np.asarray([l for _p, l in svs], np.int64),
+        "n_mod": len(mods),
+        "mod_pos": np.asarray([p for p, _e in mods], np.int64),
+        "entry_off": entry_off,
+        "name_blob": "".join(names).encode("latin-1"),
+        "name_off": name_off,
+        "flags": np.asarray(flags, np.uint8),
+    }
+
+
+def _read_extract_result(lib, handle):
+    try:
+        n_obs = ctypes.c_int64()
+        n_aln = ctypes.c_int64()
+        names_len = ctypes.c_int64()
+        n_clip = ctypes.c_int64()
+        lib.lps_result_sizes(handle, ctypes.byref(n_obs), ctypes.byref(n_aln),
+                             ctypes.byref(names_len), ctypes.byref(n_clip))
+        obs_pos = np.empty(n_obs.value, np.int64)
+        obs_allele = np.empty(n_obs.value, np.int8)
+        obs_qual = np.empty(n_obs.value, np.int16)
+        aln_offsets = np.empty(n_aln.value + 1, np.int64)
+        aln_start = np.empty(n_aln.value, np.int32)
+        name_offsets = np.empty(n_aln.value + 1, np.int64)
+        names = ctypes.create_string_buffer(max(names_len.value, 1))
+        clip_pos = np.empty(n_clip.value, np.int64)
+        clip_side = np.empty(n_clip.value, np.int8)
+        lib.lps_result_fill(
+            handle, obs_pos.ctypes.data, obs_allele.ctypes.data,
+            obs_qual.ctypes.data, aln_offsets.ctypes.data,
+            aln_start.ctypes.data, name_offsets.ctypes.data, names,
+            clip_pos.ctypes.data, clip_side.ctypes.data)
+        return {
+            "obs_pos": obs_pos, "obs_allele": obs_allele, "obs_qual": obs_qual,
+            "aln_offsets": aln_offsets, "aln_start": aln_start,
+            "name_offsets": name_offsets,
+            "names": names.raw[:names_len.value].decode("ascii"),
+            "clip_pos": clip_pos, "clip_side": clip_side,
+        }
+    finally:
+        lib.lps_result_free(handle)
+
+
+def _stream_bind(lib):
+    import ctypes as ct
+    if getattr(lib, "_stream_bound", False):
+        return
+    lib._stream_bound = True
+    lib.lps_scan_records.restype = ct.c_int64
+    lib.lps_scan_records.argtypes = [
+        ct.c_char_p, ct.c_int64, ct.c_int32, ct.c_int64, ct.c_int32,
+        ct.c_void_p, ct.c_int64, ct.POINTER(ct.c_int64),
+        ct.POINTER(ct.c_int32)]
+    lib.lps_extract_phase_batch.restype = ct.c_void_p
+    lib.lps_extract_phase_batch.argtypes = [
+        ct.c_char_p, ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p,
+        ct.c_char_p, ct.c_char_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ct.c_char_p, ct.c_int64,
+        ct.c_int64, ct.c_void_p, ct.c_void_p,
+        ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_char_p, ct.c_void_p,
+        ct.c_void_p, ct.c_int32, ct.c_double]
+
+
+def extract_phase_streaming(bam_path: str, chrom: str, last_snp_pos: int,
+                            positions, infos, ref_string: str,
+                            mapping_quality: int, sv_entries=None,
+                            mod_entries=None, sv_window: int = 20,
+                            sv_threshold: float = 0.1,
+                            window_bytes: int = 64 << 20):
+    """Bounded-memory native extraction for files too large to hold
+    inflated in RAM: BAI-seek to the chromosome, stream uncompressed
+    windows (native span inflate) through the native record scanner and
+    the same batch walk the whole-file paths use, concatenating the flat
+    results. Peak memory ~= one window + the accumulated observation
+    arrays."""
+    lib = _load()
+    if lib is None:
+        return None
+    _stream_bind(lib)
+    from ..io.bam import BamReader
+
+    br = BamReader(bam_path)
+    try:
+        if chrom not in br.ref_id:
+            return {"obs_pos": np.zeros(0, np.int64),
+                    "obs_allele": np.zeros(0, np.int8),
+                    "obs_qual": np.zeros(0, np.int16),
+                    "aln_offsets": np.zeros(1, np.int64),
+                    "aln_start": np.zeros(0, np.int32),
+                    "name_offsets": np.zeros(1, np.int64), "names": "",
+                    "clip_pos": np.zeros(0, np.int64),
+                    "clip_side": np.zeros(0, np.int8)}
+        tid = br.seek_chromosome(chrom)
+        t = _marshal_var_tables(positions, infos)
+        sm = _marshal_svmod(sv_entries, mod_entries)
+        ref_bytes = ref_string.encode("ascii")
+        parts = []
+        carry = b""
+        max_off = max(window_bytes // 64, 1024)
+        offsets = np.empty(max_off, np.int64)
+        while True:
+            buf = carry + br._bgzf.read(window_bytes)
+            if not buf:
+                break
+            n_used = ctypes.c_int64()
+            stop = ctypes.c_int32()
+            n_rec = lib.lps_scan_records(
+                buf, len(buf), tid, last_snp_pos, mapping_quality,
+                offsets.ctypes.data, max_off, ctypes.byref(n_used),
+                ctypes.byref(stop))
+            if n_rec > 0:
+                handle = lib.lps_extract_phase_batch(
+                    buf, offsets.ctypes.data, n_rec,
+                    t["n"], t["var_pos"].ctypes.data, t["ref0"].tobytes(),
+                    t["alt0"].tobytes(), t["ref_len"].ctypes.data,
+                    t["alt_len"].ctypes.data, t["danger"].ctypes.data,
+                    ref_bytes, len(ref_bytes),
+                    sm["n_sv"], sm["sv_start"].ctypes.data,
+                    sm["sv_len"].ctypes.data, sm["n_mod"],
+                    sm["mod_pos"].ctypes.data, sm["entry_off"].ctypes.data,
+                    sm["name_blob"], sm["name_off"].ctypes.data,
+                    sm["flags"].ctypes.data, sv_window, float(sv_threshold))
+                if not handle:
+                    return None
+                parts.append(_read_extract_result(lib, handle))
+            if stop.value:
+                break
+            used = n_used.value
+            if used == 0 and n_rec == 0:
+                # window smaller than one record: grow and retry
+                more = br._bgzf.read(window_bytes)
+                if not more:
+                    break
+                carry = buf + more
+                continue
+            carry = buf[used:]
+        # concatenate batches (offsets shift by running totals)
+        if not parts:
+            parts = []
+        out = {"obs_pos": [], "obs_allele": [], "obs_qual": [],
+               "aln_start": [], "clip_pos": [], "clip_side": []}
+        aln_offsets = [np.zeros(1, np.int64)]
+        name_offsets = [np.zeros(1, np.int64)]
+        names = []
+        obs_base = 0
+        name_base = 0
+        for p in parts:
+            for k in out:
+                out[k].append(p[k])
+            aln_offsets.append(p["aln_offsets"][1:] + obs_base)
+            name_offsets.append(p["name_offsets"][1:] + name_base)
+            obs_base += len(p["obs_pos"])
+            name_base += len(p["names"])
+            names.append(p["names"])
+        res = {k: (np.concatenate(v) if v else np.zeros(0)) for k, v in
+               out.items()}
+        res["obs_pos"] = res["obs_pos"].astype(np.int64, copy=False)
+        res["obs_allele"] = res["obs_allele"].astype(np.int8, copy=False)
+        res["obs_qual"] = res["obs_qual"].astype(np.int16, copy=False)
+        res["aln_start"] = res["aln_start"].astype(np.int32, copy=False)
+        res["clip_pos"] = res["clip_pos"].astype(np.int64, copy=False)
+        res["clip_side"] = res["clip_side"].astype(np.int8, copy=False)
+        res["aln_offsets"] = np.concatenate(aln_offsets)
+        res["name_offsets"] = np.concatenate(name_offsets)
+        res["names"] = "".join(names)
+        return res
+    finally:
+        br.close()

@@ -1179,6 +1179,72 @@ void* lps_bam_load_unpacked(const char* header_text, int64_t header_len,
   return h;
 }
 
+// Streaming support: scan complete BAM records in an uncompressed byte
+// window, applying the get_snp record filter (tid / pos<lastSNP / MAPQ /
+// unmapped / secondary / duplicate). Returns the number of offsets
+// written; *n_used = bytes consumed (a trailing partial record stays for
+// the caller's carry buffer); *stop = 1 once records pass lastSNP or the
+// target tid (sorted input), after which the caller can stop feeding.
+int64_t lps_scan_records(const uint8_t* buf, int64_t n, int32_t tid,
+                         int64_t last_snp_pos, int32_t mapping_quality,
+                         int64_t* offsets, int64_t max_offsets,
+                         int64_t* n_used, int32_t* stop) {
+  int64_t count = 0;
+  int64_t pos = 0;
+  *stop = 0;
+  while (pos + 4 <= n && count < max_offsets) {
+    int32_t block_size = rd_i32(buf + pos);
+    int64_t rp = pos + 4;
+    if (rp + block_size > n) break;  // partial record: carry
+    const uint8_t* rec = buf + rp;
+    int32_t rec_tid = rd_i32(rec);
+    int32_t rpos = rd_i32(rec + 4);
+    if (rec_tid != tid) {
+      if (rec_tid > tid && rec_tid != -1) {
+        *stop = 1;
+        pos = rp + block_size;
+        break;
+      }
+      pos = rp + block_size;
+      continue;
+    }
+    if (rpos >= last_snp_pos) {
+      *stop = 1;
+      pos = rp + block_size;
+      break;
+    }
+    uint8_t mapq = rec[9];
+    uint16_t flag = rd_u16(rec + 14);
+    if (!(mapq < mapping_quality || (flag & 0x4) || (flag & 0x100) ||
+          (flag & 0x400)))
+      offsets[count++] = rp;
+    pos = rp + block_size;
+  }
+  *n_used = pos;
+  return count;
+}
+
+// Batch walk over scanned records in a caller-provided buffer — the same
+// phase_walk the whole-file paths use; batches need no carried iterator
+// state because the per-chunk lower_bound initialization is a pure
+// function of each record's start position (sorted input).
+void* lps_extract_phase_batch(
+    const uint8_t* buf, const int64_t* rec_off, int64_t n_rec, int64_t n_var,
+    const int64_t* var_pos, const char* var_ref0, const char* var_alt0,
+    const int32_t* var_ref_len, const int32_t* var_alt_len,
+    const uint8_t* var_danger, const char* ref_string, int64_t ref_len,
+    int64_t n_sv, const int64_t* sv_start, const int64_t* sv_len,
+    int64_t n_mod, const int64_t* mod_pos, const int64_t* mod_entry_off,
+    const char* mod_names_blob, const int64_t* mod_name_off,
+    const uint8_t* mod_flags, int32_t sv_window, double sv_threshold) {
+  std::vector<size_t> offs(rec_off, rec_off + n_rec);
+  return phase_walk(buf, offs, n_var, var_pos, var_ref0, var_alt0,
+                    var_ref_len, var_alt_len, var_danger, ref_string, ref_len,
+                    n_sv, sv_start, sv_len, n_mod, mod_pos, mod_entry_off,
+                    mod_names_blob, mod_name_off, mod_flags, sv_window,
+                    sv_threshold);
+}
+
 // Handle-based phase extraction: reuses an lps_bam_load'd whole-file handle
 // so the BGZF inflate is paid once per file per process, not once per
 // extraction call.

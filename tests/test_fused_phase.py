@@ -122,3 +122,41 @@ def test_flat_path_covers_svmod(tmp_path, monkeypatch):
         b = (tmp_path / f"oracle{suffix}").read_text().splitlines()
         assert [l for l in a if not l.startswith("##")] == \
             [l for l in b if not l.startswith("##")]
+
+
+def test_streaming_extraction_under_memory_cap(tmp_path, monkeypatch):
+    """With LPS_MAX_INMEM_BAM below the file size, extraction streams
+    bounded windows through the native scanner/walk and the phase output
+    must equal the whole-file-handle run (both engines)."""
+    from longphase_s_tpu import native
+    from longphase_s_tpu.models.phase import PhaseConfig, run_phase
+    from longphase_s_tpu.testing.simulate import make_fixture
+
+    fx = make_fixture(str(tmp_path / "fix"), seed=12, length=150000,
+                      coverage=20, read_len=9000, snp_rate=0.0015,
+                      n_svs=3, n_mods=4)
+
+    def cfg(out):
+        return PhaseConfig(snp_file=fx["vcf"], bam_files=[fx["bam"]],
+                           fasta_file=fx["fasta"], sv_file=fx["sv_vcf"],
+                           mod_file=fx["mod_vcf"],
+                           result_prefix=str(tmp_path / out),
+                           num_threads=1, is_pb=True, engine="tpu")
+
+    normal = run_phase(cfg("normal"))
+
+    used = {}
+    orig = native.extract_phase_streaming
+
+    def spy(*a, **kw):
+        used["stream"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(native, "extract_phase_streaming", spy)
+    monkeypatch.setenv("LPS_MAX_INMEM_BAM", "1000")
+    native._bam_cache.clear()
+    capped = run_phase(cfg("capped"))
+    monkeypatch.delenv("LPS_MAX_INMEM_BAM")
+    native._bam_cache.clear()
+    assert used.get("stream"), "memory cap did not engage the streaming path"
+    assert capped == normal
