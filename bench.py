@@ -160,11 +160,13 @@ def _best_of(fn, n=3):
 
 
 def _measure_reference(name, cmd, cache_key):
-    """Best-of-2 reference run; cached so bench works without the binary."""
+    """Best-of-3 reference run; cached so bench works without the binary."""
     cache = os.path.join(BENCH_DIR, f"baseline_{name}.json")
     if os.path.exists(REF_BIN):
+        # best-of-3, same as our side: this host has intermittent
+        # memory-provisioning stalls that can double any single run
         elapsed = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
             elapsed = min(elapsed, time.monotonic() - t0)
