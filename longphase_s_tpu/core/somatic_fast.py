@@ -216,7 +216,7 @@ def nor_ps_aggregate(walk, t, cps_nor):
     min_ps = np.zeros(A, np.int64)
     cidx = np.flatnonzero(cps_nor)
     if not len(cidx):
-        return n_ps, min_ps, (np.zeros(0, np.int64),) * 3
+        return n_ps, min_ps, ([0] * (A + 1), [], [])
     psv = t["nor_ps"][walk["obs_var"][cidx]]
     aln_ps = al[cidx].astype(np.int64)
     stride = psv.max() + 1
@@ -225,15 +225,18 @@ def nor_ps_aggregate(walk, t, cps_nor):
     n_ps = np.bincount(u_aln, minlength=A).astype(np.int64)
     ua, ufirst = np.unique(u_aln, return_index=True)
     min_ps[ua] = uk[ufirst] % stride
-    return n_ps, min_ps, (u_aln, uk % stride, ucnt)
+    # one bulk conversion + pointer table; nor_ps_dict slices Python lists
+    ptr = np.searchsorted(u_aln, np.arange(A + 1)).tolist()
+    return n_ps, min_ps, (ptr, (uk % stride).tolist(), ucnt.tolist())
 
 
 def nor_ps_dict(ps_triples, a):
     """nor_count_ps dict for alignment ``a`` from the sorted triples."""
-    u_aln, psv, cnt = ps_triples
-    lo = int(np.searchsorted(u_aln, a))
-    hi = int(np.searchsorted(u_aln, a + 1))
-    return dict(zip(psv[lo:hi].tolist(), cnt[lo:hi].tolist()))
+    ptr, psv, cnt = ps_triples
+    if not psv:
+        return {}
+    lo, hi = ptr[a], ptr[a + 1]
+    return dict(zip(psv[lo:hi], cnt[lo:hi]))
 
 
 def judge_somatic_reads(h1, h2, h3, n_nor_ps, thr):
