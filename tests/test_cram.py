@@ -133,3 +133,41 @@ def test_somatic_cram_input(reference_binary, tmp_path):
         bam_file=fix["normal_bam"], tumor_bam_file=tumor_cram,
         fasta_file=fix["fasta"], result_prefix=ours))
     assert _tags(golden + ".bam") == _tags(ours + ".bam")
+
+
+def test_somatic_cram_output_fast_path(reference_binary, tmp_path):
+    """somatic_haplotag --cram stays on the native fast path: the CRAM's
+    tags must match the reference's BAM output and htslib must read it."""
+    from longphase_s_tpu.models.somatic import (SomaticConfig,
+                                                run_somatic_haplotag)
+    from longphase_s_tpu.testing.simulate import make_somatic_fixture
+
+    fx = make_somatic_fixture(str(tmp_path / "fix"), seed=17, length=300000)
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fx["normal_vcf"],
+                    "-b", fx["normal_bam"], "-r", fx["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "somatic_haplotag", "-s",
+                    phased + ".vcf", "--tumor-snv-file", fx["tumor_vcf"],
+                    "-b", fx["normal_bam"], "--tumor-bam-file",
+                    fx["tumor_bam"], "-r", fx["fasta"], "-o", golden],
+                   check=True, capture_output=True)
+    ours = str(tmp_path / "ours")
+    run_somatic_haplotag(SomaticConfig(
+        snp_file=phased + ".vcf", tumor_snv_file=fx["tumor_vcf"],
+        bam_file=fx["normal_bam"], tumor_bam_file=fx["tumor_bam"],
+        fasta_file=fx["fasta"], result_prefix=ours, output_cram=True))
+
+    fa = FastaFile(fx["fasta"])
+
+    def tags(it):
+        return {(r.qname, r.pos): (r.get_tag("HP"), r.get_tag("PS"),
+                                   r.get_tag("PQ")) for r in it}
+
+    assert tags(CramReader(ours + ".cram", fasta=fa)) == \
+        tags(BamReader(golden + ".bam"))
+    r = subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                        "-b", ours + ".cram", "-r", fx["fasta"], "-o",
+                        str(tmp_path / "rt")], capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
