@@ -1005,3 +1005,115 @@ def extract_phase_streaming(bam_path: str, chrom: str, last_snp_pos: int,
         return res
     finally:
         br.close()
+
+
+def _unpacked_bind(lib):
+    import ctypes as ct
+    if getattr(lib, "_unpacked_bound", False):
+        return
+    lib._unpacked_bound = True
+    lib.lps_bam_load_unpacked.restype = ct.c_void_p
+    lib.lps_bam_load_unpacked.argtypes = [
+        ct.c_char_p, ct.c_int64, ct.c_int64, ct.c_char_p, ct.c_void_p,
+        ct.c_void_p, ct.c_char_p, ct.c_void_p, ct.c_int64]
+
+
+def bam_handle_from_records(header_text: str, references, lengths,
+                            blob: bytes, rec_off) -> "NativeBam | None":
+    """In-memory NativeBam over raw record blobs (window handles for the
+    streaming tag runtime; also used by the CRAM loader)."""
+    lib = _load()
+    if lib is None:
+        return None
+    _tag_bind(lib)
+    _unpacked_bind(lib)
+    names_blob = "".join(references).encode("latin-1")
+    name_off = np.zeros(len(references) + 1, np.int64)
+    np.cumsum([len(s) for s in references], out=name_off[1:])
+    ref_lens = np.asarray(lengths, np.int64)
+    hdr = header_text.encode("latin-1")
+    rec_off = np.ascontiguousarray(rec_off, np.int64)
+    h = lib.lps_bam_load_unpacked(
+        hdr, len(hdr), len(references), names_blob, name_off.ctypes.data,
+        ref_lens.ctypes.data, blob, rec_off.ctypes.data, len(rec_off) - 1)
+    if not h:
+        return None
+    nb = NativeBam.__new__(NativeBam)
+    nb._lib = lib
+    nb._h = h
+    nb.path = None
+    return nb
+
+
+def _tagw_bind(lib):
+    import ctypes as ct
+    if getattr(lib, "_tagw_bound", False):
+        return
+    lib._tagw_bound = True
+    lib.lps_scan_tid_records.restype = ct.c_int64
+    lib.lps_scan_tid_records.argtypes = [
+        ct.c_char_p, ct.c_int64, ct.c_int32, ct.c_void_p, ct.c_int64,
+        ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32)]
+    lib.lps_tagw_open.restype = ct.c_void_p
+    lib.lps_tagw_open.argtypes = [
+        ct.c_char_p, ct.c_int64, ct.c_int64, ct.c_char_p, ct.c_void_p,
+        ct.c_void_p, ct.c_char_p, ct.c_int32]
+    lib.lps_tagw_feed.restype = ct.c_int64
+    lib.lps_tagw_feed.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_void_p,
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_char_p, ct.c_void_p]
+    lib.lps_tagw_close.restype = ct.c_int64
+    lib.lps_tagw_close.argtypes = [ct.c_void_p]
+
+
+def tagw_open(header_text: str, references, lengths, out_path: str,
+              level: int = 6):
+    lib = _load()
+    if lib is None:
+        return None
+    _tagw_bind(lib)
+    names_blob = "".join(references).encode("latin-1")
+    name_off = np.zeros(len(references) + 1, np.int64)
+    np.cumsum([len(s) for s in references], out=name_off[1:])
+    ref_lens = np.asarray(lengths, np.int64)
+    hdr = header_text.encode("latin-1")
+    w = lib.lps_tagw_open(hdr, len(hdr), len(references), names_blob,
+                          name_off.ctypes.data, ref_lens.ctypes.data,
+                          out_path.encode(), level)
+    return w or None
+
+
+def tagw_feed(w, window_nb: "NativeBam", rec_indices, mode, hp_int, ps, pq,
+              hp_strs) -> bool:
+    lib = _load()
+    rec_indices = np.ascontiguousarray(rec_indices, np.int64)
+    mode = np.ascontiguousarray(mode, np.uint8)
+    hp_int = np.ascontiguousarray(hp_int, np.int32)
+    ps = np.ascontiguousarray(ps, np.int64)
+    pq = np.ascontiguousarray(pq, np.int32)
+    blob = "".join(hp_strs).encode("ascii")
+    off = np.zeros(len(hp_strs) + 1, np.int64)
+    np.cumsum([len(s) for s in hp_strs], out=off[1:])
+    return lib.lps_tagw_feed(
+        w, window_nb._h, len(rec_indices), rec_indices.ctypes.data,
+        mode.ctypes.data, hp_int.ctypes.data, ps.ctypes.data, pq.ctypes.data,
+        blob, off.ctypes.data) == 0
+
+
+def tagw_close(w) -> bool:
+    lib = _load()
+    return lib.lps_tagw_close(w) >= 0
+
+
+def scan_tid_records(buf: bytes, tid: int, max_offsets: int):
+    """All complete records of ``tid`` in ``buf``; returns
+    (offsets, used, stop)."""
+    lib = _load()
+    _tagw_bind(lib)
+    offsets = np.empty(max_offsets, np.int64)
+    n_used = ctypes.c_int64()
+    stop = ctypes.c_int32()
+    n = lib.lps_scan_tid_records(buf, len(buf), tid, offsets.ctypes.data,
+                                 max_offsets, ctypes.byref(n_used),
+                                 ctypes.byref(stop))
+    return offsets[:n], n_used.value, bool(stop.value)

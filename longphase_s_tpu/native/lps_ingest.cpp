@@ -1769,6 +1769,123 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
   return ok ? total_comp : -1;
 }
 
+// Scan every complete record of `tid` in an uncompressed window (the tag
+// runtimes categorize all of a chromosome's records, so no quality/flag
+// filtering here). *stop = 1 once a higher tid appears (sorted input).
+int64_t lps_scan_tid_records(const uint8_t* buf, int64_t n, int32_t tid,
+                             int64_t* offsets, int64_t max_offsets,
+                             int64_t* n_used, int32_t* stop) {
+  int64_t count = 0;
+  int64_t pos = 0;
+  *stop = 0;
+  while (pos + 4 <= n && count < max_offsets) {
+    int32_t block_size = rd_i32(buf + pos);
+    int64_t rp = pos + 4;
+    if (rp + block_size > n) break;  // partial record: carry
+    int32_t rec_tid = rd_i32(buf + rp);
+    if (rec_tid == tid) {
+      offsets[count++] = rp;
+    } else if (rec_tid > tid && rec_tid != -1) {
+      *stop = 1;
+      pos = rp + block_size;
+      break;
+    }
+    pos = rp + block_size;
+  }
+  *n_used = pos;
+  return count;
+}
+
+// Streaming tag writer: open once, feed per-window decision batches (each
+// referencing a window-local BamHandle), close to finish. Records stream
+// through a bounded reusable stage (compress+write at 32MB boundaries).
+struct TagWriterStream {
+  FILE* f = nullptr;
+  int level = 6;
+  std::vector<uint8_t> stage;
+  int64_t total = 0;
+  bool ok = true;
+};
+
+static bool tagw_flush(TagWriterStream* w) {
+  if (w->stage.empty()) return true;
+  uint8_t* comp = nullptr;
+  int64_t n = lps_bgzf_compress(w->stage.data(), (int64_t)w->stage.size(),
+                                w->level, &comp);
+  bool ok = fwrite(comp, 1, (size_t)n, w->f) == (size_t)n;
+  free(comp);
+  w->total += n;
+  w->stage.clear();
+  return ok;
+}
+
+void* lps_tagw_open(const char* header_text, int64_t header_len,
+                    int64_t n_ref, const char* names_blob,
+                    const int64_t* name_off, const int64_t* ref_lens,
+                    const char* out_path, int32_t level) {
+  auto* w = new TagWriterStream();
+  w->level = level;
+  w->f = fopen(out_path, "wb");
+  if (!w->f) {
+    delete w;
+    return nullptr;
+  }
+  w->stage.reserve((32u << 20) + (4u << 20));
+  auto put_i32 = [&](int32_t v) {
+    const uint8_t* p = (const uint8_t*)&v;
+    w->stage.insert(w->stage.end(), p, p + 4);
+  };
+  w->stage.insert(w->stage.end(), {'B', 'A', 'M', 1});
+  put_i32((int32_t)header_len);
+  w->stage.insert(w->stage.end(), (const uint8_t*)header_text,
+                  (const uint8_t*)header_text + header_len);
+  put_i32((int32_t)n_ref);
+  for (int64_t i = 0; i < n_ref; ++i) {
+    int64_t nl = name_off[i + 1] - name_off[i];
+    put_i32((int32_t)nl + 1);
+    w->stage.insert(w->stage.end(),
+                    (const uint8_t*)names_blob + name_off[i],
+                    (const uint8_t*)names_blob + name_off[i + 1]);
+    w->stage.push_back(0);
+    put_i32((int32_t)ref_lens[i]);
+  }
+  return w;
+}
+
+int64_t lps_tagw_feed(void* wp, void* hp, int64_t n_out,
+                      const int64_t* rec_indices, const uint8_t* mode,
+                      const int32_t* hp_int, const int64_t* ps,
+                      const int32_t* pq, const char* hp_str_blob,
+                      const int64_t* hp_str_off) {
+  auto* w = (TagWriterStream*)wp;
+  auto* h = (BamHandle*)hp;
+  static const size_t STAGE = 32u << 20;
+  for (int64_t oi = 0; oi < n_out && w->ok; ++oi) {
+    size_t rec_start = w->stage.size();
+    w->stage.resize(w->stage.size() + 4);
+    assemble_tagged_record(h, rec_indices[oi], mode[oi], oi, hp_int, ps, pq,
+                           hp_str_blob, hp_str_off, w->stage);
+    int32_t bsz = (int32_t)(w->stage.size() - rec_start - 4);
+    memcpy(&w->stage[rec_start], &bsz, 4);
+    if (w->stage.size() >= STAGE) w->ok = tagw_flush(w) && w->ok;
+  }
+  return w->ok ? 0 : -1;
+}
+
+int64_t lps_tagw_close(void* wp) {
+  auto* w = (TagWriterStream*)wp;
+  bool ok = tagw_flush(w) && w->ok;
+  static const uint8_t EOF_BLOCK[28] = {
+      0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+      0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+  ok = ok && fwrite(EOF_BLOCK, 1, 28, w->f) == 28;
+  fclose(w->f);
+  int64_t total = w->total;
+  delete w;
+  return ok ? total : -1;
+}
+
 // CRAM-output variant of lps_tag_write: the same aux surgery feeds the
 // native CRAM encoder (lps_cram.cpp) in containers of up to 10000 records
 // flushed on tid change (mirrors io/cram.py CramWriter batching).

@@ -37,3 +37,50 @@ def test_haplotag_matches_reference(reference_binary, small_fixture, tmp_path):
     assert len(g) == len(o), (len(g), len(o))
     mism = [(a, b) for a, b in zip(g, o) if a != b]
     assert not mism, f"{len(mism)} differing records; first: {mism[0]}"
+
+
+def test_streaming_haplotag_under_memory_cap(reference_binary, small_fixture,
+                                             tmp_path, monkeypatch):
+    """With LPS_MAX_INMEM_BAM below the file size, haplotag streams bounded
+    windows through per-window handles and the streaming native writer —
+    tags must stay record-identical to the reference binary."""
+    import subprocess
+
+    from longphase_s_tpu import native
+    from longphase_s_tpu.io.bam import BamReader
+    from longphase_s_tpu.models.haplotag import HaplotagConfig, run_haplotag
+    from longphase_s_tpu.models import haplotag_fast as hf
+
+    fix = small_fixture
+    phased = str(tmp_path / "phased")
+    subprocess.run([reference_binary, "phase", "--pb", "-s", fix["vcf"],
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", phased],
+                   check=True, capture_output=True)
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "haplotag", "-s", phased + ".vcf",
+                    "-b", fix["bam"], "-r", fix["fasta"], "-o", golden],
+                   check=True, capture_output=True)
+
+    used = {}
+    orig = hf._run_haplotag_streaming
+
+    def spy(cfg):
+        used["stream"] = True
+        return orig(cfg)
+
+    monkeypatch.setattr(hf, "_run_haplotag_streaming", spy)
+    monkeypatch.setenv("LPS_MAX_INMEM_BAM", "1000")
+    native._bam_cache.clear()
+    run_haplotag(HaplotagConfig(snp_file=phased + ".vcf",
+                                bam_file=fix["bam"],
+                                fasta_file=fix["fasta"],
+                                result_prefix=str(tmp_path / "ours")))
+    monkeypatch.delenv("LPS_MAX_INMEM_BAM")
+    native._bam_cache.clear()
+    assert used.get("stream"), "memory cap did not engage streaming haplotag"
+
+    def tags(path):
+        return [(r.qname, r.pos, r.get_tag("HP"), r.get_tag("PS"),
+                 r.get_tag("PQ")) for r in BamReader(path)]
+
+    assert tags(str(tmp_path / "ours.bam")) == tags(golden + ".bam")
