@@ -222,6 +222,53 @@ def bench_haplotag(results):
     results.append(("haplotag", meta["n_reads"], ours_s, ref_s))
 
 
+def bench_haplotag_cram(results):
+    """haplotag with CRAM input on both sides: captures the native CRAM
+    decode inside an end-to-end flow (the reference reads CRAM via htslib)."""
+    from longphase_s_tpu.models.haplotag import HaplotagConfig, run_haplotag
+
+    meta = get_phase_fixture()
+    phased = get_phased_vcf(meta)
+    cram = os.path.join(BENCH_DIR, "fix_reads.cram")
+    if not os.path.exists(cram) or os.path.getmtime(cram) < os.path.getmtime(
+            meta["bam"]):
+        from longphase_s_tpu.io.bam import BamReader
+        from longphase_s_tpu.io.cram import CramWriter
+
+        br = BamReader(meta["bam"])
+        w = CramWriter(cram, br.header_text, br.references, br.lengths)
+        for rec in br:
+            w.write(rec)
+        w.close()
+        br.close()
+    out = os.path.join(BENCH_DIR, "ours_haplotag_cram")
+    cfg = HaplotagConfig(snp_file=phased, bam_file=cram,
+                         fasta_file=meta["fasta"], result_prefix=out,
+                         num_threads=NTHREADS)
+
+    def run_cold_decode():
+        # drop the cached handle so every timed run pays the CRAM decode,
+        # like the reference does (this line is ABOUT decode throughput)
+        from longphase_s_tpu import native as _nat
+
+        with _nat._bam_cache_lock:
+            for _k, (_m, _nb) in list(_nat._bam_cache.items()):
+                _nb.close()
+            _nat._bam_cache.clear()
+        run_haplotag(cfg)
+
+    run_cold_decode()  # warm-up
+    ours_s = _best_of(run_cold_decode)
+    ref_s = _measure_reference(
+        "haplotag_cram",
+        [REF_BIN, "haplotag", "-s", phased, "-b", cram,
+         "-r", meta["fasta"], "-o",
+         os.path.join(BENCH_DIR, "golden_haplotag_cram"),
+         "-t", str(NTHREADS)],
+        json.dumps(PHASE_CFG, sort_keys=True))
+    results.append(("haplotag_cram", meta["n_reads"], ours_s, ref_s))
+
+
 def bench_somatic(results):
     from longphase_s_tpu.models.somatic import SomaticConfig, run_somatic_haplotag
 
@@ -295,8 +342,8 @@ def main():
     # revert to the host packer (ADVICE r1: no invisible perf cliffs)
     os.environ.setdefault("LPS_STRICT_DEVICE", "1")
     results = []  # (name, n_units, ours_s, ref_s|None)
-    for fn in (bench_phase, bench_haplotag, bench_somatic, bench_purity,
-               bench_modcall):
+    for fn in (bench_phase, bench_haplotag, bench_haplotag_cram,
+               bench_somatic, bench_purity, bench_modcall):
         try:
             fn(results)
         except Exception as e:  # one broken pipeline must not hide the rest
