@@ -301,10 +301,12 @@ def run_haplotag_fast(cfg):
         if (not dist.is_active() and not cfg.output_cram
                 and not is_cram(cfg.bam_file) and native.available()
                 and _os.path.getsize(cfg.bam_file) > native._inmem_budget()):
-            return _run_haplotag_streaming(cfg)
-        if dist.is_active():
-            raise RuntimeError("--dist requires the native runtime")
-        return None
+            # past the RAM budget: windowed streaming handle, same flow
+            nb = native.StreamingBam(cfg.bam_file)
+        else:
+            if dist.is_active():
+                raise RuntimeError("--dist requires the native runtime")
+            return None
 
     timer = StageTimer()
     stats = ReadStatistics()
@@ -417,152 +419,3 @@ def run_haplotag_fast(cfg):
     print(f"    L----total HP2        : {stats.hp_count.get(2, 0)}", file=sys.stderr)
     print(f"total untagged            : {stats.total_untag_count}", file=sys.stderr)
     return stats
-
-def _run_haplotag_streaming(cfg):
-    """Bounded-memory germline haplotag for BAMs too large to hold
-    inflated in RAM: per chromosome, BAI-seek and stream uncompressed
-    windows; each window becomes an in-memory handle driving the same
-    native walk + vectorized judges, and the decisions feed a streaming
-    native BAM writer. Record-identical to the whole-file fast path."""
-    from ..io.fasta import FastaFile
-    from ..io.phased_vcf import PhasedVcfReader, VcfInfo
-    from .haplotag import ReadStatistics
-
-    timer = StageTimer()
-    stats = ReadStatistics()
-
-    chr_multi: dict[str, dict[int, dict[int, object]]] = {}
-    info = VcfInfo(sample=NORMAL)
-    reader = PhasedVcfReader(NORMAL)
-    with timer("parsing SNP VCF"):
-        reader.parse(cfg.snp_file, info, chr_multi, mode="snp")
-    if cfg.sv_file:
-        with timer("parsing SV VCF"):
-            reader.parse(cfg.sv_file, info, chr_multi, mode="sv")
-    if cfg.mod_file:
-        with timer("parsing MOD VCF"):
-            reader.parse(cfg.mod_file, info, chr_multi, mode="mod")
-
-    chr_vec = list(info.chr_vec)
-    if cfg.region:
-        region_chr = cfg.region.split(":")[0]
-        if region_chr not in chr_vec:
-            print(f"[ERROR] Incorrect chromosome for input region: "
-                  f"{region_chr}", file=sys.stderr)
-            sys.exit(1)
-        chr_vec = [region_chr]
-    for chrom in list(chr_multi):
-        if chrom not in chr_vec:
-            del chr_multi[chrom]
-
-    fasta = FastaFile(cfg.fasta_file)
-    hdr_reader = BamReader(cfg.bam_file)
-    header = hdr_reader.header_text
-    if not header.endswith("\n") and header:
-        header += "\n"
-    header += (f"@PG\tID:longphase-s\tPN:longphase-s\tVN:{REFERENCE_VERSION}"
-               f"\tCL:{cfg.command}\n")
-    refs = hdr_reader.references
-    lens = hdr_reader.lengths
-    ref_ids = hdr_reader.ref_id
-    hdr_reader.close()
-    sv_counts = info.read_sv_hap_count
-
-    w = native.tagw_open(header, refs, lens, cfg.result_prefix + ".bam")
-    if w is None:
-        return None
-    window_bytes = 64 << 20
-    with timer("tag read (streaming)"):
-        for chrom in chr_vec:
-            if chrom not in ref_ids:
-                continue
-            variants = chr_multi.get(chrom, {})
-            positions = sorted(variants)
-            last_var = positions[-1] if positions else None
-            last_phased = 0
-            for p in reversed(positions):
-                v = variants[p].get(NORMAL)
-                if v is not None and v.has_ps:
-                    last_phased = p
-                    break
-            ref_string = fasta.fetch(chrom, 0, last_phased + 6) \
-                if chrom in fasta.index and last_phased else ""
-            chrom_len = info.chr_length.get(chrom)
-            beg, end = region_bounds(cfg.region, chrom_len) if cfg.region \
-                else (0, chrom_len)
-            t = build_variant_tables(positions, variants)
-
-            br = BamReader(cfg.bam_file)
-            try:
-                tid = br.seek_chromosome(chrom)
-                carry = b""
-                while True:
-                    buf = carry + br._bgzf.read(window_bytes)
-                    if not buf:
-                        break
-                    offs, used, stop = native.scan_tid_records(
-                        buf, tid, max(window_bytes // 48, 1024))
-                    if len(offs):
-                        blob, blob_off = _sizes_to_blob_offsets(buf, offs)
-                        wnb = native.bam_handle_from_records(
-                            header, refs, lens, blob, blob_off)
-                        if wnb is None:
-                            return None
-                        try:
-                            walk = wnb.tag_walk(
-                                chrom, beg, end, positions, last_var,
-                                ref_string, cfg.quality_threshold, True,
-                                cfg.tag_supplementary)
-                            if walk is not None and len(walk["category"]):
-                                mode, hp, min_ps, pq = _judge_walk(
-                                    cfg, walk, t, ref_string, sv_counts,
-                                    stats)
-                                if not native.tagw_feed(
-                                        w, wnb, walk["rec_idx"], mode, hp,
-                                        min_ps, pq, [""] * len(mode)):
-                                    raise RuntimeError(
-                                        "streaming tag write failed")
-                        finally:
-                            wnb.close()
-                    if stop:
-                        break
-                    if used == 0 and not len(offs):
-                        more = br._bgzf.read(window_bytes)
-                        if not more:
-                            break
-                        carry = buf + more
-                        continue
-                    carry = buf[used:]
-            finally:
-                br.close()
-    if not native.tagw_close(w):
-        raise RuntimeError("streaming tag writer close failed")
-
-    print("-------------------------------------------", file=sys.stderr)
-    print(f"total alignment           : {stats.total_alignment}",
-          file=sys.stderr)
-    print(f"total tagged alignments   : {stats.total_tag_count}",
-          file=sys.stderr)
-    print(f"    L----total HP1        : {stats.hp_count.get(1, 0)}",
-          file=sys.stderr)
-    print(f"    L----total HP2        : {stats.hp_count.get(2, 0)}",
-          file=sys.stderr)
-    print(f"total untagged            : {stats.total_untag_count}",
-          file=sys.stderr)
-    return stats
-
-
-def _sizes_to_blob_offsets(buf, rec_starts):
-    """Record-start offsets (after size prefix) -> contiguous blob +
-    boundary offsets for bam_handle_from_records. Records may be
-    non-contiguous in `buf` (other-tid records interleave), so copy the
-    kept records into a fresh blob."""
-    import struct as _struct
-
-    sizes = [
-        _struct.unpack_from("<i", buf, int(o) - 4)[0] for o in rec_starts]
-    blob = b"".join(buf[int(o):int(o) + s]
-                    for o, s in zip(rec_starts, sizes))
-    off = np.zeros(len(sizes) + 1, np.int64)
-    np.cumsum(sizes, out=off[1:])
-    return blob, off

@@ -86,11 +86,32 @@ def _native_bams(cfg):
     import os
 
     from .. import native
+    from ..io.cram import is_cram
 
     if os.environ.get("LPS_NO_NATIVE_TAG"):
         return None, None
-    nor = native.open_native_bam(cfg.bam_file, cfg.fasta_file)
-    tum = native.open_native_bam(cfg.tumor_bam_file, cfg.fasta_file)
+
+    from ..parallel import distributed as dist
+
+    def open_one(path, allow_stream):
+        nb = native.open_native_bam(path, cfg.fasta_file)
+        if nb is not None:
+            return nb
+        # past the RAM budget: stream plain BAMs through windowed handles
+        # (single-host only — the distributed tag gather assumes handle
+        # record indices)
+        try:
+            if (allow_stream and not dist.is_active() and native.available()
+                    and not is_cram(path)
+                    and os.path.getsize(path) > native._inmem_budget()):
+                return native.StreamingBam(path)
+        except OSError:
+            pass
+        return None
+
+    # CRAM output needs the whole-file writer; streaming covers BAM output
+    nor = open_one(cfg.bam_file, True)
+    tum = open_one(cfg.tumor_bam_file, not cfg.output_cram)
     return nor, tum
 
 

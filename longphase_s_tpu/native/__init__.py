@@ -1117,3 +1117,180 @@ def scan_tid_records(buf: bytes, tid: int, max_offsets: int):
                                  max_offsets, ctypes.byref(n_used),
                                  ctypes.byref(stop))
     return offsets[:n], n_used.value, bool(stop.value)
+
+
+class StreamingBam:
+    """Virtual whole-file handle for BAMs past the RAM budget: quacks like
+    ``NativeBam`` for the tag runtimes. ``tag_walk`` streams bounded
+    uncompressed windows, runs the native walk per window and returns the
+    concatenated walk dict (observation-scale memory, not base-scale);
+    ``tag_write`` replays the identical window sequence and feeds the
+    streaming native writer with the recorded per-window record selections.
+    CRAM output is unsupported (callers keep their object fallback)."""
+
+    WINDOW = 64 << 20
+
+    def __init__(self, path: str):
+        from ..io.bam import BamReader
+
+        self.path = path
+        hdr = BamReader(path)
+        self.header_text = hdr.header_text
+        self.references = hdr.references
+        self.lengths = hdr.lengths
+        self._ref_id = hdr.ref_id
+        hdr.close()
+        # replay plan: chrom -> list of per-window local record selections
+        self._plan: dict[str, list[np.ndarray]] = {}
+        self._plan_walked: dict[str, tuple] = {}
+
+    def close(self):
+        pass
+
+    def tid(self, chrom: str) -> int:
+        return self._ref_id.get(chrom, -1)
+
+    def _windows(self, chrom: str):
+        """Deterministic window stream over the chromosome's records:
+        yields (blob, blob_off) of complete tid records per window."""
+        from ..io.bam import BamReader
+
+        br = BamReader(self.path)
+        try:
+            tid = br.seek_chromosome(chrom)
+            carry = b""
+            while True:
+                buf = carry + br._bgzf.read(self.WINDOW)
+                if not buf:
+                    break
+                offs, used, stop = scan_tid_records(
+                    buf, tid, max(self.WINDOW // 48, 1024))
+                if len(offs):
+                    import struct as _struct
+
+                    sizes = [_struct.unpack_from("<i", buf, int(o) - 4)[0]
+                             for o in offs]
+                    blob = b"".join(buf[int(o):int(o) + s]
+                                    for o, s in zip(offs, sizes))
+                    boff = np.zeros(len(sizes) + 1, np.int64)
+                    np.cumsum(sizes, out=boff[1:])
+                    yield blob, boff
+                if stop:
+                    break
+                if used == 0 and not len(offs):
+                    more = br._bgzf.read(self.WINDOW)
+                    if not more:
+                        break
+                    carry = buf + more
+                    continue
+                carry = buf[used:]
+        finally:
+            br.close()
+
+    def tag_walk(self, chrom, beg, end, positions, last_var, ref_string,
+                 quality_threshold, mapq_filter, tag_supplementary,
+                 want_window=None, window: int = 100):
+        if self.tid(chrom) < 0:
+            return None
+        parts = []
+        plan: list[np.ndarray] = []
+        for blob, boff in self._windows(chrom):
+            wnb = bam_handle_from_records(self.header_text, self.references,
+                                          self.lengths, blob, boff)
+            if wnb is None:
+                return None
+            try:
+                w = wnb.tag_walk(chrom, beg, end, positions, last_var,
+                                 ref_string, quality_threshold, mapq_filter,
+                                 tag_supplementary, want_window=want_window,
+                                 window=window)
+            finally:
+                wnb.close()
+            if w is None:
+                plan.append(np.zeros(0, np.int64))
+                continue
+            plan.append(w["rec_idx"].copy())  # window-local selection
+            parts.append(w)
+        self._plan[chrom] = plan
+        if not parts:
+            return {k: np.zeros(0, d) for k, d in (
+                ("rec_idx", np.int64), ("category", np.uint8),
+                ("flag", np.uint16), ("mapq", np.uint8), ("pos", np.int64),
+                ("end_ref_pos", np.int64), ("end_query_pos", np.int64),
+                ("obs_aln", np.int32), ("obs_var", np.int32),
+                ("obs_kind", np.uint8), ("obs_base", np.uint8),
+                ("obs_flags", np.uint8), ("obs_aux", np.int32),
+                ("wd_obs", np.int64), ("wd_off", np.int16),
+                ("wd_base", np.uint8))} | {
+                    "name_off": np.zeros(1, np.int64), "names": ""}
+        out = {}
+        plain = ("category", "flag", "mapq", "pos", "end_ref_pos",
+                 "end_query_pos", "obs_var", "obs_kind", "obs_base",
+                 "obs_flags", "obs_aux", "wd_off", "wd_base")
+        for k in plain:
+            out[k] = np.concatenate([p[k] for p in parts])
+        rec_parts, aln_parts, wd_parts, name_off_parts = [], [], [], [
+            np.zeros(1, np.int64)]
+        rec_base = aln_base = obs_base = name_base = 0
+        names = []
+        for p in parts:
+            rec_parts.append(p["rec_idx"] + rec_base)
+            aln_parts.append(p["obs_aln"] + aln_base)
+            wd_parts.append(p["wd_obs"] + obs_base)
+            name_off_parts.append(p["name_off"][1:] + name_base)
+            rec_base += len(p["rec_idx"])
+            aln_base += len(p["category"])
+            obs_base += len(p["obs_aln"])
+            name_base += len(p["names"])
+            names.append(p["names"])
+        out["rec_idx"] = np.concatenate(rec_parts)
+        out["obs_aln"] = np.concatenate(aln_parts)
+        out["wd_obs"] = np.concatenate(wd_parts)
+        out["name_off"] = np.concatenate(name_off_parts)
+        out["names"] = "".join(names)
+        return out
+
+    def tag_write(self, header_text, rec_indices, mode, hp_int, ps, pq,
+                  hp_strs, out_path, level: int = 6) -> bool:
+        """Replay the walked window sequence (same deterministic scan) and
+        feed each window's decision slice to the streaming writer. The
+        decision arrays must be in walk order (they are: the tag pipelines
+        concatenate per-chromosome walk outputs)."""
+        w = tagw_open(header_text, self.references, self.lengths, out_path,
+                      level)
+        if w is None:
+            return False
+        mode = np.ascontiguousarray(mode, np.uint8)
+        hp_int = np.ascontiguousarray(hp_int, np.int32)
+        ps = np.ascontiguousarray(ps, np.int64)
+        pq = np.ascontiguousarray(pq, np.int32)
+        cursor = 0
+        ok = True
+        for chrom, plan in self._plan.items():
+            wi = 0
+            for blob, boff in self._windows(chrom):
+                local = plan[wi] if wi < len(plan) else np.zeros(0, np.int64)
+                wi += 1
+                n = len(local)
+                if n == 0:
+                    continue
+                wnb = bam_handle_from_records(
+                    self.header_text, self.references, self.lengths, blob,
+                    boff)
+                if wnb is None:
+                    ok = False
+                    break
+                try:
+                    sl = slice(cursor, cursor + n)
+                    ok = tagw_feed(w, wnb, local, mode[sl], hp_int[sl],
+                                   ps[sl], pq[sl],
+                                   hp_strs[cursor:cursor + n]) and ok
+                finally:
+                    wnb.close()
+                cursor += n
+            if not ok:
+                break
+        return tagw_close(w) and ok and cursor == len(mode)
+
+    def tag_write_cram(self, *a, **kw):
+        raise RuntimeError("streaming handle does not support CRAM output")

@@ -62,13 +62,14 @@ def test_streaming_haplotag_under_memory_cap(reference_binary, small_fixture,
                    check=True, capture_output=True)
 
     used = {}
-    orig = hf._run_haplotag_streaming
+    orig = native.StreamingBam
 
-    def spy(cfg):
-        used["stream"] = True
-        return orig(cfg)
+    class Spy(orig):
+        def __init__(self, path):
+            used["stream"] = True
+            super().__init__(path)
 
-    monkeypatch.setattr(hf, "_run_haplotag_streaming", spy)
+    monkeypatch.setattr(native, "StreamingBam", Spy)
     monkeypatch.setenv("LPS_MAX_INMEM_BAM", "1000")
     native._bam_cache.clear()
     run_haplotag(HaplotagConfig(snp_file=phased + ".vcf",

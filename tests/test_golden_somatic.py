@@ -208,3 +208,49 @@ def test_somatic_multichrom(reference_binary, tmp_path):
     o = [l for l in open(ours + "_sc.vcf") if not l.startswith("##")]
     assert g == o
     assert _tags(golden + ".bam") == _tags(ours + ".bam")
+
+
+def test_streaming_somatic_under_memory_cap(reference_binary, somatic_fixture,
+                                            phased_normal, tmp_path,
+                                            monkeypatch):
+    """With LPS_MAX_INMEM_BAM below the file sizes, the somatic pipeline
+    runs its extraction and tagging through streaming window handles —
+    outputs must stay identical to the reference binary."""
+    from longphase_s_tpu import native
+    from longphase_s_tpu.io.bam import BamReader
+
+    golden = str(tmp_path / "golden")
+    subprocess.run([reference_binary, "somatic_haplotag", "-s", phased_normal,
+                    "--tumor-snv-file", somatic_fixture["tumor_vcf"],
+                    "-b", somatic_fixture["normal_bam"], "--tumor-bam-file",
+                    somatic_fixture["tumor_bam"], "-r",
+                    somatic_fixture["fasta"], "-o", golden,
+                    "--output-somatic-vcf"], check=True, capture_output=True)
+
+    used = {}
+    orig = native.StreamingBam
+
+    class Spy(orig):
+        def __init__(self, path):
+            used["stream"] = True
+            super().__init__(path)
+
+    monkeypatch.setattr(native, "StreamingBam", Spy)
+    monkeypatch.setenv("LPS_MAX_INMEM_BAM", "1000")
+    native._bam_cache.clear()
+    run_somatic_haplotag(_cfg(somatic_fixture, phased_normal,
+                              str(tmp_path / "ours"),
+                              write_somatic_vcf=True))
+    monkeypatch.delenv("LPS_MAX_INMEM_BAM")
+    native._bam_cache.clear()
+    assert used.get("stream"), "memory cap did not engage streaming handles"
+
+    def tags(path):
+        return [(r.qname, r.pos, r.get_tag("HP"), r.get_tag("PS"),
+                 r.get_tag("PQ")) for r in BamReader(path)]
+
+    assert tags(str(tmp_path / "ours.bam")) == tags(golden + ".bam")
+    a = [l for l in open(golden + "_sc.vcf") if not l.startswith("##")]
+    b = [l for l in open(tmp_path / "ours_sc.vcf")
+         if not l.startswith("##")]
+    assert a == b
