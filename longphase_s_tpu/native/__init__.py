@@ -148,32 +148,17 @@ def extract_phase(bam_path: str, chrom: str, last_snp_pos: int,
                     ctypes.c_int32, ctypes.c_double,
                 ]
         if has_svmod:
-            svs = sv_entries or []
-            mods = mod_entries or []
-            sv_start = np.asarray([p for p, _l in svs], np.int64)
-            sv_len = np.asarray([l for _p, l in svs], np.int64)
-            mod_pos = np.asarray([p for p, _e in mods], np.int64)
-            entry_off = np.zeros(len(mods) + 1, np.int64)
-            np.cumsum([len(e) for _p, e in mods], out=entry_off[1:])
-            names = []
-            flags = []
-            for _p, e in mods:
-                for qname, (rev, is_modify) in e.items():
-                    names.append(qname)
-                    flags.append((1 if rev else 0) | (2 if is_modify else 0))
-            name_blob = "".join(names).encode("latin-1")
-            name_off = np.zeros(len(names) + 1, np.int64)
-            np.cumsum([len(s) for s in names], out=name_off[1:])
-            flags_arr = np.asarray(flags, np.uint8)
+            sm = _marshal_svmod(sv_entries, mod_entries)
             handle = lib.lps_extract_phase_hx(
                 nb._h, chrom.encode(), last_snp_pos,
                 n, var_pos.ctypes.data, ref0.tobytes(), alt0.tobytes(),
                 ref_len.ctypes.data, alt_len.ctypes.data, danger.ctypes.data,
                 ref_bytes, len(ref_bytes), mapping_quality,
-                len(svs), sv_start.ctypes.data, sv_len.ctypes.data,
-                len(mods), mod_pos.ctypes.data, entry_off.ctypes.data,
-                name_blob, name_off.ctypes.data, flags_arr.ctypes.data,
-                sv_window, float(sv_threshold))
+                sm["n_sv"], sm["sv_start"].ctypes.data,
+                sm["sv_len"].ctypes.data, sm["n_mod"],
+                sm["mod_pos"].ctypes.data, sm["entry_off"].ctypes.data,
+                sm["name_blob"], sm["name_off"].ctypes.data,
+                sm["flags"].ctypes.data, sv_window, float(sv_threshold))
         else:
             handle = lib.lps_extract_phase_h(
                 nb._h, chrom.encode(), last_snp_pos,
