@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 from .. import REFERENCE_VERSION, native
-from ..io.bam import BamReader, region_bounds
+from ..io.bam import region_bounds
 from ..io.phased_vcf import (NORMAL, PHASED_HETERO, VT_DELETION,
                              VT_INSERTION, VT_SNP)
 from ..utils import StageTimer

@@ -27,7 +27,7 @@ from ..core.somatic_judge import judge_somatic_read_hap, judge_somatic_snp_hap
 from ..core.somatic_types import (GERMLINE_H1, GERMLINE_H2, NONE_SNP,
                                   PosHpRecord, READ_HP_STR, RH_H1, RH_H1_1,
                                   RH_H2, RH_H2_1, RH_H3, RH_UNTAG, SOMATIC_H3)
-from ..io.bam import BamReader, BamWriter
+from ..io.bam import BamWriter
 from ..io.bgzf import open_maybe_bgzf
 from ..io.fasta import FastaFile
 from ..io.phased_vcf import (NORMAL, PHASED_HETERO, TUMOR, PhasedVcfReader,
