@@ -341,6 +341,21 @@ def main():
     # a Mosaic/device regression must fail the bench loudly, not silently
     # revert to the host packer (ADVICE r1: no invisible perf cliffs)
     os.environ.setdefault("LPS_STRICT_DEVICE", "1")
+    # a stalled remote-TPU tunnel must not hang the whole bench: probe it
+    # in a disposable subprocess and fall back to CPU on timeout
+    try:
+        import jax
+        from jax._src import xla_bridge
+
+        from __graft_entry__ import _backend_responsive
+
+        if not getattr(xla_bridge, "_backends", {}) \
+                and not _backend_responsive():
+            jax.config.update("jax_platforms", "cpu")
+            print("bench: TPU tunnel unresponsive; CPU fallback",
+                  file=sys.stderr)
+    except Exception:  # noqa: BLE001 — probe is best-effort
+        pass
     results = []  # (name, n_units, ours_s, ref_s|None)
     for fn in (bench_phase, bench_haplotag, bench_haplotag_cram,
                bench_somatic, bench_purity, bench_modcall):

@@ -828,6 +828,7 @@ class CramReader:
         nat = self._native_decode()
         if nat is not None:
             blob, rec_off = nat
+            blob = bytes(blob)  # BamRecord wants a bytes-like with .decode
             for i in range(len(rec_off) - 1):
                 yield BamRecord(blob[rec_off[i]:rec_off[i + 1]])
             return
@@ -871,6 +872,7 @@ class CramReader:
         nat = self._native_decode(sorted(set(offsets)))
         if nat is not None:
             blob, rec_off = nat
+            blob = bytes(blob)
             for i in range(len(rec_off) - 1):
                 yield BamRecord(blob[rec_off[i]:rec_off[i + 1]])
             return
@@ -1740,3 +1742,47 @@ def open_alignment(path: str, fasta=None):
         return CramReader(path, fasta=fasta)
     from .bam import BamReader
     return BamReader(path)
+
+
+def cram_container_index(path: str):
+    """Light container scan: (offset, ref_seq_id, num_records) per data
+    container, skipping block payloads without decompressing. Feeds the
+    container-streaming native handle."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != b"CRAM":
+        raise ValueError("not a CRAM file")
+    major = buf[4]
+    out = []
+    off = 26
+    n = len(buf)
+    first = True
+    while off < n:
+        start = off
+        (length,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        ref_seq_id, off = itf8_get_signed(buf, off)
+        _rs, off = itf8_get(buf, off)
+        _span, off = itf8_get(buf, off)
+        num_records, off = itf8_get(buf, off)
+        if major >= 3:
+            _cnt, off = ltf8_get(buf, off)
+        else:
+            _cnt, off = itf8_get(buf, off)
+        _nb, off = ltf8_get(buf, off)
+        num_blocks, off = itf8_get(buf, off)
+        num_landmarks, off = itf8_get(buf, off)
+        for _ in range(num_landmarks):
+            _lm, off = itf8_get(buf, off)
+        if major >= 3:
+            off += 4  # crc
+        for _ in range(num_blocks):
+            off += 2  # method, ctype
+            _cid, off = itf8_get(buf, off)
+            comp_size, off = itf8_get(buf, off)
+            _raw, off = itf8_get(buf, off)
+            off += comp_size + 4
+        if not first and num_records > 0:
+            out.append((start, ref_seq_id, num_records))
+        first = False
+    return out

@@ -292,12 +292,22 @@ def run_haplotag_fast(cfg):
         return None
     if os.environ.get("LPS_NO_NATIVE_TAG"):
         return None
-    nb = native.open_native_bam(cfg.bam_file, cfg.fasta_file)
+    import os as _os
+
+    from ..io.cram import is_cram
+
+    nb = None
+    if (is_cram(cfg.bam_file) and not dist.is_active()
+            and not cfg.output_cram and native.available()):
+        # container-streaming CRAM handle: bounded memory, no whole-file
+        # BAM image (falls back to the whole-file handle on exotic layouts)
+        try:
+            nb = native.CramStreamingBam(cfg.bam_file, cfg.fasta_file)
+        except Exception:  # noqa: BLE001 — e.g. multi-ref containers
+            nb = None
     if nb is None:
-        import os as _os
-
-        from ..io.cram import is_cram
-
+        nb = native.open_native_bam(cfg.bam_file, cfg.fasta_file)
+    if nb is None:
         if (not dist.is_active() and not cfg.output_cram
                 and not is_cram(cfg.bam_file) and native.available()
                 and _os.path.getsize(cfg.bam_file) > native._inmem_budget()):

@@ -94,12 +94,19 @@ def _native_bams(cfg):
     from ..parallel import distributed as dist
 
     def open_one(path, allow_stream):
+        # container-streaming CRAM handle first (bounded memory, no
+        # whole-file BAM image); streaming is single-host only — the
+        # distributed tag gather assumes handle record indices
+        if (allow_stream and not dist.is_active() and native.available()
+                and is_cram(path)):
+            try:
+                return native.CramStreamingBam(path, cfg.fasta_file)
+            except Exception:  # noqa: BLE001 — exotic layout: handle path
+                pass
         nb = native.open_native_bam(path, cfg.fasta_file)
         if nb is not None:
             return nb
         # past the RAM budget: stream plain BAMs through windowed handles
-        # (single-host only — the distributed tag gather assumes handle
-        # record indices)
         try:
             if (allow_stream and not dist.is_active() and native.available()
                     and not is_cram(path)

@@ -567,9 +567,13 @@ def _load_cram_handle(lib, path: str, fasta_path: str):
     ref_lens = np.asarray(cr.lengths, np.int64)
     hdr = header_text.encode("latin-1")
     rec_off = np.ascontiguousarray(rec_off, np.int64)
+    blob_arr = np.ascontiguousarray(np.frombuffer(blob, np.uint8)
+                                    if isinstance(blob, (bytes, bytearray))
+                                    else blob)
     return lib.lps_bam_load_unpacked(
         hdr, len(hdr), len(cr.references), names_blob, name_off.ctypes.data,
-        ref_lens.ctypes.data, blob, rec_off.ctypes.data, len(rec_off) - 1)
+        ref_lens.ctypes.data, ctypes.c_char_p(blob_arr.ctypes.data),
+        rec_off.ctypes.data, len(rec_off) - 1)
 
 
 def _inmem_budget() -> int:
@@ -676,7 +680,7 @@ def cram_decode(path: str, fasta_path: str = "", offsets=None,
         blob = np.empty(blob_len.value, np.uint8)
         rec_off = np.empty(n_rec.value + 1, np.int64)
         lib.lps_cram_fill(h, blob.ctypes.data, rec_off.ctypes.data)
-        return blob.tobytes(), rec_off
+        return blob, rec_off  # np.uint8 buffer (callers avoid extra copies)
     finally:
         lib.lps_cram_free(h)
 
@@ -1018,9 +1022,14 @@ def bam_handle_from_records(header_text: str, references, lengths,
     ref_lens = np.asarray(lengths, np.int64)
     hdr = header_text.encode("latin-1")
     rec_off = np.ascontiguousarray(rec_off, np.int64)
+    if isinstance(blob, np.ndarray):
+        blob_arg = ctypes.c_char_p(np.ascontiguousarray(blob).ctypes.data)
+    else:
+        blob_arg = blob
     h = lib.lps_bam_load_unpacked(
         hdr, len(hdr), len(references), names_blob, name_off.ctypes.data,
-        ref_lens.ctypes.data, blob, rec_off.ctypes.data, len(rec_off) - 1)
+        ref_lens.ctypes.data, blob_arg, rec_off.ctypes.data,
+        len(rec_off) - 1)
     if not h:
         return None
     nb = NativeBam.__new__(NativeBam)
@@ -1279,3 +1288,49 @@ class StreamingBam:
 
     def tag_write_cram(self, *a, **kw):
         raise RuntimeError("streaming handle does not support CRAM output")
+
+
+class CramStreamingBam(StreamingBam):
+    """Container-streaming CRAM handle for the tag runtimes: windows are
+    batches of CRAM containers decoded natively on demand (no whole-file
+    BAM image), so memory stays bounded and one-shot runs skip the
+    decode-everything-first step."""
+
+    CONTAINERS_PER_WINDOW = 4
+
+    def __init__(self, path: str, fasta_path: str):
+        from ..io.cram import CramReader, cram_container_index
+
+        self.path = path
+        self._fasta_path = fasta_path or ""
+        cr = CramReader(path)  # header parse only (no record decode)
+        self.header_text = cr.header_text
+        self.references = cr.references
+        self.lengths = cr.lengths
+        self._ref_id = cr.ref_id
+        cr.close()
+        self._containers = cram_container_index(path)
+        if any(rid == -2 for _o, rid, _n in self._containers):
+            raise RuntimeError("multi-reference CRAM containers unsupported "
+                               "by the streaming handle")
+        self._plan = {}
+
+    def _windows(self, chrom: str):
+        tid = self.tid(chrom)
+        batch = []
+        for off, rid, nrec in self._containers:
+            if rid != tid:
+                continue
+            batch.append(off)
+            if len(batch) >= self.CONTAINERS_PER_WINDOW:
+                yield self._decode(batch)
+                batch = []
+        if batch:
+            yield self._decode(batch)
+
+    def _decode(self, offsets):
+        res = cram_decode(self.path, self._fasta_path, offsets)
+        if res is None:
+            raise RuntimeError("native CRAM decode failed mid-stream")
+        blob, rec_off = res
+        return blob, rec_off

@@ -1305,8 +1305,9 @@ static size_t walk_container(const FileCtx& fc, size_t off, ContainerOut* out,
 // ---------------------------------------------------------------------------
 
 struct CramResult {
-    std::vector<uint8_t> blob;
-    std::vector<int64_t> rec_off;  // n_rec + 1
+    std::vector<ContainerOut> outs;   // per-container, in order
+    std::vector<int64_t> rec_off;     // n_rec + 1
+    int64_t blob_len = 0;
 };
 
 static CramResult* decode_file(const char* path, const char* fasta_path,
@@ -1432,19 +1433,17 @@ static CramResult* decode_file(const char* path, const char* fasta_path,
         if (failed.load()) return nullptr;
 
         auto* res = new CramResult();
-        size_t total = 0, nrec_total = 0;
+        size_t nrec_total = 0;
         for (auto& o : outs) {
-            total += o.blob.size();
+            res->blob_len += (int64_t)o.blob.size();
             nrec_total += o.rec_sizes.size();
         }
-        res->blob.reserve(total);
         res->rec_off.reserve(nrec_total + 1);
         res->rec_off.push_back(0);
-        for (auto& o : outs) {
-            res->blob.insert(res->blob.end(), o.blob.begin(), o.blob.end());
+        for (auto& o : outs)
             for (int64_t sz : o.rec_sizes)
                 res->rec_off.push_back(res->rec_off.back() + sz);
-        }
+        res->outs = std::move(outs);  // concatenated lazily in lps_cram_fill
         return res;
     } catch (...) {
         return nullptr;
@@ -2312,14 +2311,18 @@ void* lps_cram_decode(const char* path, const char* fasta_path,
 
 int64_t lps_cram_sizes(void* rp, int64_t* blob_len, int64_t* n_rec) {
     auto* r = (lps_cram::CramResult*)rp;
-    *blob_len = (int64_t)r->blob.size();
+    *blob_len = r->blob_len;
     *n_rec = (int64_t)r->rec_off.size() - 1;
     return 0;
 }
 
 int64_t lps_cram_fill(void* rp, uint8_t* blob, int64_t* rec_off) {
     auto* r = (lps_cram::CramResult*)rp;
-    memcpy(blob, r->blob.data(), r->blob.size());
+    size_t off = 0;
+    for (auto& o : r->outs) {
+        memcpy(blob + off, o.blob.data(), o.blob.size());
+        off += o.blob.size();
+    }
     memcpy(rec_off, r->rec_off.data(), r->rec_off.size() * sizeof(int64_t));
     return 0;
 }
