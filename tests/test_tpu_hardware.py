@@ -56,7 +56,7 @@ def test_fused_device_phase_on_hardware(small_fixture, tmp_path):
     try:
         r = subprocess.run(
             [sys.executable, "-c", WORKER, json.dumps(fix), str(tmp_path)],
-            env=env, capture_output=True, timeout=900)
+            env=env, capture_output=True, timeout=300)
     except subprocess.TimeoutExpired:
         pytest.skip("accelerator backend unreachable (tunnel timeout)")
     if r.returncode == 42:
