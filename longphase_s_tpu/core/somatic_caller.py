@@ -53,8 +53,11 @@ class FilterParams:
         self.interval_vaf_max = 0.025
         self.interval_snp_count_min = 8.0
         self.zscore_max = 1.953
-        self.densealt_cond1 = 0.5
-        self.densealt_cond2 = 0.6
+        # DenseAlt_condition*_thr are C++ float (SomaticVarCaller.h:85-86);
+        # float32(0.6) > 0.6, so a ratio of exactly 0.6 (e.g. 3 alt / 2 ref)
+        # must FAIL the >= compare like the reference (fuzz seed 10049)
+        self.densealt_cond1 = float(np.float32(0.5))
+        self.densealt_cond2 = float(np.float32(0.6))
         self.densealt_same_count_min = 3
 
     def set_with_purity(self, purity: float):
