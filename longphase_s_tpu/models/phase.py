@@ -81,11 +81,22 @@ def _drain_multichip(sink, cfg, record):
     from ..ops.vote_scan import _use_pallas, ensure_backend
 
     try:
-        from ..parallel.multichip import run_fused_phase_multichip
+        from ..parallel.multichip import (run_fused_phase_multichip,
+                                          run_fused_phase_wavefront)
 
         ensure_backend()
-        outs = run_fused_phase_multichip(sink, cfg.params,
-                                         use_pallas=_use_pallas())
+        import jax
+
+        n_dev = len(jax.local_devices() if jax.process_count() > 1
+                    else jax.devices())
+        wf = os.environ.get("LPS_WAVEFRONT", "")
+        # Fewer chromosomes than devices: the chromosome-batch mesh would
+        # idle devices — wavefront-pipeline the site-sharded scan instead.
+        if wf == "1" or (wf != "0" and len(sink) < n_dev):
+            outs = run_fused_phase_wavefront(sink, cfg.params)
+        else:
+            outs = run_fused_phase_multichip(sink, cfg.params,
+                                             use_pallas=_use_pallas())
     except Exception as e:  # noqa: BLE001 — fall back to per-chrom device path
         if os.environ.get("LPS_STRICT_DEVICE"):
             raise

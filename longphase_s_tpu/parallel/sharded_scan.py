@@ -19,6 +19,10 @@ Two schedules:
   total vs C*N for the naive schedule). Device 0 starts a fresh carry each
   round; every other device consumes the carry ppermuted from its left
   neighbour — which is exactly the same chromosome one block earlier.
+  This is the production schedule for the few-giant-chromosomes regime:
+  ``run_phase`` routes deferred chromosomes through
+  ``parallel.multichip.run_fused_phase_wavefront`` whenever fewer
+  chromosomes than devices are in flight (LPS_WAVEFRONT=1/0 overrides).
 
 The band inputs are "self-haloed": counts[t], vtype_band[t] and valid_band[t]
 describe targets t+1..t+W regardless of which shard owns them, so only the

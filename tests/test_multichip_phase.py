@@ -17,8 +17,9 @@ def test_multichip_phase_matches_single_device(tmp_path, monkeypatch):
     fix = make_multichrom_fixture(str(tmp_path / "fix"), seed=29, n_chroms=5,
                                   base_length=60000)
 
-    def go(out, multichip_env):
+    def go(out, multichip_env, wavefront_env=""):
         monkeypatch.setenv("LPS_MULTICHIP", multichip_env)
+        monkeypatch.setenv("LPS_WAVEFRONT", wavefront_env)
         # strict: the mesh path must not silently fall back
         monkeypatch.setenv("LPS_STRICT_DEVICE", "1" if multichip_env else "")
         cfg = PhaseConfig(snp_file=fix["vcf"], bam_files=[fix["bam"]],
@@ -27,12 +28,17 @@ def test_multichip_phase_matches_single_device(tmp_path, monkeypatch):
                           num_threads=4, is_pb=True, engine="tpu")
         return run_phase(cfg)
 
-    r_multi = go("multi", "1")
+    # chromosome-batch mesh AND the site-sharded wavefront schedule (the
+    # few-giant-chromosomes regime) must both match the single-device path
+    r_multi = go("multi", "1", "0")
+    r_wave = go("wave", "1", "1")
     r_single = go("single", "0")
     assert r_multi == r_single
+    assert r_wave == r_single
     assert len(r_multi) > 100  # the fixture phases real sites
 
     strip = lambda ls: [l for l in ls if not l.startswith("##commandline")]
-    vm = strip((tmp_path / "multi.vcf").read_text().splitlines())
     vs = strip((tmp_path / "single.vcf").read_text().splitlines())
-    assert vm == vs
+    for out in ("multi", "wave"):
+        vm = strip((tmp_path / (out + ".vcf")).read_text().splitlines())
+        assert vm == vs
