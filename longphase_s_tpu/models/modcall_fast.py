@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..native import open_native_bam
+from ..native import open_chrom_native_bam, open_native_bam
 from . import modcall as mc
 
 
@@ -71,8 +71,25 @@ def run_chrom_fast(cfg, chrom, chrom_len, chr_seq, positions, infos,
     if len(cfg.bam_files) != 1:
         return False
     nb = open_native_bam(cfg.bam_files[0], cfg.fasta_file)
+    owned = False
+    if nb is None:
+        # past the whole-file RAM budget: stream this chromosome's records
+        # into a per-chromosome handle (memory = one chromosome, not the
+        # file) and run the identical walk on it
+        nb = open_chrom_native_bam(cfg.bam_files[0], cfg.fasta_file, chrom)
+        owned = True
     if nb is None:
         return False
+    try:
+        return _run_chrom_on_handle(cfg, nb, chrom, chrom_len, chr_seq,
+                                    positions, infos, has_snp, out)
+    finally:
+        if owned:
+            nb.close()
+
+
+def _run_chrom_on_handle(cfg, nb, chrom, chrom_len, chr_seq, positions,
+                         infos, has_snp, out):
 
     n = len(positions)
     var_pos = np.asarray(positions, np.int64)

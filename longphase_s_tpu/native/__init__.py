@@ -621,6 +621,58 @@ def open_native_bam(path: str,
         return nb
 
 
+def open_chrom_native_bam(path: str, fasta_path: str | None,
+                          chrom: str) -> "NativeBam | None":
+    """Per-chromosome in-memory handle for inputs past the whole-file RAM
+    budget (modcall's streaming path): streams the chromosome's records in
+    bounded compressed windows (StreamingBam window scan, or native CRAM
+    container decode) and synthesizes a records-only handle, so resident
+    memory is one chromosome's uncompressed records instead of the whole
+    file. The ordinary whole-file walk then runs on it unchanged — the
+    modcall phase-2 replay is order-sensitive across reads (vtype gate,
+    strand last-write, global depth sweep; lps_ingest.cpp
+    lps_modcall_walk), so per-window walk outputs cannot be merged
+    exactly; a single walk over the chromosome image can. Returns None
+    (caller falls back to the object pipeline) when the native library is
+    absent, the chromosome is missing, or its image alone would exceed
+    the budget's uncompressed allowance."""
+    if _load() is None:
+        return None
+    try:
+        with open(path, "rb") as f:
+            is_cram = f.read(4) == b"CRAM"
+        sb = (CramStreamingBam(path, fasta_path or "") if is_cram
+              else StreamingBam(path))
+    except Exception:  # noqa: BLE001 — unreadable/unsupported input
+        return None
+    if sb.tid(chrom) < 0:
+        return None
+    # uncompressed allowance: the budget's assumed ~5x inflation factor
+    # (LPS_MAX_CHROM_IMAGE overrides, bytes — lets a per-chromosome image
+    # through when the whole-file budget was deliberately lowered)
+    env = os.environ.get("LPS_MAX_CHROM_IMAGE")
+    cap = int(env) if env else 5 * _inmem_budget()
+    blobs: list[np.ndarray] = []
+    boffs = [np.zeros(1, np.int64)]
+    base = total = 0
+    try:
+        for blob, boff in sb._windows(chrom):
+            arr = (np.frombuffer(blob, np.uint8)
+                   if isinstance(blob, (bytes, bytearray)) else
+                   np.asarray(blob, np.uint8))
+            blobs.append(arr)
+            boffs.append(np.asarray(boff[1:], np.int64) + base)
+            base += int(boff[-1])
+            total += len(arr)
+            if total > cap:
+                return None
+    except Exception:  # noqa: BLE001 — decode failure mid-stream
+        return None
+    blob_all = (np.concatenate(blobs) if blobs else np.zeros(0, np.uint8))
+    return bam_handle_from_records(sb.header_text, sb.references, sb.lengths,
+                                   blob_all, np.concatenate(boffs))
+
+
 def gzip_oneshot(data: bytes, level: int = 6) -> bytes | None:
     """Whole-buffer gzip member via libdeflate (CRAM block compression)."""
     lib = _load()

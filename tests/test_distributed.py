@@ -67,7 +67,7 @@ def test_two_process_run_matches_single(fix, tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=180) for p in procs]
+    outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
 
@@ -128,7 +128,7 @@ def test_two_process_estimate_purity_matches_single(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=240) for p in procs]
+    outs = [p.communicate(timeout=600) for p in procs]
     purities = []
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
@@ -184,7 +184,7 @@ def test_distributed_multichip_checkpointed_phase(fix, tmp_path):
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
             for pid in (0, 1)
         ]
-        outs = [p.communicate(timeout=240) for p in procs]
+        outs = [p.communicate(timeout=600) for p in procs]
         for p, (out, err) in zip(procs, outs):
             assert p.returncode == 0, err.decode()[-2000:]
         return outs
@@ -242,7 +242,7 @@ def test_two_process_somatic_haplotag_matches_single(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=300) for p in procs]
+    outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
 
@@ -297,7 +297,7 @@ def test_two_process_haplotag_matches_single(fix, tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=240) for p in procs]
+    outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
 
@@ -350,7 +350,7 @@ def test_two_process_modcall_matches_single(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=240) for p in procs]
+    outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
 

@@ -37,3 +37,39 @@ def test_modcall(reference_binary, tmp_path, output_all):
         # fixture sanity: ASM sites must actually be called
         data = [l for l in o if not l.startswith("#")]
         assert len(data) >= 5
+
+
+def test_streaming_modcall_under_memory_cap(tmp_path, monkeypatch):
+    """With LPS_MAX_INMEM_BAM below the file size, modcall streams each
+    chromosome into a per-chromosome native handle (open_chrom_native_bam)
+    and the VCF must stay byte-identical to the whole-file in-memory run."""
+    from longphase_s_tpu import native
+
+    fix = make_meth_fixture(str(tmp_path / "fix"), seed=23, length=120000,
+                            coverage=20, read_len=8000, n_asm=10,
+                            n_homo_mod=5)
+    inmem = str(tmp_path / "inmem")
+    run_modcall(ModCallConfig(bam_files=[fix["bam"]], fasta_file=fix["fasta"],
+                              snp_file=fix["vcf"], result_prefix=inmem))
+
+    used = {}
+    orig = native.open_chrom_native_bam
+
+    def spy(path, fasta_path, chrom):
+        nb = orig(path, fasta_path, chrom)
+        used["chrom_handle"] = nb is not None
+        return nb
+
+    monkeypatch.setattr("longphase_s_tpu.models.modcall_fast."
+                        "open_chrom_native_bam", spy)
+    monkeypatch.setenv("LPS_MAX_INMEM_BAM", "1000")
+    monkeypatch.setenv("LPS_MAX_CHROM_IMAGE", str(64 << 20))
+    native._bam_cache.clear()
+    streamed = str(tmp_path / "streamed")
+    run_modcall(ModCallConfig(bam_files=[fix["bam"]], fasta_file=fix["fasta"],
+                              snp_file=fix["vcf"], result_prefix=streamed))
+    monkeypatch.delenv("LPS_MAX_INMEM_BAM")
+    native._bam_cache.clear()
+    assert used.get("chrom_handle"), \
+        "memory cap did not engage the per-chromosome streaming handle"
+    assert _strip(inmem + ".vcf") == _strip(streamed + ".vcf")
