@@ -341,6 +341,15 @@ def main():
     # a Mosaic/device regression must fail the bench loudly, not silently
     # revert to the host packer (ADVICE r1: no invisible perf cliffs)
     os.environ.setdefault("LPS_STRICT_DEVICE", "1")
+    # fresh container: build the reference baseline binary if it's absent
+    # (tools/build_refbuild.sh is idempotent; failures just mean
+    # vs_baseline falls back to the cached numbers / None)
+    if not os.path.exists(REF_BIN):
+        try:
+            subprocess.run([os.path.join(ROOT, "tools", "build_refbuild.sh")],
+                           check=True, capture_output=True, timeout=1200)
+        except Exception as e:  # noqa: BLE001 — baseline is best-effort
+            print(f"bench: reference build failed: {e!r}", file=sys.stderr)
     # a stalled remote-TPU tunnel must not hang the whole bench: probe it
     # in a disposable subprocess and fall back to CPU on timeout
     try:

@@ -73,3 +73,50 @@ def test_streaming_modcall_under_memory_cap(tmp_path, monkeypatch):
     assert used.get("chrom_handle"), \
         "memory cap did not engage the per-chromosome streaming handle"
     assert _strip(inmem + ".vcf") == _strip(streamed + ".vcf")
+
+
+def test_streaming_modcall_cram_input_under_memory_cap(tmp_path, monkeypatch):
+    """CRAM arm of the per-chromosome streaming handle: modcall on a CRAM
+    input past the RAM budget decodes container batches natively
+    (CramStreamingBam) into a chromosome handle — VCF must match the BAM
+    whole-file run byte-for-byte."""
+    from longphase_s_tpu import native
+    from longphase_s_tpu.io.bam import BamReader
+    from longphase_s_tpu.io.cram import CramWriter
+
+    fix = make_meth_fixture(str(tmp_path / "fix"), seed=29, length=100000,
+                            coverage=18, read_len=8000, n_asm=8,
+                            n_homo_mod=4)
+    inmem = str(tmp_path / "inmem")
+    run_modcall(ModCallConfig(bam_files=[fix["bam"]], fasta_file=fix["fasta"],
+                              snp_file=fix["vcf"], result_prefix=inmem))
+
+    cram = str(tmp_path / "reads.cram")
+    br = BamReader(fix["bam"])
+    w = CramWriter(cram, br.header_text, br.references, br.lengths)
+    for rec in br:
+        w.write(rec)
+    w.close()
+    br.close()
+
+    used = {}
+    orig = native.open_chrom_native_bam
+
+    def spy(path, fasta_path, chrom):
+        nb = orig(path, fasta_path, chrom)
+        used["chrom_handle"] = nb is not None
+        return nb
+
+    monkeypatch.setattr("longphase_s_tpu.models.modcall_fast."
+                        "open_chrom_native_bam", spy)
+    monkeypatch.setenv("LPS_MAX_INMEM_BAM", "1000")
+    monkeypatch.setenv("LPS_MAX_CHROM_IMAGE", str(64 << 20))
+    native._bam_cache.clear()
+    streamed = str(tmp_path / "streamed")
+    run_modcall(ModCallConfig(bam_files=[cram], fasta_file=fix["fasta"],
+                              snp_file=fix["vcf"], result_prefix=streamed))
+    monkeypatch.delenv("LPS_MAX_INMEM_BAM")
+    native._bam_cache.clear()
+    assert used.get("chrom_handle"), \
+        "memory cap did not engage the CRAM per-chromosome streaming handle"
+    assert _strip(inmem + ".vcf") == _strip(streamed + ".vcf")
