@@ -46,7 +46,15 @@ SITE_AXIS = "site"
 
 
 def make_site_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    if devices is None:
+        # under jax.distributed each process scans a DIFFERENT contig shard,
+        # so the site mesh must be local-only (same rule as mesh.make_mesh):
+        # a global mesh would span non-addressable devices and the two
+        # processes — holding different contig batches, hence different
+        # padded shapes — would launch divergent global programs and
+        # deadlock in the collectives
+        devices = (jax.local_devices() if jax.process_count() > 1
+                   else jax.devices())
     return Mesh(np.array(devices), (SITE_AXIS,))
 
 

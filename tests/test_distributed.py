@@ -24,6 +24,20 @@ def fix(tmp_path_factory):
                                    base_length=40000)
 
 
+
+def _communicate_all(procs, timeout=600):
+    """communicate() on every worker; on timeout, kill the pair first so a
+    stuck run can't leave orphans holding the coordinator port/CPU."""
+    try:
+        return [p.communicate(timeout=timeout) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        tails = [p.communicate()[1].decode()[-500:] for p in procs]
+        raise AssertionError(f"distributed workers timed out; stderr tails: {tails}")
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -67,7 +81,7 @@ def test_two_process_run_matches_single(fix, tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    outs = _communicate_all(procs)
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
 
@@ -128,7 +142,7 @@ def test_two_process_estimate_purity_matches_single(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    outs = _communicate_all(procs)
     purities = []
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
@@ -184,7 +198,7 @@ def test_distributed_multichip_checkpointed_phase(fix, tmp_path):
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
             for pid in (0, 1)
         ]
-        outs = [p.communicate(timeout=600) for p in procs]
+        outs = _communicate_all(procs)
         for p, (out, err) in zip(procs, outs):
             assert p.returncode == 0, err.decode()[-2000:]
         return outs
@@ -242,7 +256,7 @@ def test_two_process_somatic_haplotag_matches_single(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    outs = _communicate_all(procs)
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
 
@@ -297,7 +311,7 @@ def test_two_process_haplotag_matches_single(fix, tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    outs = _communicate_all(procs)
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
 
@@ -350,7 +364,7 @@ def test_two_process_modcall_matches_single(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    outs = _communicate_all(procs)
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
 
