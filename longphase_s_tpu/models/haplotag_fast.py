@@ -296,17 +296,17 @@ def run_haplotag_fast(cfg):
 
     from ..io.cram import is_cram
 
-    nb = None
-    if (is_cram(cfg.bam_file) and not dist.is_active()
+    # whole-file handle first: one parallel container decode serves both the
+    # tag walk and the writer. The container-streaming handle re-decodes
+    # every container during the write replay, so it is reserved for inputs
+    # past the RAM budget (where bounded memory is worth the second decode).
+    nb = native.open_native_bam(cfg.bam_file, cfg.fasta_file)
+    if (nb is None and is_cram(cfg.bam_file) and not dist.is_active()
             and not cfg.output_cram and native.available()):
-        # container-streaming CRAM handle: bounded memory, no whole-file
-        # BAM image (falls back to the whole-file handle on exotic layouts)
         try:
             nb = native.CramStreamingBam(cfg.bam_file, cfg.fasta_file)
         except Exception:  # noqa: BLE001 — e.g. multi-ref containers
             nb = None
-    if nb is None:
-        nb = native.open_native_bam(cfg.bam_file, cfg.fasta_file)
     if nb is None:
         if (not dist.is_active() and not cfg.output_cram
                 and not is_cram(cfg.bam_file) and native.available()

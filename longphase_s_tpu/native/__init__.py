@@ -316,7 +316,9 @@ class NativeBam:
         with open(path, "rb") as f:
             is_cram = f.read(4) == b"CRAM"
         if is_cram:
-            self._h = _load_cram_handle(lib, path, fasta_path or "")
+            self._h = _load_cram_native(lib, path, fasta_path or "")
+            if not self._h:  # exotic layouts: Python-assisted fallback
+                self._h = _load_cram_handle(lib, path, fasta_path or "")
         else:
             self._h = lib.lps_bam_load(path.encode())
         if not self._h:
@@ -480,7 +482,7 @@ class NativeBam:
             lib.lps_modcall_free(handle)
 
     def tag_write(self, header_text: str, rec_indices, mode, hp_int, ps, pq,
-                  hp_strs, out_path: str, level: int = 6) -> bool:
+                  hp_strs, out_path: str, level: int = 1) -> bool:
         """Write a BAM with per-record tag surgery (modes: 0 passthrough,
         1 strip, 2 germline HP:i/PS:i/PQ:i, 3 somatic HP:Z[/PS:i]/PQ:i)."""
         rec_indices = np.ascontiguousarray(rec_indices, np.int64)
@@ -524,6 +526,21 @@ _bam_cache: dict[str, tuple[float, "NativeBam"]] = {}
 _bam_cache_lock = threading.Lock()
 
 PS_OMIT = -(2**63)  # sentinel: omit PS tag in somatic mode
+
+
+def _load_cram_native(lib, path: str, fasta_path: str):
+    """One-pass native CRAM -> BAM handle (decode + handle build stay in
+    C++; no blob round-trip through Python — each record byte is touched
+    once, which matters on VMs where fresh-page faults cost ~tens of us)."""
+    if os.environ.get("LPS_NO_NATIVE_CRAM"):
+        return None
+    if not getattr(lib, "_cram_load_bound", False):
+        lib._cram_load_bound = True
+        lib.lps_bam_load_cram.restype = ctypes.c_void_p
+        lib.lps_bam_load_cram.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                          ctypes.c_int32]
+    return lib.lps_bam_load_cram(path.encode(), fasta_path.encode(),
+                                 min(os.cpu_count() or 1, 8))
 
 
 def _load_cram_handle(lib, path: str, fasta_path: str):
@@ -1113,7 +1130,7 @@ def _tagw_bind(lib):
 
 
 def tagw_open(header_text: str, references, lengths, out_path: str,
-              level: int = 6):
+              level: int = 1):
     lib = _load()
     if lib is None:
         return None
@@ -1297,7 +1314,7 @@ class StreamingBam:
         return out
 
     def tag_write(self, header_text, rec_indices, mode, hp_int, ps, pq,
-                  hp_strs, out_path, level: int = 6) -> bool:
+                  hp_strs, out_path, level: int = 1) -> bool:
         """Replay the walked window sequence (same deterministic scan) and
         feed each window's decision slice to the streaming writer. The
         decision arrays must be in walk order (they are: the tag pipelines

@@ -96,11 +96,17 @@ static const int TF_SHIFT = 12;
 static const int TOTFREQ = 1 << TF_SHIFT;
 static const uint32_t RANS_BYTE_L = 1u << 23;
 
+// one interleaved cell per table slot: a single cache line serves the whole
+// per-byte decode step (sym + freq + base), instead of three spread arrays
+struct RansCell {
+    uint16_t freq;
+    uint16_t base;
+    uint8_t sym;
+};
+
 struct RansTable {
-    std::vector<uint8_t> ssym;
-    std::vector<uint32_t> sfreq;
-    std::vector<uint32_t> sbase;
-    RansTable() : ssym(TOTFREQ, 0), sfreq(TOTFREQ, 0), sbase(TOTFREQ, 0) {}
+    std::vector<RansCell> cell;
+    RansTable() : cell(TOTFREQ) {}
 };
 
 // freqs as ordered (sym, freq) pairs — insertion order matters for the table
@@ -141,17 +147,18 @@ static void build_table(const FreqList& freqs, bool zero_is_total, RansTable& t)
             f = TOTFREQ;
         }
         if (x + f > TOTFREQ) f = TOTFREQ - x;  // clamp malformed tables
+        uint16_t fr = (uint16_t)((sf.second == 0) ? TOTFREQ : sf.second);
         for (int i = 0; i < f; i++) {
-            t.ssym[x + i] = (uint8_t)sym;
-            t.sfreq[x + i] = (uint32_t)((sf.second == 0) ? TOTFREQ : sf.second);
-            t.sbase[x + i] = (uint32_t)i;
+            t.cell[x + i].sym = (uint8_t)sym;
+            t.cell[x + i].freq = fr;
+            t.cell[x + i].base = (uint16_t)i;
         }
         x += f;
     }
     if (x == TOTFREQ - 1) {  // historically 4095, not 4096
-        t.ssym[x] = t.ssym[x - 1];
-        t.sfreq[x] = t.sfreq[x - 1];
-        t.sbase[x] = t.sbase[x - 1] + 1;
+        t.cell[x].sym = t.cell[x - 1].sym;
+        t.cell[x].freq = t.cell[x - 1].freq;
+        t.cell[x].base = t.cell[x - 1].base + 1;
     }
 }
 
@@ -168,25 +175,29 @@ static void rans_decode_o0(const uint8_t* d, size_t n, std::vector<uint8_t>& out
     off += 16;
     out.resize(out_sz);
     const uint32_t mask = TOTFREQ - 1;
+    const RansCell* cells = t.cell.data();
     size_t main_sz = out_sz & ~size_t(3);
     for (size_t i = 0; i < main_sz; i += 4) {
         for (int k = 0; k < 4; k++) {
-            uint32_t m = R[k] & mask;
-            out[i + k] = t.ssym[m];
-            R[k] = t.sfreq[m] * (R[k] >> TF_SHIFT) + t.sbase[m];
+            const RansCell& c = cells[R[k] & mask];
+            out[i + k] = c.sym;
+            R[k] = (uint32_t)c.freq * (R[k] >> TF_SHIFT) + c.base;
             while (R[k] < RANS_BYTE_L && off < n) R[k] = (R[k] << 8) | d[off++];
         }
     }
     for (size_t k = 0; k < (out_sz & 3); k++)
-        out[main_sz + k] = t.ssym[R[k] & mask];
+        out[main_sz + k] = cells[R[k] & mask].sym;
 }
 
 static void rans_decode_o1(const uint8_t* d, size_t n, std::vector<uint8_t>& out) {
     uint32_t out_sz;
     memcpy(&out_sz, d + 5, 4);
     size_t off = 9;
-    // order-1: outer context loop with its own +1-RLE
-    std::unordered_map<int, std::unique_ptr<RansTable>> tables;
+    // order-1: outer context loop with its own +1-RLE. Tables live in a
+    // flat 256-slot pointer array — the per-byte context lookup must be a
+    // direct index, not a hash probe (this loop runs once per output byte).
+    std::vector<std::unique_ptr<RansTable>> tstore;
+    const RansCell* tmap[256] = {nullptr};
     int rle_i = 0;
     int i = d[off++];
     while (true) {
@@ -194,7 +205,8 @@ static void rans_decode_o1(const uint8_t* d, size_t n, std::vector<uint8_t>& out
         read_freqs(d, n, off, freqs);
         auto t = std::make_unique<RansTable>();
         build_table(freqs, true, *t);
-        tables[i] = std::move(t);
+        tmap[i & 0xff] = t->cell.data();
+        tstore.push_back(std::move(t));
         if (!rle_i && off < n && d[off] == i + 1) {
             i = d[off];
             rle_i = d[off + 1];
@@ -209,37 +221,34 @@ static void rans_decode_o1(const uint8_t* d, size_t n, std::vector<uint8_t>& out
         if (i == 0) break;
     }
     static RansTable empty;
+    for (int s = 0; s < 256; s++)
+        if (!tmap[s]) tmap[s] = empty.cell.data();
     uint32_t R[4];
     memcpy(R, d + off, 16);
     off += 16;
     out.resize(out_sz);
     const uint32_t mask = TOTFREQ - 1;
     size_t isz4 = out_sz >> 2;
-    int ctx[4] = {0, 0, 0, 0};
+    uint8_t ctx[4] = {0, 0, 0, 0};
     size_t pos[4] = {0, isz4, 2 * isz4, 3 * isz4};
+    uint8_t* o = out.data();
     for (size_t it = 0; it < isz4; it++) {
         for (int k = 0; k < 4; k++) {
-            auto f = tables.find(ctx[k]);
-            RansTable& t = (f == tables.end()) ? empty : *f->second;
-            uint32_t m = R[k] & mask;
-            uint8_t c = t.ssym[m];
-            out[pos[k]] = c;
-            R[k] = t.sfreq[m] * (R[k] >> TF_SHIFT) + t.sbase[m];
+            const RansCell& c = tmap[ctx[k]][R[k] & mask];
+            o[pos[k]] = c.sym;
+            R[k] = (uint32_t)c.freq * (R[k] >> TF_SHIFT) + c.base;
             while (R[k] < RANS_BYTE_L && off < n) R[k] = (R[k] << 8) | d[off++];
-            ctx[k] = c;
+            ctx[k] = c.sym;
             pos[k]++;
         }
     }
     int k = 3;
     while (pos[k] < out_sz) {
-        auto f = tables.find(ctx[k]);
-        RansTable& t = (f == tables.end()) ? empty : *f->second;
-        uint32_t m = R[k] & mask;
-        uint8_t c = t.ssym[m];
-        out[pos[k]] = c;
-        R[k] = t.sfreq[m] * (R[k] >> TF_SHIFT) + t.sbase[m];
+        const RansCell& c = tmap[ctx[k]][R[k] & mask];
+        o[pos[k]] = c.sym;
+        R[k] = (uint32_t)c.freq * (R[k] >> TF_SHIFT) + c.base;
         while (R[k] < RANS_BYTE_L && off < n) R[k] = (R[k] << 8) | d[off++];
-        ctx[k] = c;
+        ctx[k] = c.sym;
         pos[k]++;
     }
 }
@@ -1308,6 +1317,11 @@ struct CramResult {
     std::vector<ContainerOut> outs;   // per-container, in order
     std::vector<int64_t> rec_off;     // n_rec + 1
     int64_t blob_len = 0;
+    // SAM-header metadata so a BAM handle can be synthesized without
+    // re-parsing the file (lps_ingest.cpp lps_bam_load_cram)
+    std::string header_text;
+    std::vector<std::string> ref_names;
+    std::vector<int64_t> ref_lens;
 };
 
 static CramResult* decode_file(const char* path, const char* fasta_path,
@@ -1331,6 +1345,8 @@ static CramResult* decode_file(const char* path, const char* fasta_path,
     if (fc.major != 2 && fc.major != 3) return nullptr;
 
     FastaRef fasta;
+    std::string header_text_keep;
+    std::vector<int64_t> ref_lens_keep;
     try {
         // SAM header container at offset 26
         size_t off = 26;
@@ -1373,6 +1389,11 @@ static CramResult* decode_file(const char* path, const char* fasta_path,
                             sp + 3, (se == std::string::npos ? line.size() : se)
                                         - sp - 3));
                     }
+                    size_t lp2 = line.find("LN:");
+                    int64_t ln = 0;
+                    if (lp2 != std::string::npos)
+                        ln = strtoll(line.c_str() + lp2 + 3, nullptr, 10);
+                    ref_lens_keep.push_back(ln);
                 } else if (line.rfind("@RG", 0) == 0) {
                     size_t sp = line.find("ID:");
                     if (sp != std::string::npos) {
@@ -1384,6 +1405,7 @@ static CramResult* decode_file(const char* path, const char* fasta_path,
                 }
                 lp = le + 1;
             }
+            header_text_keep = std::move(header_text);
             off = o2;
         }
         if (fasta_path && fasta_path[0]) fasta.load_fai(fasta_path);
@@ -1433,6 +1455,9 @@ static CramResult* decode_file(const char* path, const char* fasta_path,
         if (failed.load()) return nullptr;
 
         auto* res = new CramResult();
+        res->header_text = std::move(header_text_keep);
+        res->ref_names = fasta.names;
+        res->ref_lens = std::move(ref_lens_keep);
         size_t nrec_total = 0;
         for (auto& o : outs) {
             res->blob_len += (int64_t)o.blob.size();
@@ -2328,5 +2353,39 @@ int64_t lps_cram_fill(void* rp, uint8_t* blob, int64_t* rec_off) {
 }
 
 void lps_cram_free(void* rp) { delete (lps_cram::CramResult*)rp; }
+
+// zero-copy accessors so lps_ingest.cpp can synthesize a BAM handle from a
+// decode result without round-tripping the record blob through Python
+int64_t lps_cram_header_text(void* rp, const char** txt) {
+    auto* r = (lps_cram::CramResult*)rp;
+    *txt = r->header_text.data();
+    return (int64_t)r->header_text.size();
+}
+
+int64_t lps_cram_n_refs(void* rp) {
+    return (int64_t)((lps_cram::CramResult*)rp)->ref_names.size();
+}
+
+int64_t lps_cram_ref(void* rp, int64_t i, const char** name,
+                     int64_t* name_len) {
+    auto* r = (lps_cram::CramResult*)rp;
+    *name = r->ref_names[i].data();
+    *name_len = (int64_t)r->ref_names[i].size();
+    return i < (int64_t)r->ref_lens.size() ? r->ref_lens[i] : 0;
+}
+
+int64_t lps_cram_n_containers(void* rp) {
+    return (int64_t)((lps_cram::CramResult*)rp)->outs.size();
+}
+
+int64_t lps_cram_container(void* rp, int64_t i, const uint8_t** blob,
+                           int64_t* blob_len, const int64_t** sizes) {
+    auto* r = (lps_cram::CramResult*)rp;
+    auto& o = r->outs[i];
+    *blob = o.blob.data();
+    *blob_len = (int64_t)o.blob.size();
+    *sizes = o.rec_sizes.data();
+    return (int64_t)o.rec_sizes.size();
+}
 
 }  // extern "C"

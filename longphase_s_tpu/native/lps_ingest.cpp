@@ -36,9 +36,13 @@
 // opts out (restores default trim behavior).
 __attribute__((constructor)) static void lps_malloc_tuning() {
   if (getenv("LPS_NO_MALLOC_TUNING")) return;
-  mallopt(M_MMAP_THRESHOLD, 256 << 20);
-  mallopt(M_TRIM_THRESHOLD, 256 << 20);
-  mallopt(M_ARENA_MAX, 2);  // fewer per-thread arenas -> fewer fresh mmaps
+  // thresholds above any whole-file handle image (~hundreds of MB): a
+  // 450 MB buffer that crosses M_MMAP_THRESHOLD gets munmap()ed on free
+  // and re-faulted page-by-page on the next run — exactly the churn this
+  // ctor exists to avoid
+  mallopt(M_MMAP_THRESHOLD, INT32_MAX);
+  mallopt(M_TRIM_THRESHOLD, INT32_MAX);
+  mallopt(M_ARENA_MAX, 4);  // one arena per decode thread on this 4-vCPU VM
 }
 
 namespace {
@@ -1176,6 +1180,103 @@ void* lps_bam_load_unpacked(const char* header_text, int64_t header_len,
       h->tid_last[tid] = idx + 1;
     }
   }
+  return h;
+}
+
+// Whole-file CRAM handle in one native pass: decode containers in parallel
+// (lps_cram.cpp) and move the record blobs straight into the BamHandle
+// image. On this VM fresh pages fault at tens of microseconds each, so the
+// old Python round-trip (decode -> fill-copy into numpy -> copy into the
+// handle) tripled the bytes touched; this path touches them once.
+extern "C" void* lps_cram_decode(const char* path, const char* fasta_path,
+                                 const int64_t* offsets, int64_t n_offsets,
+                                 int32_t n_threads);
+extern "C" void lps_cram_free(void* rp);
+extern "C" int64_t lps_cram_header_text(void* rp, const char** txt);
+extern "C" int64_t lps_cram_n_refs(void* rp);
+extern "C" int64_t lps_cram_ref(void* rp, int64_t i, const char** name,
+                                int64_t* name_len);
+extern "C" int64_t lps_cram_n_containers(void* rp);
+extern "C" int64_t lps_cram_container(void* rp, int64_t i,
+                                      const uint8_t** blob, int64_t* blob_len,
+                                      const int64_t** sizes);
+
+void* lps_bam_load_cram(const char* path, const char* fasta_path,
+                        int32_t n_threads) {
+  void* rp = lps_cram_decode(path, fasta_path, nullptr, 0, n_threads);
+  if (!rp) return nullptr;
+  const char* hdr = nullptr;
+  int64_t hdr_len = lps_cram_header_text(rp, &hdr);
+  int64_t n_ref = lps_cram_n_refs(rp);
+  int64_t n_cont = lps_cram_n_containers(rp);
+  auto* h = new BamHandle();
+  size_t names_total = 0, blob_total = 0, n_rec_total = 0;
+  for (int64_t i = 0; i < n_ref; ++i) {
+    const char* nm;
+    int64_t nl;
+    lps_cram_ref(rp, i, &nm, &nl);
+    names_total += (size_t)nl + 1 + 8;
+  }
+  for (int64_t c = 0; c < n_cont; ++c) {
+    const uint8_t* blob;
+    int64_t blob_len;
+    const int64_t* sizes;
+    int64_t nr = lps_cram_container(rp, c, &blob, &blob_len, &sizes);
+    blob_total += (size_t)blob_len;
+    n_rec_total += (size_t)nr;
+  }
+  h->data.reserve(12 + (size_t)hdr_len + names_total + blob_total +
+                  4 * n_rec_total);
+  h->rec_off.reserve(n_rec_total);
+  h->rec_len.reserve(n_rec_total);
+  auto put_i32 = [&](int32_t v) {
+    const uint8_t* p = (const uint8_t*)&v;
+    h->data.insert(h->data.end(), p, p + 4);
+  };
+  h->data.insert(h->data.end(), {'B', 'A', 'M', 1});
+  h->header_off = h->data.size();
+  put_i32((int32_t)hdr_len);
+  h->data.insert(h->data.end(), (const uint8_t*)hdr,
+                 (const uint8_t*)hdr + hdr_len);
+  put_i32((int32_t)n_ref);
+  for (int64_t i = 0; i < n_ref; ++i) {
+    const char* nm;
+    int64_t nl;
+    int64_t rl = lps_cram_ref(rp, i, &nm, &nl);
+    put_i32((int32_t)nl + 1);
+    h->data.insert(h->data.end(), (const uint8_t*)nm,
+                   (const uint8_t*)nm + nl);
+    h->data.push_back(0);
+    put_i32((int32_t)rl);
+    h->ref_names.emplace_back(nm, (size_t)nl);
+    h->ref_lens.push_back(rl);
+  }
+  h->records_off = h->data.size();
+  h->tid_first.assign((size_t)n_ref, -1);
+  h->tid_last.assign((size_t)n_ref, -1);
+  for (int64_t c = 0; c < n_cont; ++c) {
+    const uint8_t* blob;
+    int64_t blob_len;
+    const int64_t* sizes;
+    int64_t nr = lps_cram_container(rp, c, &blob, &blob_len, &sizes);
+    int64_t boff = 0;
+    for (int64_t i = 0; i < nr; ++i) {
+      int64_t sz = sizes[i];
+      put_i32((int32_t)sz);
+      size_t rpos = h->data.size();
+      h->data.insert(h->data.end(), blob + boff, blob + boff + sz);
+      boff += sz;
+      int32_t tid = rd_i32(&h->data[rpos]);
+      int64_t idx = (int64_t)h->rec_off.size();
+      h->rec_off.push_back(rpos);
+      h->rec_len.push_back((uint32_t)sz);
+      if (tid >= 0 && tid < n_ref) {
+        if (h->tid_first[tid] < 0) h->tid_first[tid] = idx;
+        h->tid_last[tid] = idx + 1;
+      }
+    }
+  }
+  lps_cram_free(rp);
   return h;
 }
 
