@@ -359,25 +359,55 @@ def extract_normal_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     mapq_ok_aln = walk["mapq"] >= cfg.quality_threshold
     mapq_ok_obs = mapq_ok_aln[al]
 
-    is_alt = obs_is_alt(walk, t)
-    arr, touched = accumulate_pos_base(walk, t, is_alt, mapq_ok_obs, n_var)
+    from ..ops import tag_kernels
+    dev = None
+    if tag_kernels.engine() == "device":
+        try:
+            dev = tag_kernels.somatic_counts_device(
+                walk, t, "normal", gate=mapq_ok_obs, want_posbase=True,
+                ref_nonempty=bool(ref_string))
+        except SystemExit:
+            raise
+        except Exception:
+            if tag_kernels.strict():
+                raise
+            dev = None
+    if dev is not None:
+        arr = dev
+        touched = dev["touched"] != 0
+        h1_cnt, h2_cnt, n_ps = dev["h1_cnt"], dev["h2_cnt"], dev["n_ps"]
+        tvp = (dev["pk"] & tag_kernels.PK_TVP) != 0
+    else:
+        is_alt = obs_is_alt(walk, t)
+        arr, touched = accumulate_pos_base(walk, t, is_alt, mapq_ok_obs,
+                                           n_var)
 
-    # germline votes: the normal pass uses the GERMLINE judge (_judge_snp_hap
-    # next-op semantics), not judgeNormalSnpHap (somatic_caller.py:148-157)
-    from ..models.haplotag_fast import germline_votes
-    gt_tables = {
-        "pos": t["pos"], "has": t["nor_has"], "vtype": t["nor_vt"],
-        "gt": t["nor_gt"], "ps": t["nor_ps"], "snp_ref": t["nor_ref0"],
-        "snp_alt": t["nor_alt0"], "hp1c": t["nor_hp1c"], "hp2c": t["nor_hp2c"],
-        "hp1_long": t["hp1_long"], "hp2_long": t["hp2_long"],
-    }
-    h1, h2, cps = germline_votes(walk, gt_tables, bool(ref_string))
-    h1 &= mapq_ok_obs
-    h2 &= mapq_ok_obs
-    cps &= mapq_ok_obs
-    h1_cnt = np.bincount(al[h1], minlength=A).astype(np.int64)
-    h2_cnt = np.bincount(al[h2], minlength=A).astype(np.int64)
-    n_ps, _min_ps, _triples = nor_ps_aggregate(walk, t, cps)
+        # germline votes: the normal pass uses the GERMLINE judge
+        # (_judge_snp_hap next-op semantics), not judgeNormalSnpHap
+        # (somatic_caller.py:148-157)
+        from ..models.haplotag_fast import germline_votes
+        gt_tables = {
+            "pos": t["pos"], "has": t["nor_has"], "vtype": t["nor_vt"],
+            "gt": t["nor_gt"], "ps": t["nor_ps"], "snp_ref": t["nor_ref0"],
+            "snp_alt": t["nor_alt0"], "hp1c": t["nor_hp1c"],
+            "hp2c": t["nor_hp2c"],
+            "hp1_long": t["hp1_long"], "hp2_long": t["hp2_long"],
+        }
+        h1, h2, cps = germline_votes(walk, gt_tables, bool(ref_string))
+        h1 &= mapq_ok_obs
+        h2 &= mapq_ok_obs
+        cps &= mapq_ok_obs
+        h1_cnt = np.bincount(al[h1], minlength=A).astype(np.int64)
+        h2_cnt = np.bincount(al[h2], minlength=A).astype(np.int64)
+        n_ps, _min_ps, _triples = nor_ps_aggregate(walk, t, cps)
+
+        # tum_var_pos_vec: match obs at SNP/INS/DEL tumor vars + in-deletion
+        # obs at any tumor var (somatic_caller.py:140-167)
+        tvt = t["tum_vt"][vi]
+        tum3 = t["tum_has"][vi] & ((tvt == VT_SNP) | (tvt == VT_INSERTION)
+                                   | (tvt == VT_DELETION))
+        tvp = ((walk["obs_kind"] == 0) & tum3) | \
+            ((walk["obs_kind"] == 1) & t["tum_has"][vi])
 
     if sv_counts:
         names = walk["names"]
@@ -391,14 +421,6 @@ def extract_normal_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     hp, _pq, _hs, _wo = judge_reads(h1_cnt, h2_cnt, n_ps,
                                     cfg.percentage_threshold)
     hp_cls = np.where(hp == -1, RH_UNTAG, hp)  # ReadHP::unTag == 0
-
-    # tum_var_pos_vec: match obs at SNP/INS/DEL tumor vars + in-deletion obs
-    # at any tumor var (somatic_caller.py:140-167)
-    tvt = t["tum_vt"][vi]
-    tum3 = t["tum_has"][vi] & ((tvt == VT_SNP) | (tvt == VT_INSERTION)
-                               | (tvt == VT_DELETION))
-    tvp = ((walk["obs_kind"] == 0) & tum3) | \
-        ((walk["obs_kind"] == 1) & t["tum_has"][vi])
     # per (var, read-hp-class) counts
     key = vi[tvp].astype(np.int64) * 3 + hp_cls[al[tvp]]
     rhc = np.bincount(key, minlength=n_var * 3).reshape(n_var, 3)
@@ -453,31 +475,67 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     mapq_ok_aln = walk["mapq"] >= cfg.quality_threshold
     mapq_ok_obs = mapq_ok_aln[al]
 
-    is_alt = obs_is_alt(walk, t)
-    arr, touched = accumulate_pos_base(walk, t, is_alt, mapq_ok_obs, n_var)
+    from ..ops import tag_kernels
+    dev = None
+    if tag_kernels.engine() == "device":
+        try:
+            dev = tag_kernels.somatic_counts_device(
+                walk, t, "extract", gate=mapq_ok_obs, want_posbase=True)
+        except SystemExit:
+            raise
+        except Exception:
+            if tag_kernels.strict():
+                raise
+            dev = None
+    if dev is not None:
+        arr = dev
+        touched = dev["touched"] != 0
+        pk = dev["pk"]
+        h1 = (pk & tag_kernels.PK_H1) != 0
+        h2 = (pk & tag_kernels.PK_H2) != 0
+        h3 = (pk & tag_kernels.PK_H3) != 0
+        cps_nor = (pk & tag_kernels.PK_CPS_NOR) != 0
+        is_alt = (pk & tag_kernels.PK_IS_ALT) != 0
+        allele_gate = (pk & tag_kernels.PK_ALLELE_GATE) != 0
+        base_hp = np.zeros(len(vi), np.int8)
+        base_hp[h1] = GERMLINE_H1
+        base_hp[h2] = GERMLINE_H2
+        base_hp[h3] = SOMATIC_H3
+        h1_cnt, h2_cnt, h3_cnt = dev["h1_cnt"], dev["h2_cnt"], dev["h3_cnt"]
+        n_ps = dev["n_ps"]
+        allele_counts = dev["allele_counts"]
+        # ps_triples stay host-built: they feed per-read nor_count_ps dicts
+        _n_ps2, _min_ps, ps_triples = nor_ps_aggregate(walk, t, cps_nor)
+    else:
+        is_alt = obs_is_alt(walk, t)
+        arr, touched = accumulate_pos_base(walk, t, is_alt, mapq_ok_obs,
+                                           n_var)
 
-    votes = somatic_match_votes(walk, t, is_alt, "extract")
-    h1 = votes["h1"] & mapq_ok_obs
-    h2 = votes["h2"] & mapq_ok_obs
-    h3 = votes["h3"] & mapq_ok_obs
-    cps_nor = votes["cps_nor"] & mapq_ok_obs
-    base_hp = np.where(mapq_ok_obs, votes["base_hp"], 0).astype(np.int8)
-    h1_cnt = np.bincount(al[h1], minlength=A).astype(np.int64)
-    h2_cnt = np.bincount(al[h2], minlength=A).astype(np.int64)
-    h3_cnt = np.bincount(al[h3], minlength=A).astype(np.int64)
-    n_ps, _min_ps, ps_triples = nor_ps_aggregate(walk, t, cps_nor)
+        votes = somatic_match_votes(walk, t, is_alt, "extract")
+        h1 = votes["h1"] & mapq_ok_obs
+        h2 = votes["h2"] & mapq_ok_obs
+        h3 = votes["h3"] & mapq_ok_obs
+        cps_nor = votes["cps_nor"] & mapq_ok_obs
+        base_hp = np.where(mapq_ok_obs, votes["base_hp"], 0).astype(np.int8)
+        h1_cnt = np.bincount(al[h1], minlength=A).astype(np.int64)
+        h2_cnt = np.bincount(al[h2], minlength=A).astype(np.int64)
+        h3_cnt = np.bincount(al[h3], minlength=A).astype(np.int64)
+        n_ps, _min_ps, ps_triples = nor_ps_aggregate(walk, t, cps_nor)
+
+        # allele_count / offset_bases gate (somatic_caller.py:466-468)
+        tum3_obs = kind0 & t["tum_has"][vi] & (
+            (t["tum_vt"][vi] == VT_SNP) | (t["tum_vt"][vi] == VT_INSERTION)
+            | (t["tum_vt"][vi] == VT_DELETION))
+        base_eq = (t["tum_ref_is1"][vi]
+                   & (walk["obs_base"] == t["tum_ref0"][vi])) | \
+            (t["tum_alt_is1"][vi] & (walk["obs_base"] == t["tum_alt0"][vi]))
+        allele_gate = tum3_obs & np.where(t["tum_vt"][vi] == VT_SNP,
+                                          base_eq, True)
+        ac_key = vi[allele_gate].astype(np.int64) * 2 + is_alt[allele_gate]
+        allele_counts = np.bincount(ac_key,
+                                    minlength=n_var * 2).reshape(n_var, 2)
     hp, _pq, _nsim, _hs, _cross, _wo = judge_somatic_reads(
         h1_cnt, h2_cnt, h3_cnt, n_ps, cfg.percentage_threshold)
-
-    # allele_count / offset_bases gate (somatic_caller.py:466-468)
-    tum3_obs = kind0 & t["tum_has"][vi] & (
-        (t["tum_vt"][vi] == VT_SNP) | (t["tum_vt"][vi] == VT_INSERTION)
-        | (t["tum_vt"][vi] == VT_DELETION))
-    base_eq = (t["tum_ref_is1"][vi] & (walk["obs_base"] == t["tum_ref0"][vi])) | \
-        (t["tum_alt_is1"][vi] & (walk["obs_base"] == t["tum_alt0"][vi]))
-    allele_gate = tum3_obs & np.where(t["tum_vt"][vi] == VT_SNP, base_eq, True)
-    ac_key = vi[allele_gate].astype(np.int64) * 2 + is_alt[allele_gate]
-    allele_counts = np.bincount(ac_key, minlength=n_var * 2).reshape(n_var, 2)
 
     # window mismatch offsets, filtered to gated observations
     wd_obs = walk["wd_obs"]

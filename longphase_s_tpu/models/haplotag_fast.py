@@ -231,13 +231,45 @@ def _gather_int_segments(segs, all_rec, all_mode, all_hp, all_ps, all_pq,
             [e[5] for e in entries])
 
 
+def _add_sv_counts(walk, h1_cnt, h2_cnt, sv_counts, aln_mask=None):
+    """Host-side SV/MOD per-read vote add (judgeSVHap,
+    HaplotagStrategy.cpp:220-226): keyed by read name, so it stays off
+    device. Mutates h1_cnt/h2_cnt in place."""
+    names = walk["names"]
+    off = walk["name_off"]
+    proc = np.flatnonzero((walk["category"] == 0) if aln_mask is None
+                          else aln_mask)
+    for a in proc:
+        entry = sv_counts.get(names[off[a]:off[a + 1]])
+        if entry is not None:
+            h1_cnt[a] += entry[0]
+            h2_cnt[a] += entry[1]
+
+
 def _judge_walk(cfg, walk, t, ref_string, sv_counts, stats):
     """Judge one walk batch (a chromosome, or one streaming window of it):
     returns (mode, hp, min_ps, pq) per record and accumulates the
     ReadStatistics counters — all per-record, so window splits are exact."""
-    h1, h2, cps = germline_votes(walk, t, bool(ref_string))
-    h1_cnt, h2_cnt, n_ps, min_ps = aggregate_reads(
-        walk, t, h1, h2, cps, sv_counts if sv_counts else None)
+    from ..ops import tag_kernels
+
+    if tag_kernels.engine() == "device":
+        try:
+            h1_cnt, h2_cnt, n_ps, min_ps = \
+                tag_kernels.germline_counts_device(walk, t, bool(ref_string))
+        except SystemExit:
+            raise
+        except Exception:
+            if tag_kernels.strict():
+                raise
+            h1_cnt = None
+        if h1_cnt is not None and sv_counts:
+            _add_sv_counts(walk, h1_cnt, h2_cnt, sv_counts)
+    else:
+        h1_cnt = None
+    if h1_cnt is None:
+        h1, h2, cps = germline_votes(walk, t, bool(ref_string))
+        h1_cnt, h2_cnt, n_ps, min_ps = aggregate_reads(
+            walk, t, h1, h2, cps, sv_counts if sv_counts else None)
     hp, pq, n_high_sim, n_without = judge_reads(
         h1_cnt, h2_cnt, n_ps, cfg.percentage_threshold)
 

@@ -854,13 +854,44 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
         vi = walk["obs_var"]
         al = walk["obs_aln"]
         A = len(walk["category"])
-        is_alt = obs_is_alt(walk, t)
-        votes = somatic_match_votes(walk, t, is_alt, "haplotag",
-                                    is_somatic=is_som)
-        h1_cnt = np.bincount(al[votes["h1"]], minlength=A).astype(np.int64)
-        h2_cnt = np.bincount(al[votes["h2"]], minlength=A).astype(np.int64)
-        h3_cnt = np.bincount(al[votes["h3"]], minlength=A).astype(np.int64)
-        n_ps, min_ps, _triples = nor_ps_aggregate(walk, t, votes["cps_nor"])
+        from ..ops import tag_kernels
+        dev = None
+        if tag_kernels.engine() == "device":
+            try:
+                dev = tag_kernels.somatic_counts_device(
+                    walk, t, "haplotag", is_som=is_som, derive=derive,
+                    want_derive=True)
+            except SystemExit:
+                raise
+            except Exception:
+                if tag_kernels.strict():
+                    raise
+                dev = None
+        if dev is not None:
+            h1_cnt, h2_cnt, h3_cnt = (dev["h1_cnt"], dev["h2_cnt"],
+                                      dev["h3_cnt"])
+            n_ps, min_ps = dev["n_ps"], dev["min_ps"]
+            d1, d2 = dev["d1_cnt"], dev["d2_cnt"]
+        else:
+            is_alt = obs_is_alt(walk, t)
+            votes = somatic_match_votes(walk, t, is_alt, "haplotag",
+                                        is_somatic=is_som)
+            h1_cnt = np.bincount(al[votes["h1"]],
+                                 minlength=A).astype(np.int64)
+            h2_cnt = np.bincount(al[votes["h2"]],
+                                 minlength=A).astype(np.int64)
+            h3_cnt = np.bincount(al[votes["h3"]],
+                                 minlength=A).astype(np.int64)
+            n_ps, min_ps, _triples = nor_ps_aggregate(walk, t,
+                                                      votes["cps_nor"])
+            # inheritHaplotype derive counts
+            # (SomaticHaplotagProcess.cpp:461-527)
+            h3_idx = np.flatnonzero(votes["h3"])
+            dv = derive[vi[h3_idx]]
+            d1 = np.bincount(al[h3_idx[dv == GERMLINE_H1]],
+                             minlength=A).astype(np.int64)
+            d2 = np.bincount(al[h3_idx[dv == GERMLINE_H2]],
+                             minlength=A).astype(np.int64)
 
         if sv_counts:
             names = walk["names"]
@@ -873,14 +904,6 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
 
         hp, pq, _nsim, high_sim, cross, without = judge_somatic_reads(
             h1_cnt, h2_cnt, h3_cnt, n_ps, cfg.percentage_threshold)
-
-        # inheritHaplotype (SomaticHaplotagProcess.cpp:461-527)
-        h3_idx = np.flatnonzero(votes["h3"])
-        dv = derive[vi[h3_idx]]
-        d1 = np.bincount(al[h3_idx[dv == GERMLINE_H1]],
-                         minlength=A).astype(np.int64)
-        d2 = np.bincount(al[h3_idx[dv == GERMLINE_H2]],
-                         minlength=A).astype(np.int64)
         mx = np.maximum(d1, d2).astype(np.float32)
         mn = np.minimum(d1, d2).astype(np.float32)
         with np.errstate(invalid="ignore"):

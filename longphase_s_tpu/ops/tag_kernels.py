@@ -1,0 +1,602 @@
+"""Device kernels for the tagging-family hot loops.
+
+The three BAM-pass pipelines (germline haplotag, somatic extract x2, somatic
+tag) reduce per-observation vote/count streams into per-alignment and
+per-variant tables. Those reductions — the hot loops of the reference's
+HaplotagStrategy.cpp:20-300 (judgeSnpHap/judgeDeletionHap vote walk) and
+SomaticVarCaller.cpp:112-759 (per-position base counters, case
+classification) — run here as jitted XLA programs: elementwise vote masks
+over the observation stream followed by scatter-add segment sums, plus a
+device sort for the exact distinct-PS count (the countPS std::map of
+judgeReadHap). One jit call per chromosome walk; shapes are padded to
+power-of-two buckets so recompiles are rare.
+
+The per-ALIGNMENT decision logic (ratio thresholds, PQ = -10*log10) stays on
+host in float64: it is O(alignments), microscopic next to the O(observations)
+reductions, and the reference compares `double` ratios against CLI
+thresholds, so bit-exact parity demands f64 — which TPUs only emulate. This
+is the same division of labor as the phase engine (device pair counts + vote
+scan, host VCF logic) and the purity estimator (device-reducible histograms,
+host peak walk).
+
+Engine selection: `LPS_TAG_ENGINE=device|host`; `LPS_STRICT_DEVICE=1` forces
+the device path and turns any kernel failure into an error instead of a host
+fallback (the bench runs this way so a Mosaic/runtime regression is loud).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+
+import numpy as np
+
+IMAX = np.int32(2**31 - 1)
+
+# variantType codes (io/phased_vcf.py) — static Python ints inside the jits
+_VT_SNP = 1
+_VT_INS = 2
+_VT_DEL = 3
+_PHASED_HETERO = 0
+
+_BASE_CODE_NP = np.full(256, 4, np.int32)
+for _i, _c in enumerate("ACGT"):
+    _BASE_CODE_NP[ord(_c)] = _i
+
+
+def engine() -> str:
+    """'device' or 'host' for the tag-family reductions."""
+    env = os.environ.get("LPS_TAG_ENGINE")
+    if env in ("device", "host"):
+        return env
+    return "device" if os.environ.get("LPS_STRICT_DEVICE") else "host"
+
+
+def strict() -> bool:
+    return bool(os.environ.get("LPS_STRICT_DEVICE"))
+
+
+def _pow2(n: int, lo: int) -> int:
+    return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+def _pad(a, n, fill, dtype):
+    out = np.full(n, fill, dtype)
+    out[: len(a)] = a
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shared jit building blocks (traced code — jnp only)
+# ---------------------------------------------------------------------------
+
+
+def _first_in_group(key1, key2, active):
+    """Stream-order first observation of each (key1, key2) group among
+    ``active`` rows, exact for any key order (device sort, not a
+    monotonicity assumption). Returns a boolean mask over the stream."""
+    import jax
+    import jax.numpy as jnp
+
+    n = key1.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    k1 = jnp.where(active, key1, IMAX)
+    k2 = jnp.where(active, key2, IMAX)
+    s1, s2, si = jax.lax.sort((k1, k2, idx), num_keys=3)
+    real = s1 < IMAX
+    prev_same = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (s1[1:] == s1[:-1]) & (s2[1:] == s2[:-1])])
+    first = real & ~prev_same
+    return jnp.zeros(n, bool).at[si].set(first)
+
+
+def _distinct_and_min(al, val, active, A_pad: int):
+    """Per-alignment distinct count and minimum of ``val`` over ``active``
+    rows (the countPS map: exact via a two-key device sort)."""
+    import jax
+    import jax.numpy as jnp
+
+    k1 = jnp.where(active, al, IMAX)
+    k2 = jnp.where(active, val, IMAX)
+    s1, s2 = jax.lax.sort((k1, k2), num_keys=2)
+    real = s1 < IMAX
+    prev_same = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (s1[1:] == s1[:-1]) & (s2[1:] == s2[:-1])])
+    new_grp = real & ~prev_same
+    tgt = jnp.minimum(s1, A_pad - 1)
+    n_distinct = jnp.zeros(A_pad, jnp.int32).at[tgt].add(
+        new_grp.astype(jnp.int32))
+    mn = jnp.full(A_pad, IMAX, jnp.int32).at[
+        jnp.where(active, al, A_pad - 1)].min(
+        jnp.where(active, val, IMAX))
+    mn = jnp.where(n_distinct > 0, mn, 0)
+    return n_distinct, mn
+
+
+def _seg_count(al, mask, A_pad: int):
+    import jax.numpy as jnp
+
+    return jnp.zeros(A_pad, jnp.int32).at[
+        jnp.minimum(al, A_pad - 1)].add(mask.astype(jnp.int32))
+
+
+def _germline_votes_dev(vi, al, base, flags, kind, aux, valid, gate, t,
+                        ref_nonempty: bool):
+    """judgeSnpHap + judgeDeletionHap vote masks (HaplotagStrategy.cpp:20-209)
+    over the observation stream. ``t`` is a dict of gathered-table arrays.
+    Returns (h1, h2, cps, err_idx)."""
+    import jax.numpy as jnp
+
+    vt = t["vtype"][vi]
+    norm = t["has"][vi]
+    kind0 = (kind == 0) & valid
+    base_hp1 = base == t["hp1c"][vi]
+    base_hp2 = base == t["hp2c"][vi]
+
+    m_snp = kind0 & norm & (vt == _VT_SNP) & \
+        ((base == t["snp_ref"][vi]) | (base == t["snp_alt"][vi]))
+    idx = jnp.arange(vi.shape[0], dtype=jnp.int32)
+    err_idx = jnp.min(jnp.where(m_snp & (t["ps"][vi] < 0), idx, IMAX))
+    h1 = m_snp & base_hp1
+    h2 = m_snp & base_hp2
+    cps = m_snp
+
+    has_next = (flags & 1) != 0
+    alt_ins = (flags & 2) != 0
+    alt_del = (flags & 4) != 0
+    only1 = t["hp1_long"][vi] & ~t["hp2_long"][vi]
+    only2 = ~t["hp1_long"][vi] & t["hp2_long"][vi]
+
+    m_ins = kind0 & norm & (vt == _VT_INS) & has_next
+    h1 |= m_ins & jnp.where(alt_ins, only1, only2)
+    h2 |= m_ins & jnp.where(alt_ins, only2, only1)
+    cps |= m_ins
+
+    m_del = kind0 & norm & (vt == _VT_DEL) & has_next
+    h1 |= m_del & jnp.where(alt_del, only1, only2)
+    h2 |= m_del & jnp.where(alt_del, only2, only1)
+    cps |= m_del
+
+    if ref_nonempty:
+        cand = (kind == 1) & valid & norm & (t["gt"][vi] == _PHASED_HETERO)
+        rescue = _first_in_group(al, aux, cand) & ((flags & 8) != 0)
+        r_snp = rescue & (vt == _VT_SNP)
+        h1 |= r_snp & base_hp1
+        h2 |= r_snp & base_hp2
+        cps |= r_snp
+        r_del = rescue & (vt == _VT_DEL)
+        h1 |= r_del & only1
+        h2 |= r_del & only2
+        cps |= r_del
+
+    return h1 & gate, h2 & gate, cps & gate, err_idx
+
+
+# ---------------------------------------------------------------------------
+# kernel 1: germline haplotag counts (HaplotagStrategy.cpp:20-300 reductions)
+# ---------------------------------------------------------------------------
+
+
+def _k_germline(vi, al, base, flags, kind, aux, valid, gate,
+                t_has, t_vt, t_gt, t_ps, t_ref, t_alt, t_hp1, t_hp2,
+                t_hp1l, t_hp2l, A_pad, ref_nonempty):
+    t = {"has": t_has, "vtype": t_vt, "gt": t_gt, "ps": t_ps,
+         "snp_ref": t_ref, "snp_alt": t_alt, "hp1c": t_hp1, "hp2c": t_hp2,
+         "hp1_long": t_hp1l, "hp2_long": t_hp2l}
+    h1, h2, cps, err = _germline_votes_dev(vi, al, base, flags, kind, aux,
+                                           valid, gate, t, ref_nonempty)
+    h1_cnt = _seg_count(al, h1, A_pad)
+    h2_cnt = _seg_count(al, h2, A_pad)
+    n_ps, min_ps = _distinct_and_min(al, t_ps[vi], cps, A_pad)
+    return h1_cnt, h2_cnt, n_ps, min_ps, err
+
+
+_jit_germline = None
+
+
+def _get_jit_germline():
+    global _jit_germline
+    if _jit_germline is None:
+        import jax
+
+        _jit_germline = jax.jit(
+            _k_germline, static_argnames=("A_pad", "ref_nonempty"))
+    return _jit_germline
+
+
+def _obs_inputs(walk, No_pad):
+    import jax.numpy as jnp
+
+    return (
+        jnp.asarray(_pad(walk["obs_var"], No_pad, 0, np.int32)),
+        jnp.asarray(_pad(walk["obs_aln"], No_pad, 0, np.int32)),
+        jnp.asarray(_pad(walk["obs_base"], No_pad, 0, np.uint8)
+                    .astype(np.int32)),
+        jnp.asarray(_pad(walk["obs_flags"], No_pad, 0, np.uint8)
+                    .astype(np.int32)),
+        jnp.asarray(_pad(walk["obs_kind"], No_pad, 255, np.uint8)
+                    .astype(np.int32)),
+        jnp.asarray(_pad(walk["obs_aux"], No_pad, 0, np.int32)),
+        jnp.asarray(_pad(np.ones(len(walk["obs_var"]), bool), No_pad,
+                         False, bool)),
+    )
+
+
+def _germline_tables(t, S_pad):
+    import jax.numpy as jnp
+
+    ps = t["ps"]
+    if ps.max(initial=0) > IMAX:
+        raise OverflowError("PS value exceeds int32")
+    return (
+        jnp.asarray(_pad(t["has"], S_pad, False, bool)),
+        jnp.asarray(_pad(t["vtype"], S_pad, 0, np.int8).astype(np.int32)),
+        jnp.asarray(_pad(t["gt"], S_pad, -1, np.int8).astype(np.int32)),
+        jnp.asarray(_pad(ps, S_pad, -1, np.int64).astype(np.int32)),
+        jnp.asarray(_pad(t["snp_ref"], S_pad, 0, np.uint8).astype(np.int32)),
+        jnp.asarray(_pad(t["snp_alt"], S_pad, 0, np.uint8).astype(np.int32)),
+        jnp.asarray(_pad(t["hp1c"], S_pad, 0, np.uint8).astype(np.int32)),
+        jnp.asarray(_pad(t["hp2c"], S_pad, 0, np.uint8).astype(np.int32)),
+        jnp.asarray(_pad(t["hp1_long"], S_pad, False, bool)),
+        jnp.asarray(_pad(t["hp2_long"], S_pad, False, bool)),
+    )
+
+
+def germline_counts_device(walk, t, ref_nonempty: bool, gate=None):
+    """Device germline judge reductions. Returns (h1_cnt, h2_cnt, n_ps,
+    min_ps) int64 numpy arrays of length A, mirroring
+    models.haplotag_fast.germline_votes + aggregate_reads (minus sv_counts,
+    which the caller adds). Exits like the reference on a missing PS."""
+    import jax.numpy as jnp
+
+    A = len(walk["category"])
+    No = len(walk["obs_var"])
+    No_pad = _pow2(No, 1024)
+    S_pad = _pow2(len(t["pos"]), 256)
+    A_pad = _pow2(A, 256)
+    obs = _obs_inputs(walk, No_pad)
+    tabs = _germline_tables(t, S_pad)
+    g = jnp.asarray(_pad(np.ones(No, bool) if gate is None else gate,
+                         No_pad, False, bool))
+    h1_cnt, h2_cnt, n_ps, min_ps, err = _get_jit_germline()(
+        *obs, g, *tabs, A_pad=A_pad, ref_nonempty=ref_nonempty)
+    err = int(err)
+    if err != int(IMAX):
+        print("[ERROR] (judgeSnpHap) => can't find the position: pos: "
+              f"{t['pos'][walk['obs_var'][err]]}", file=sys.stderr)
+        sys.exit(0)
+    return (np.asarray(h1_cnt)[:A].astype(np.int64),
+            np.asarray(h2_cnt)[:A].astype(np.int64),
+            np.asarray(n_ps)[:A].astype(np.int64),
+            np.asarray(min_ps)[:A].astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# kernel 2: somatic vote + counter reductions (SomaticVarCaller.cpp:112-759)
+# ---------------------------------------------------------------------------
+
+# packed per-observation flag bits (downloaded once per walk)
+PK_H1 = 1
+PK_H2 = 2
+PK_H3 = 4
+PK_CPS_NOR = 8
+PK_TSP = 16
+PK_IS_ALT = 32
+PK_ALLELE_GATE = 64
+PK_TVP = 128
+
+
+def _somatic_votes_dev(vi, base, kind, valid, is_alt, t, mode: str, is_som):
+    """judgeSomaticSnpHap masks (HaplotagStrategy.cpp:315-389); mirrors
+    core.somatic_fast.somatic_match_votes."""
+    import jax.numpy as jnp
+
+    kind0 = (kind == 0) & valid
+    nor = kind0 & t["nor_has"][vi] & (t["nor_gt"][vi] == _PHASED_HETERO)
+    nvt = t["nor_vt"][vi]
+    n_snp = nor & (nvt == _VT_SNP)
+    snp_match = n_snp & ((base == t["nor_ref0"][vi])
+                         | (base == t["nor_alt0"][vi]))
+    h1 = snp_match & (base == t["nor_hp1c"][vi])
+    h2 = snp_match & (base == t["nor_hp2c"][vi])
+    cps_nor = snp_match
+    n_ind = nor & ((nvt == _VT_INS) | (nvt == _VT_DEL))
+    h1 |= n_ind & jnp.where(is_alt, t["alt_eq_hp1"][vi], t["ref_eq_hp1"][vi])
+    h2 |= n_ind & jnp.where(is_alt, t["alt_eq_hp2"][vi], t["ref_eq_hp2"][vi])
+    cps_nor |= n_ind
+
+    tum = kind0 & ~t["nor_has"][vi] & t["tum_has"][vi]
+    tvt = t["tum_vt"][vi]
+    t_snp_ind = tum & ((tvt == _VT_SNP) | (tvt == _VT_INS)
+                       | (tvt == _VT_DEL))
+    base_eq_ref = t["tum_ref_is1"][vi] & (base == t["tum_ref0"][vi])
+    base_eq_alt = t["tum_alt_is1"][vi] & (base == t["tum_alt0"][vi])
+    matches = t_snp_ind & jnp.where(tvt == _VT_SNP,
+                                    base_eq_ref | base_eq_alt, True)
+    h3 = matches & jnp.where(tvt == _VT_SNP, base_eq_alt, is_alt)
+    if mode == "haplotag":
+        som = is_som[vi]
+        h3 &= som
+        cps_tum = matches & som & (t["tum_gt"][vi] == _PHASED_HETERO)
+    else:
+        cps_tum = matches & (t["tum_gt"][vi] == _PHASED_HETERO)
+    return h1, h2, h3, cps_nor, cps_tum, matches
+
+
+def _is_alt_dev(vi, base, flags, t):
+    import jax.numpy as jnp
+
+    nh = t["nor_has"][vi]
+    vt = jnp.where(nh, t["nor_vt"][vi], t["tum_vt"][vi])
+    alt0 = jnp.where(nh, t["nor_alt0"][vi], t["tum_alt0"][vi])
+    has_any = nh | t["tum_has"][vi]
+    is_alt = (vt == _VT_SNP) & (base == alt0)
+    is_alt |= (vt == _VT_INS) & ((flags & 2) != 0)
+    is_alt |= (vt == _VT_DEL) & ((flags & 4) != 0)
+    return is_alt & has_any
+
+
+def _posbase_dev(vi, base, kind, valid, is_alt, gate_obs, t, base_code,
+                 S_pad: int):
+    """countBaseNucleotide / countDeletionBase accumulation
+    (HaplotagParsingBam.cpp:682-730): per-variant A/C/G/T(/unknown) totals,
+    MAPQ-gated totals, alt/depth/del counters. Mirrors
+    core.somatic_fast.accumulate_pos_base."""
+    import jax.numpy as jnp
+
+    kind0 = (kind == 0) & valid
+    tvt = t["tum_vt"][vi]
+    tum3 = t["tum_has"][vi] & ((tvt == _VT_SNP) | (tvt == _VT_INS)
+                               | (tvt == _VT_DEL))
+    m = kind0 & tum3
+    code = base_code[base]
+    dump = S_pad * 5
+    key = jnp.where(m, vi * 5 + code, dump)
+    acgt = jnp.zeros(dump + 1, jnp.int32).at[key].add(1)[:dump].reshape(
+        S_pad, 5)
+    keym = jnp.where(m & gate_obs, vi * 5 + code, dump)
+    macgt = jnp.zeros(dump + 1, jnp.int32).at[keym].add(1)[:dump].reshape(
+        S_pad, 5)
+
+    def cnt(mask):
+        return jnp.zeros(S_pad + 1, jnp.int32).at[
+            jnp.where(mask, vi, S_pad)].add(1)[:S_pad]
+
+    alt_m = m & is_alt
+    alt = cnt(alt_m)
+    malt = cnt(alt_m & gate_obs)
+    depth = cnt(m)
+    mdepth = cnt(m & gate_obs)
+    delc = cnt(alt_m & (tvt == _VT_DEL))
+
+    kind1 = (kind == 1) & valid
+    d_any = kind1 & t["tum_has"][vi]
+    d_sd = d_any & ((tvt == _VT_SNP) | (tvt == _VT_DEL))
+    depth = depth + cnt(d_sd)
+    delc = delc + cnt(d_sd)
+    alt = alt + cnt(d_any & (tvt == _VT_DEL))
+    touched = (cnt(m) + cnt(d_any)) > 0
+    return acgt, macgt, alt, malt, depth, mdepth, delc, touched
+
+
+def _k_somatic(vi, al, base, flags, kind, aux, valid, gate, is_som, derive,
+               base_code, tabs, A_pad, S_pad, mode, want_posbase,
+               want_derive, ref_nonempty):
+    """Fused somatic-pass reductions. ``mode``: 'extract' (tumor extract
+    pass), 'haplotag' (tumor tag pass), 'normal' (normal extract pass:
+    germline judge + pos-base tables)."""
+    import jax.numpy as jnp
+
+    t = tabs
+    is_alt = _is_alt_dev(vi, base, flags, t)
+    gate_obs = gate
+    out = {}
+
+    if mode == "normal":
+        gt_t = {"has": t["nor_has"], "vtype": t["nor_vt"], "gt": t["nor_gt"],
+                "ps": t["nor_ps"], "snp_ref": t["nor_ref0"],
+                "snp_alt": t["nor_alt0"], "hp1c": t["nor_hp1c"],
+                "hp2c": t["nor_hp2c"], "hp1_long": t["hp1_long"],
+                "hp2_long": t["hp2_long"]}
+        h1, h2, cps, err = _germline_votes_dev(
+            vi, al, base, flags, kind, aux, valid, gate_obs, gt_t,
+            ref_nonempty)
+        out["err"] = err
+        h3 = jnp.zeros_like(h1)
+        cps_nor = cps
+        ps_tab = t["nor_ps"]
+    else:
+        h1, h2, h3, cps_nor, _cps_tum, matches = _somatic_votes_dev(
+            vi, base, kind, valid, is_alt, t, mode, is_som)
+        h1 &= gate_obs
+        h2 &= gate_obs
+        h3 &= gate_obs
+        cps_nor &= gate_obs
+        ps_tab = t["nor_ps"]
+
+    out["h1_cnt"] = _seg_count(al, h1, A_pad)
+    out["h2_cnt"] = _seg_count(al, h2, A_pad)
+    out["h3_cnt"] = _seg_count(al, h3, A_pad)
+    out["n_ps"], out["min_ps"] = _distinct_and_min(
+        al, ps_tab[vi], cps_nor, A_pad)
+
+    if want_posbase:
+        (out["acgt"], out["macgt"], out["alt"], out["malt"], out["depth"],
+         out["mdepth"], out["delc"], out["touched"]) = _posbase_dev(
+            vi, base, kind, valid, is_alt, gate_obs, t, base_code, S_pad)
+
+    if want_derive:
+        # inheritHaplotype derive counts (SomaticHaplotagProcess.cpp:461-527)
+        dv = derive[vi]
+        out["d1_cnt"] = _seg_count(al, h3 & (dv == 1), A_pad)
+        out["d2_cnt"] = _seg_count(al, h3 & (dv == 2), A_pad)
+
+    # packed per-observation masks for the host dict-assembly tail
+    kind0 = (kind == 0) & valid
+    tvt = t["tum_vt"][vi]
+    tum3 = t["tum_has"][vi] & ((tvt == _VT_SNP) | (tvt == _VT_INS)
+                               | (tvt == _VT_DEL))
+    tsp = kind0 & t["tum_has"][vi] & gate_obs
+    base_eq = (t["tum_ref_is1"][vi] & (base == t["tum_ref0"][vi])) | \
+        (t["tum_alt_is1"][vi] & (base == t["tum_alt0"][vi]))
+    allele_gate = kind0 & tum3 & jnp.where(tvt == _VT_SNP, base_eq, True)
+    tvp = (kind0 & tum3) | ((kind == 1) & valid & t["tum_has"][vi])
+    pk = (h1.astype(jnp.uint8) * PK_H1 + h2.astype(jnp.uint8) * PK_H2
+          + h3.astype(jnp.uint8) * PK_H3
+          + cps_nor.astype(jnp.uint8) * PK_CPS_NOR
+          + tsp.astype(jnp.uint8) * PK_TSP
+          + is_alt.astype(jnp.uint8) * PK_IS_ALT
+          + allele_gate.astype(jnp.uint8) * PK_ALLELE_GATE
+          + tvp.astype(jnp.uint8) * PK_TVP)
+    out["pk"] = pk
+    if mode == "extract":
+        dump = S_pad * 2
+        ackey = jnp.where(allele_gate,
+                          vi * 2 + is_alt.astype(jnp.int32), dump)
+        out["allele_counts"] = jnp.zeros(dump + 1, jnp.int32).at[
+            ackey].add(1)[:dump].reshape(S_pad, 2)
+    return out
+
+
+_jit_somatic = None
+
+
+def _get_jit_somatic():
+    global _jit_somatic
+    if _jit_somatic is None:
+        import jax
+
+        _jit_somatic = jax.jit(
+            _k_somatic,
+            static_argnames=("A_pad", "S_pad", "mode", "want_posbase",
+                             "want_derive", "ref_nonempty"))
+    return _jit_somatic
+
+
+def _somatic_tables(t, S_pad):
+    import jax.numpy as jnp
+
+    for key in ("nor_ps", "tum_ps"):
+        if t[key].max(initial=0) > IMAX:
+            raise OverflowError("PS value exceeds int32")
+
+    def b(k):
+        return jnp.asarray(_pad(t[k], S_pad, False, bool))
+
+    def i(k, fill=0):
+        return jnp.asarray(_pad(t[k], S_pad, fill,
+                                t[k].dtype).astype(np.int32))
+
+    return {
+        "nor_has": b("nor_has"), "nor_vt": i("nor_vt"),
+        "nor_gt": i("nor_gt", -1), "nor_ps": i("nor_ps", -1),
+        "nor_ref0": i("nor_ref0"), "nor_alt0": i("nor_alt0"),
+        "nor_hp1c": i("nor_hp1c"), "nor_hp2c": i("nor_hp2c"),
+        "alt_eq_hp1": b("alt_eq_hp1"), "alt_eq_hp2": b("alt_eq_hp2"),
+        "ref_eq_hp1": b("ref_eq_hp1"), "ref_eq_hp2": b("ref_eq_hp2"),
+        "hp1_long": b("hp1_long"), "hp2_long": b("hp2_long"),
+        "tum_has": b("tum_has"), "tum_vt": i("tum_vt"),
+        "tum_gt": i("tum_gt", -1), "tum_ps": i("tum_ps", -1),
+        "tum_ref0": i("tum_ref0"), "tum_alt0": i("tum_alt0"),
+        "tum_ref_is1": b("tum_ref_is1"), "tum_alt_is1": b("tum_alt_is1"),
+    }
+
+
+def somatic_counts_device(walk, t, mode: str, *, is_som=None, derive=None,
+                          gate=None, want_posbase=False, want_derive=False,
+                          ref_nonempty=False):
+    """Device somatic-pass reductions. Returns a dict of numpy arrays:
+    per-alignment h1/h2/h3 counts and distinct/min normal-PS, packed
+    per-observation masks (PK_* bits), and — when requested — the
+    per-variant PosBase tables, allele counts, and derive counts."""
+    import jax.numpy as jnp
+
+    A = len(walk["category"])
+    S = len(t["pos"])
+    No = len(walk["obs_var"])
+    No_pad = _pow2(No, 1024)
+    S_pad = _pow2(S, 256)
+    A_pad = _pow2(A, 256)
+    obs = _obs_inputs(walk, No_pad)
+    tabs = _somatic_tables(t, S_pad)
+    g = jnp.asarray(_pad(np.ones(No, bool) if gate is None else gate,
+                         No_pad, False, bool))
+    som = jnp.asarray(_pad(
+        np.zeros(S, bool) if is_som is None else is_som, S_pad, False, bool))
+    der = jnp.asarray(_pad(
+        np.zeros(S, np.int8) if derive is None else derive, S_pad, 0,
+        np.int8).astype(np.int32))
+    bc = jnp.asarray(_BASE_CODE_NP)
+    out = _get_jit_somatic()(
+        *obs, g, som, der, bc, tabs, A_pad=A_pad, S_pad=S_pad, mode=mode,
+        want_posbase=want_posbase, want_derive=want_derive,
+        ref_nonempty=ref_nonempty)
+    res = {}
+    for k, v in out.items():
+        arr = np.asarray(v)
+        if k == "err":
+            err = int(arr)
+            if err != int(IMAX):
+                print("[ERROR] (judgeSnpHap) => can't find the position: "
+                      f"pos: {t['pos'][walk['obs_var'][err]]}",
+                      file=sys.stderr)
+                sys.exit(0)
+            continue
+        if k == "pk":
+            res[k] = arr[:No]
+        elif k in ("h1_cnt", "h2_cnt", "h3_cnt", "n_ps", "min_ps",
+                   "d1_cnt", "d2_cnt"):
+            res[k] = arr[:A].astype(np.int64)
+        elif arr.ndim == 2:
+            res[k] = arr[:S].astype(np.int64)
+        else:
+            res[k] = arr[:S].astype(np.int64)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# kernel 3: per-(variant, class) tables that depend on host-judged read HP
+# ---------------------------------------------------------------------------
+
+
+def _k_class(vi, al, sel, cls_of_aln, S_pad, n_cls):
+    import jax.numpy as jnp
+
+    dump = S_pad * n_cls
+    key = jnp.where(sel, vi * n_cls + cls_of_aln[al], dump)
+    return jnp.zeros(dump + 1, jnp.int32).at[key].add(1)[:dump].reshape(
+        S_pad, n_cls)
+
+
+_jit_class = None
+
+
+def _get_jit_class():
+    global _jit_class
+    if _jit_class is None:
+        import jax
+
+        _jit_class = jax.jit(_k_class, static_argnames=("S_pad", "n_cls"))
+    return _jit_class
+
+
+def class_counts_device(walk, sel_mask, cls_of_aln, S: int, n_cls: int):
+    """[S, n_cls] counts of observations in ``sel_mask`` keyed by their
+    variant and their alignment's class (classifyReadsByCase /
+    statistic tables, SomaticVarCaller.cpp:462-518)."""
+    import jax.numpy as jnp
+
+    No = len(walk["obs_var"])
+    No_pad = _pow2(No, 1024)
+    S_pad = _pow2(S, 256)
+    A_pad = _pow2(len(cls_of_aln), 256)
+    vi = jnp.asarray(_pad(walk["obs_var"], No_pad, 0, np.int32))
+    al = jnp.asarray(_pad(walk["obs_aln"], No_pad, 0, np.int32))
+    sel = jnp.asarray(_pad(sel_mask, No_pad, False, bool))
+    cls = jnp.asarray(_pad(cls_of_aln, A_pad, 0,
+                           np.asarray(cls_of_aln).dtype).astype(np.int32))
+    out = _get_jit_class()(vi, al, sel, cls, S_pad=S_pad, n_cls=n_cls)
+    return np.asarray(out)[:S].astype(np.int64)
