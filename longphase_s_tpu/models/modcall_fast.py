@@ -175,35 +175,50 @@ def _run_chrom_on_handle(cfg, nb, chrom, chrom_len, chr_seq, positions,
     edges: dict[tuple, dict] = {}
     E = len(f_pos)
     if E:
-        p1s, a1s, p2s, a2s = [], [], [], []
-        for d in range(1, 51):
-            if d >= E:
-                break
-            same = f_read[:-d] == f_read[d:]
-            snp2 = (f_vtype[:-d] == mc.VT_SNP) & (f_vtype[d:] == mc.VT_SNP)
-            sel = same & ~snp2
-            if sel.any():
-                p1s.append(f_pos[:-d][sel])
-                a1s.append(f_allele[:-d][sel])
-                p2s.append(f_pos[d:][sel])
-                a2s.append(f_allele[d:][sel])
-        if p1s:
-            p1 = np.concatenate(p1s)
-            a1 = np.concatenate(a1s)
-            p2 = np.concatenate(p2s)
-            a2 = np.concatenate(a2s)
-            # composite int64 key: (p1,a1) x (delta,a2); deltas are bounded
-            # by the read span so the product stays well inside 63 bits
-            dd = p2 - p1
-            K = 2 * (int(dd.max()) + 1)
-            key = (p1 * 2 + a1) * K + dd * 2 + a2
-            uq, cnt = np.unique(key, return_counts=True)
-            up2a = uq % K
-            up1a = uq // K
-            for k1, k2, c in zip(up1a.tolist(), up2a.tolist(), cnt.tolist()):
-                cell = edges.setdefault((k1 >> 1, k1 & 1), {}).setdefault(
-                    (k1 >> 1) + (k2 >> 1), [0, 0])
-                cell[k2 & 1] += c
+        from ..ops import tag_kernels
+        up1a = None
+        if tag_kernels.engine() == "device":
+            try:
+                up1a, up2a, cnt = tag_kernels.modcall_edges_device(
+                    f_pos, f_allele, f_vtype, f_read)
+            except Exception:
+                if tag_kernels.strict():
+                    raise
+                up1a = None
+        if up1a is None:
+            p1s, a1s, p2s, a2s = [], [], [], []
+            for d in range(1, 51):
+                if d >= E:
+                    break
+                same = f_read[:-d] == f_read[d:]
+                snp2 = (f_vtype[:-d] == mc.VT_SNP) & \
+                    (f_vtype[d:] == mc.VT_SNP)
+                sel = same & ~snp2
+                if sel.any():
+                    p1s.append(f_pos[:-d][sel])
+                    a1s.append(f_allele[:-d][sel])
+                    p2s.append(f_pos[d:][sel])
+                    a2s.append(f_allele[d:][sel])
+            up1a = np.zeros(0, np.int64)
+            up2a = np.zeros(0, np.int64)
+            cnt = np.zeros(0, np.int64)
+            if p1s:
+                p1 = np.concatenate(p1s)
+                a1 = np.concatenate(a1s)
+                p2 = np.concatenate(p2s)
+                a2 = np.concatenate(a2s)
+                # composite int64 key: (p1,a1) x (delta,a2); deltas are
+                # bounded by the read span, well inside 63 bits
+                dd = p2 - p1
+                K = 2 * (int(dd.max()) + 1)
+                key = (p1 * 2 + a1) * K + dd * 2 + a2
+                uq, cnt = np.unique(key, return_counts=True)
+                up2a = uq % K
+                up1a = uq // K
+        for k1, k2, c in zip(up1a.tolist(), up2a.tolist(), cnt.tolist()):
+            cell = edges.setdefault((k1 >> 1, k1 & 1), {}).setdefault(
+                (k1 >> 1) + (k2 >> 1), [0, 0])
+            cell[k2 & 1] += c
         # alleles outside {0,1} never occur: SNP/MOD events are only
         # emitted with allele 0/1 (see lps_modcall_walk)
 

@@ -600,3 +600,90 @@ def class_counts_device(walk, sel_mask, cls_of_aln, S: int, n_cls: int):
                            np.asarray(cls_of_aln).dtype).astype(np.int32))
     out = _get_jit_class()(vi, al, sel, cls, S_pad=S_pad, n_cls=n_cls)
     return np.asarray(out)[:S].astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# kernel 4: modcall MethylationGraph edge accumulation
+# (reference ModCallParsingBam.cpp:780-823 — each event connects to the
+# next <=50 events of the same read, SNP-SNP pairs excluded)
+# ---------------------------------------------------------------------------
+
+_MC_VT_SNP = 1  # models/modcall.py VT_SNP
+_MC_D = 50
+
+
+def _k_modcall_edges(pos, allele, vtype, read, valid):
+    """Unique (k1=(p1,a1), k2=(dd,a2)) edge pairs with counts, as two int32
+    key streams (TPU-friendly; no x64). Returns (uk1, uk2, cnt, n_unique)
+    padded to the flattened length; host slices [:n_unique]."""
+    import jax
+    import jax.numpy as jnp
+
+    E = pos.shape[0]
+    k1s, k2s = [], []
+    for d in range(1, _MC_D + 1):
+        if d >= E:
+            break
+        sel = (read[:-d] == read[d:]) & valid[:-d] & valid[d:] & \
+            ~((vtype[:-d] == _MC_VT_SNP) & (vtype[d:] == _MC_VT_SNP))
+        k1 = jnp.where(sel, pos[:-d] * 2 + allele[:-d], IMAX)
+        k2 = jnp.where(sel, (pos[d:] - pos[:-d]) * 2 + allele[d:], IMAX)
+        k1s.append(jnp.pad(k1, (0, d), constant_values=IMAX))
+        k2s.append(jnp.pad(k2, (0, d), constant_values=IMAX))
+    a1 = jnp.concatenate(k1s)
+    a2 = jnp.concatenate(k2s)
+    N = a1.shape[0]
+    s1, s2 = jax.lax.sort((a1, a2), num_keys=2)
+    val = s1 < IMAX
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]) & val
+    gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    cnt = jnp.zeros(N, jnp.int32).at[
+        jnp.where(val, gid, 0)].add(val.astype(jnp.int32))
+    # compaction: each first element has a distinct gid, so scatter-set is
+    # collision-free; non-firsts route to slot N-1, which is real only when
+    # every element is a valid unique first (then no non-firsts exist)
+    dump = jnp.where(first, gid, N - 1)
+    uk1 = jnp.full(N, IMAX, jnp.int32).at[dump].set(
+        jnp.where(first, s1, IMAX))
+    uk2 = jnp.full(N, IMAX, jnp.int32).at[dump].set(
+        jnp.where(first, s2, IMAX))
+    return uk1, uk2, cnt, jnp.sum(first.astype(jnp.int32))
+
+
+_jit_modcall = None
+
+
+def _get_jit_modcall():
+    global _jit_modcall
+    if _jit_modcall is None:
+        import jax
+
+        _jit_modcall = jax.jit(_k_modcall_edges)
+    return _jit_modcall
+
+
+def modcall_edges_device(f_pos, f_allele, f_vtype, f_read):
+    """Device edge accumulation for the modcall graph. Returns
+    (k1, k2, cnt) numpy arrays of the unique ((p1*2+a1), (dd*2+a2)) pairs,
+    sorted ascending — same decode as the host np.unique path."""
+    import jax.numpy as jnp
+
+    E = len(f_pos)
+    if E < 2:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    if f_pos.max(initial=0) * 2 + 1 > IMAX:
+        raise OverflowError("position exceeds int32 key space")
+    E_pad = _pow2(E, 1024)
+    pos = jnp.asarray(_pad(f_pos, E_pad, 0, np.int64).astype(np.int32))
+    allele = jnp.asarray(_pad(f_allele, E_pad, 0, np.int64).astype(np.int32))
+    vtype = jnp.asarray(_pad(f_vtype, E_pad, -1, np.int8).astype(np.int32))
+    read = jnp.asarray(_pad(f_read, E_pad, -1, np.int64).astype(np.int32))
+    valid = jnp.asarray(_pad(np.ones(E, bool), E_pad, False, bool))
+    uk1, uk2, cnt, n = _get_jit_modcall()(pos, allele, vtype, read, valid)
+    n = int(n)
+    return (np.asarray(uk1[:n]).astype(np.int64),
+            np.asarray(uk2[:n]).astype(np.int64),
+            np.asarray(cnt[:n]).astype(np.int64))

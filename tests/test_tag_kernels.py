@@ -91,6 +91,26 @@ def test_somatic_device_parity(tmp_path, engine_env):
                for t in outs["host"][0])  # somatic tags present
 
 
+def test_modcall_device_parity(tmp_path, engine_env):
+    from longphase_s_tpu.models.modcall import ModCallConfig, run_modcall
+    from longphase_s_tpu.testing.simulate import make_meth_fixture
+
+    fix = make_meth_fixture(str(tmp_path / "fix"), seed=17, length=200000,
+                            coverage=20, n_asm=20, n_homo_mod=10)
+    outs = {}
+    for eng in ("host", "device"):
+        engine_env(eng)
+        prefix = str(tmp_path / f"mod_{eng}")
+        run_modcall(ModCallConfig(bam_files=[fix["bam"]],
+                                  fasta_file=fix["fasta"],
+                                  snp_file=fix["vcf"],
+                                  result_prefix=prefix))
+        with open(prefix + ".vcf") as f:
+            outs[eng] = [l for l in f if not l.startswith("##commandline")]
+    assert outs["host"] == outs["device"]
+    assert len(outs["host"]) > 20  # non-trivial output
+
+
 def test_strict_device_no_silent_fallback(monkeypatch):
     """LPS_STRICT_DEVICE must propagate kernel failures, not fall back."""
     monkeypatch.setenv("LPS_STRICT_DEVICE", "1")
