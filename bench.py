@@ -251,10 +251,7 @@ def bench_haplotag_cram(results):
         # like the reference does (this line is ABOUT decode throughput)
         from longphase_s_tpu import native as _nat
 
-        with _nat._bam_cache_lock:
-            for _k, (_m, _nb) in list(_nat._bam_cache.items()):
-                _nb.close()
-            _nat._bam_cache.clear()
+        _nat.drain_bam_cache()
         run_haplotag(cfg)
 
     run_cold_decode()  # warm-up

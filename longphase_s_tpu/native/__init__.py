@@ -638,6 +638,15 @@ def open_native_bam(path: str,
         return nb
 
 
+def drain_bam_cache() -> None:
+    """Close and evict every cached whole-file handle (tests/bench: force
+    the next open to pay the full decode, without leaking native images)."""
+    with _bam_cache_lock:
+        for _mtime, nb in _bam_cache.values():
+            nb.close()
+        _bam_cache.clear()
+
+
 def open_chrom_native_bam(path: str, fasta_path: str | None,
                           chrom: str) -> "NativeBam | None":
     """Per-chromosome in-memory handle for inputs past the whole-file RAM
@@ -664,11 +673,12 @@ def open_chrom_native_bam(path: str, fasta_path: str | None,
         return None
     if sb.tid(chrom) < 0:
         return None
-    # uncompressed allowance: the budget's assumed ~5x inflation factor
+    # uncompressed allowance: ~RAM/3, so with the image + the native
+    # handle's own copy both alive peak stays under ~2/3 of system RAM
     # (LPS_MAX_CHROM_IMAGE overrides, bytes — lets a per-chromosome image
     # through when the whole-file budget was deliberately lowered)
     env = os.environ.get("LPS_MAX_CHROM_IMAGE")
-    cap = int(env) if env else 5 * _inmem_budget()
+    cap = int(env) if env else 4 * _inmem_budget()
     blobs: list[np.ndarray] = []
     boffs = [np.zeros(1, np.int64)]
     base = total = 0
@@ -686,6 +696,10 @@ def open_chrom_native_bam(path: str, fasta_path: str | None,
     except Exception:  # noqa: BLE001 — decode failure mid-stream
         return None
     blob_all = (np.concatenate(blobs) if blobs else np.zeros(0, np.uint8))
+    # drop the per-window copies before the native handle makes its own copy
+    # of blob_all: peak resident memory is then ~2x the image, not ~3x —
+    # at the cap boundary the difference is whether the box OOMs
+    blobs.clear()
     return bam_handle_from_records(sb.header_text, sb.references, sb.lengths,
                                    blob_all, np.concatenate(boffs))
 

@@ -64,12 +64,12 @@ def test_streaming_modcall_under_memory_cap(tmp_path, monkeypatch):
                         "open_chrom_native_bam", spy)
     monkeypatch.setenv("LPS_MAX_INMEM_BAM", "1000")
     monkeypatch.setenv("LPS_MAX_CHROM_IMAGE", str(64 << 20))
-    native._bam_cache.clear()
+    native.drain_bam_cache()
     streamed = str(tmp_path / "streamed")
     run_modcall(ModCallConfig(bam_files=[fix["bam"]], fasta_file=fix["fasta"],
                               snp_file=fix["vcf"], result_prefix=streamed))
     monkeypatch.delenv("LPS_MAX_INMEM_BAM")
-    native._bam_cache.clear()
+    native.drain_bam_cache()
     assert used.get("chrom_handle"), \
         "memory cap did not engage the per-chromosome streaming handle"
     assert _strip(inmem + ".vcf") == _strip(streamed + ".vcf")
@@ -111,12 +111,12 @@ def test_streaming_modcall_cram_input_under_memory_cap(tmp_path, monkeypatch):
                         "open_chrom_native_bam", spy)
     monkeypatch.setenv("LPS_MAX_INMEM_BAM", "1000")
     monkeypatch.setenv("LPS_MAX_CHROM_IMAGE", str(64 << 20))
-    native._bam_cache.clear()
+    native.drain_bam_cache()
     streamed = str(tmp_path / "streamed")
     run_modcall(ModCallConfig(bam_files=[cram], fasta_file=fix["fasta"],
                               snp_file=fix["vcf"], result_prefix=streamed))
     monkeypatch.delenv("LPS_MAX_INMEM_BAM")
-    native._bam_cache.clear()
+    native.drain_bam_cache()
     assert used.get("chrom_handle"), \
         "memory cap did not engage the CRAM per-chromosome streaming handle"
     assert _strip(inmem + ".vcf") == _strip(streamed + ".vcf")
