@@ -334,6 +334,120 @@ def bench_modcall(results):
     results.append(("modcall", meta["n_alignments"], ours_s, ref_s))
 
 
+def device_metrics(lines):
+    """Kernel health + speed-of-light metrics on the real accelerator.
+
+    pallas_compiled_ok: the COMPILED Mosaic vote scan must equal the
+    lax.scan engine on device (the hermetic suite only proves interpret
+    mode; a Mosaic regression must be loud in BENCH_r*.json, VERDICT r2 #8).
+
+    phase_kernel_util: measured per-call time of the fused phase kernel
+    (device-resident inputs, amortized over pipelined dispatches) against
+    the roofline model documented in ARCHITECTURE.md 'Speed of light':
+    HBM traffic for pack+correction at 819 GB/s (v5e) plus the sequential
+    scan's S x ~30-cycle critical path at 940 MHz (VERDICT r2 #4)."""
+    import numpy as np
+
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        lines.append({"metric": "pallas_compiled_ok", "value": None,
+                      "unit": "bool", "vs_baseline": None})
+        lines.append({"metric": "phase_kernel_util", "value": None,
+                      "unit": "fraction_of_sol", "vs_baseline": None})
+        return
+    import jax.numpy as jnp
+
+    from longphase_s_tpu.core.phase_algo import PhaseParams
+    from longphase_s_tpu.ops.fused import fused_phase_jit
+
+    params = PhaseParams()
+    W = params.connect_adjacent
+    S_pad = 4096
+    S = S_pad - 7
+    rng = np.random.default_rng(0)
+    cov, span = 30, 128  # ~30x reads, each covering ~128 sites
+    n_reads = S * cov // span
+    No = n_reads * span
+    No_pad = 1 << int(np.ceil(np.log2(No)))
+    m_read = np.repeat(np.arange(n_reads, dtype=np.int32), span)
+    start = rng.integers(0, max(S - span, 1), n_reads)
+    m_rank = (np.repeat(start, span)
+              + np.tile(np.arange(span), n_reads)).astype(np.int32)
+    m_allele = rng.integers(0, 2, No).astype(np.int8)
+    m_qok = rng.random(No) > 0.05
+
+    def pad(a, fill, dtype):
+        out = np.full(No_pad, fill, dtype)
+        out[:No] = a
+        return out
+
+    gap = np.full(S_pad, 150, np.int32)
+    vtype = np.zeros(S_pad, np.int8)
+    vtype_band = np.zeros((S_pad, W), np.int8)
+    valid_band = np.zeros((S_pad, W), bool)
+    valid_band[:S] = (np.arange(S)[:, None] + np.arange(1, W + 1)) < S
+    positions = (np.arange(S_pad) * 150).astype(np.int32)
+    A_pad = 1 << int(np.ceil(np.log2(n_reads)))
+    args = [jax.device_put(x) for x in
+            (pad(m_read, -1, np.int32), pad(m_rank, 0, np.int32),
+             pad(m_allele, 0, np.int8), pad(m_qok, False, bool),
+             pad(m_read, -1, np.int32), gap, vtype, vtype_band, valid_band,
+             positions)]
+    kw = dict(S=S, S_pad=S_pad, A_pad=A_pad, window=W,
+              distance=params.distance,
+              edge_threshold_x10=float(params.edge_threshold) * 10.0,
+              read_confidence=float(params.read_confidence),
+              snp_confidence=float(params.snp_confidence), interpret=False)
+    out_p = np.array(fused_phase_jit(*args, use_pallas=True, **kw))
+    out_s = np.array(fused_phase_jit(*args, use_pallas=False, **kw))
+    ok = bool((out_p == out_s).all())
+    lines.append({"metric": "pallas_compiled_ok", "value": int(ok),
+                  "unit": "bool", "vs_baseline": None})
+
+    # amortize the tunnel RPC: run K kernel iterations inside ONE jit (the
+    # qok xor with a loop-dependent predicate defeats CSE/hoisting), then
+    # difference K=33 vs K=1 so per-call time is pure on-device kernel time
+    from functools import partial as _partial
+
+    from longphase_s_tpu.ops.fused import _fused_phase
+
+    @_partial(jax.jit, static_argnames=("K",))
+    def loop(a0, a1, a2, a3, a4, a5, a6, a7, a8, a9, K):
+        def body(i, acc):
+            q = a3 != (i < 0)
+            out = _fused_phase(a0, a1, a2, q, a4, a5, a6, a7, a8, a9,
+                               use_pallas=True, **kw)
+            return acc + out[0, 0]
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    def timed(K):
+        int(loop(*args, K=K))  # compile (int() forces the tunnel sync;
+        # block_until_ready alone returns early on the axon client)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            int(loop(*args, K=K))
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    per_call = (timed(33) - timed(1)) / 32
+
+    # roofline (v5e): minimal HBM traffic + sequential-scan critical path
+    HBM_BPS = 819e9
+    CLOCK = 0.94e9
+    SCAN_CYCLES_PER_STEP = 30
+    pack_bytes = No_pad * 10 + 2 * S_pad * W * 4 * 4
+    corr_bytes = No_pad * 12 + S_pad * 24
+    t_bw = (pack_bytes + corr_bytes) / HBM_BPS
+    t_scan = S_pad * SCAN_CYCLES_PER_STEP / CLOCK
+    sol = t_bw + t_scan
+    util = sol / per_call
+    lines.append({"metric": "phase_kernel_util",
+                  "value": round(util, 4), "unit": "fraction_of_sol",
+                  "vs_baseline": round(per_call * 1e6, 1)})  # us/call
+
+
 def main():
     # a Mosaic/device regression must fail the bench loudly, not silently
     # revert to the host packer (ADVICE r1: no invisible perf cliffs)
@@ -373,6 +487,12 @@ def main():
                             float("nan"), None))
 
     lines = []
+    try:
+        device_metrics(lines)
+    except Exception as e:  # noqa: BLE001 — health metrics are best-effort
+        print(f"bench device_metrics failed: {e!r}", file=sys.stderr)
+        lines.append({"metric": "pallas_compiled_ok", "value": 0,
+                      "unit": "bool", "vs_baseline": None})
     ratios = []
     for name, n_units, ours_s, ref_s in results:
         value = round(n_units / ours_s, 2) if ours_s and ours_s == ours_s else None
