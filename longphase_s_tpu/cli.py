@@ -152,7 +152,9 @@ def main(argv=None):
         sp.add_argument("--truth-vcf", default="")
         sp.add_argument("--truth-bed", default="")
         sp.add_argument("--benchmark-log", action="store_true")
-        # ours-only extension: multi-host contig sharding (SURVEY.md §2.6)
+        # ours-only extensions: per-contig extraction checkpoint/resume
+        # (SURVEY.md §5) and multi-host contig sharding (SURVEY.md §2.6)
+        sp.add_argument("--checkpoint", default="", metavar="DIR")
         sp.add_argument("--dist", default="", metavar="HOST:PORT,NPROCS,PID")
     mc = sub.add_parser("modcall", help="5mC methylation calling")
     mc.add_argument("-b", "--bam-file", action="append", required=True)
@@ -168,7 +170,9 @@ def main(argv=None):
     mc.add_argument("-c", "--connectConfidence", type=float, default=0.9)
     mc.add_argument("-k", "--iterCount", type=int, default=2)
     mc.add_argument("--all", dest="output_all", action="store_true")
-    # ours-only extension: multi-host contig sharding (SURVEY.md §2.6)
+    # ours-only extensions: per-contig checkpoint/resume (SURVEY.md §5)
+    # and multi-host contig sharding (SURVEY.md §2.6)
+    mc.add_argument("--checkpoint", default="", metavar="DIR")
     mc.add_argument("--dist", default="", metavar="HOST:PORT,NPROCS,PID")
 
     args = parser.parse_args(argv)
@@ -231,7 +235,7 @@ def main(argv=None):
             write_calling_log=args.somatic_calling_log,
             truth_vcf=args.truth_vcf, truth_bed=args.truth_bed,
             write_benchmark_log=args.benchmark_log,
-            output_cram=args.cram,
+            output_cram=args.cram, checkpoint_dir=args.checkpoint,
             command=" ".join(sys.argv), dist=args.dist)
         if args.command == "somatic_haplotag":
             run_somatic_haplotag(cfg)
@@ -253,7 +257,7 @@ def main(argv=None):
             noise_ratio=args.noiseRatio, connect_adjacent=args.connectAdjacent,
             connect_confidence=args.connectConfidence, iter_count=args.iterCount,
             output_all_mod=args.output_all, command=" ".join(sys.argv),
-            dist=args.dist))
+            checkpoint_dir=args.checkpoint, dist=args.dist))
         return 0
     parser.print_help()
     return 1

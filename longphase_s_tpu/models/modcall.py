@@ -44,6 +44,7 @@ class ModCallConfig:
     iter_count: int = 2
     output_all_mod: bool = False
     command: str = ""
+    checkpoint_dir: str = ""  # per-contig resume (SURVEY §5; ours-only)
     dist: str = ""  # "host:port,nprocs,pid" multi-host spec (SURVEY §2.6)
 
 
@@ -617,8 +618,16 @@ def run_modcall(cfg: ModCallConfig):
     my_chrs = ([c for c in chrs
                 if c[0] in set(dist.shard_contigs([n for n, _l in chrs]))]
                if dist.is_active() else chrs)
+    ckpt = None
+    if cfg.checkpoint_dir:
+        from ..utils.checkpoint import LinesCheckpoint, modcall_fingerprint
+        ckpt = LinesCheckpoint(cfg.checkpoint_dir, modcall_fingerprint(cfg))
+        results.update(ckpt.load())
     with timer("modcall"):
         for chrom, chrom_len in my_chrs:
+            if chrom in results:  # checkpointed contig: reuse its lines
+                print(f"({chrom}*)", end="", file=sys.stderr)
+                continue
             chr_seq = fasta.fetch(chrom, 0, chrom_len + 2)
             variants = het.by_chrom.get(chrom, {})
             if has_snp and variants:
@@ -630,6 +639,8 @@ def run_modcall(cfg: ModCallConfig):
             if run_chrom_fast(cfg, chrom, chrom_len, chr_seq, positions,
                               infos, has_snp, out_fast):
                 results[chrom] = out_fast
+                if ckpt is not None:
+                    ckpt.save(chrom, out_fast)
                 print(f"({chrom})", end="", file=sys.stderr)
                 continue
             parser = MethBamParser(cfg, positions, infos, chr_seq)
@@ -648,6 +659,8 @@ def run_modcall(cfg: ModCallConfig):
             out: list[str] = []
             parser.export_result(chrom, chr_seq, chrom_len, pass_positions, out)
             results[chrom] = out
+            if ckpt is not None:
+                ckpt.save(chrom, out)
             print(f"({chrom})", end="", file=sys.stderr)
         print("", file=sys.stderr)
 

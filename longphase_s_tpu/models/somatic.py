@@ -63,6 +63,7 @@ class SomaticConfig:
     write_benchmark_log: bool = False
     output_cram: bool = False
     command: str = ""
+    checkpoint_dir: str = ""  # per-contig extraction resume (SURVEY §5)
     dist: str = ""  # "host:port,nprocs,pid" multi-host spec (SURVEY §2.6)
 
 
@@ -136,22 +137,35 @@ class SomaticCallState:
         self.params = FilterParams()
 
 
-def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
-                        sv_counts, fasta: FastaFile, timer: StageTimer,
-                        loop_chroms=None) -> SomaticCallState:
-    """SomaticVarCaller::variantCalling (SomaticVarCaller.cpp:796-905).
+def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
+                    sv_counts, timer):
+    """Both extraction BAM passes (SomaticVarCaller.cpp:907-935), with
+    optional per-contig checkpoint/resume (--checkpoint, ours-only): each
+    chromosome's pass output is pickled as it completes, so a killed WGS
+    run resumes after the passes already done instead of re-walking both
+    BAMs (SURVEY §5 checkpoint mapping; the reference has none)."""
+    ckpt = None
+    if cfg.checkpoint_dir:
+        from ..utils.checkpoint import (PickleContigCheckpoint,
+                                        somatic_fingerprint)
+        ckpt = PickleContigCheckpoint(cfg.checkpoint_dir,
+                                      somatic_fingerprint(cfg), "somatic")
 
-    ``loop_chroms`` restricts the extraction/calling loops to this process's
-    contig shard (multi-host mode); the purity estimator still receives the
-    global chr_vec ordering and merges feature points across hosts."""
-    state = SomaticCallState()
-    if loop_chroms is None:
-        loop_chroms = chr_vec
-
-    nor_nb, tum_nb = _native_bams(cfg)
+    nor_stored = {c: ckpt.load(c, "nor") for c in loop_chroms} \
+        if ckpt is not None else {}
+    tum_stored = {c: ckpt.load(c, "tum") for c in loop_chroms} \
+        if ckpt is not None else {}
+    nor_nb = tum_nb = None
+    if (any(nor_stored.get(c) is None for c in loop_chroms)
+            or any(tum_stored.get(c) is None for c in loop_chroms)):
+        nor_nb, tum_nb = _native_bams(cfg)
 
     with timer("extracting data from normal BAM"):
         for chrom in loop_chroms:
+            stored = nor_stored.get(chrom)
+            if stored is not None:
+                state.nor_base[chrom] = stored
+                continue
             variants = chr_multi.get(chrom, {})
             positions = sorted(variants)
             last = _last_var_pos(positions, variants, NORMAL)
@@ -166,9 +180,16 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
                 state.nor_base[chrom] = extract_normal_chromosome(
                     cfg.bam_file, chrom, chr_length.get(chrom), positions,
                     variants, ref_string, sv_counts, cfg, fasta=fasta)
+            if ckpt is not None:
+                ckpt.save(chrom, "nor", state.nor_base[chrom])
 
     with timer("extracting data from tumor BAM"):
         for chrom in loop_chroms:
+            stored = tum_stored.get(chrom)
+            if stored is not None:
+                (state.somatic_info[chrom], state.read_hp_sets[chrom],
+                 state.pos_read_corr[chrom]) = stored
+                continue
             variants = chr_multi.get(chrom, {})
             positions = sorted(variants)
             last = _last_var_pos(positions, variants, TUMOR)
@@ -183,8 +204,28 @@ def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
             else:
                 (state.somatic_info[chrom], state.read_hp_sets[chrom],
                  state.pos_read_corr[chrom]) = extract_tumor_chromosome(
-                    cfg.tumor_bam_file, chrom, chr_length.get(chrom), positions,
-                    variants, ref_string, cfg, fasta=fasta)
+                    cfg.tumor_bam_file, chrom, chr_length.get(chrom),
+                    positions, variants, ref_string, cfg, fasta=fasta)
+            if ckpt is not None:
+                ckpt.save(chrom, "tum", (state.somatic_info[chrom],
+                                         state.read_hp_sets[chrom],
+                                         state.pos_read_corr[chrom]))
+
+
+def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
+                        sv_counts, fasta: FastaFile, timer: StageTimer,
+                        loop_chroms=None) -> SomaticCallState:
+    """SomaticVarCaller::variantCalling (SomaticVarCaller.cpp:796-905).
+
+    ``loop_chroms`` restricts the extraction/calling loops to this process's
+    contig shard (multi-host mode); the purity estimator still receives the
+    global chr_vec ordering and merges feature points across hosts."""
+    state = SomaticCallState()
+    if loop_chroms is None:
+        loop_chroms = chr_vec
+
+    _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
+                    sv_counts, timer)
 
     if cfg.estimate_tumor_purity:
         est = PurityEstimator(chr_vec, state.nor_base, state.somatic_info,
@@ -1443,42 +1484,9 @@ def run_estimate_purity(cfg: SomaticConfig) -> float:
     fasta = FastaFile(cfg.fasta_file)
 
     state = SomaticCallState()
-    nor_nb, tum_nb = _native_bams(cfg)
     my_chroms = dist.shard_contigs(chr_vec) if dist.is_active() else chr_vec
-    with timer("extracting data from normal BAM"):
-        for chrom in my_chroms:
-            variants = chr_multi.get(chrom, {})
-            positions = sorted(variants)
-            last = _last_var_pos(positions, variants, NORMAL)
-            ref_string = (fasta.fetch(chrom, 0, last + 6)
-                          if chrom in fasta.index and positions else "")
-            if nor_nb is not None:
-                from ..core.somatic_fast import extract_normal_chromosome_fast
-                state.nor_base[chrom] = extract_normal_chromosome_fast(
-                    nor_nb, chrom, chr_length.get(chrom), positions,
-                    variants, ref_string, nor_info.read_sv_hap_count, cfg)
-            else:
-                state.nor_base[chrom] = extract_normal_chromosome(
-                    cfg.bam_file, chrom, chr_length.get(chrom), positions,
-                    variants, ref_string, nor_info.read_sv_hap_count, cfg)
-    with timer("extracting data from tumor BAM"):
-        for chrom in my_chroms:
-            variants = chr_multi.get(chrom, {})
-            positions = sorted(variants)
-            last = _last_var_pos(positions, variants, TUMOR)
-            ref_string = (fasta.fetch(chrom, 0, last + 6)
-                          if chrom in fasta.index and positions else "")
-            if tum_nb is not None:
-                from ..core.somatic_fast import extract_tumor_chromosome_fast
-                (state.somatic_info[chrom], state.read_hp_sets[chrom],
-                 state.pos_read_corr[chrom]) = extract_tumor_chromosome_fast(
-                    tum_nb, chrom, chr_length.get(chrom), positions,
-                    variants, ref_string, cfg)
-            else:
-                (state.somatic_info[chrom], state.read_hp_sets[chrom],
-                 state.pos_read_corr[chrom]) = extract_tumor_chromosome(
-                    cfg.tumor_bam_file, chrom, chr_length.get(chrom), positions,
-                    variants, cfg=cfg, ref_string=ref_string)
+    _run_extraction(cfg, state, my_chroms, chr_multi, chr_length, fasta,
+                    nor_info.read_sv_hap_count, timer)
 
     est = PurityEstimator(chr_vec, state.nor_base, state.somatic_info,
                           cfg.write_calling_log, cfg.result_prefix)

@@ -41,6 +41,134 @@ def phase_fingerprint(cfg) -> str:
     return hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
 
 
+def somatic_fingerprint(cfg) -> str:
+    """Identity of a somatic run: both BAMs + both VCFs + every parameter
+    that changes the extraction-pass output (the checkpointed stage)."""
+
+    def fsize(p):
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return -1
+
+    parts = [
+        f"snp={fsize(cfg.snp_file)}",
+        f"tum_vcf={fsize(cfg.tumor_snv_file)}",
+        f"nor_bam={fsize(cfg.bam_file)}",
+        f"tum_bam={fsize(cfg.tumor_bam_file)}",
+        f"fa={fsize(cfg.fasta_file)}",
+        f"sv={fsize(cfg.sv_file) if cfg.sv_file else 0}",
+        f"mod={fsize(cfg.mod_file) if cfg.mod_file else 0}",
+        f"q={cfg.quality_threshold}:p={cfg.percentage_threshold}",
+        f"sup={cfg.tag_supplementary}:region={cfg.region}",
+    ]
+    return hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
+
+
+def modcall_fingerprint(cfg) -> str:
+    """Identity of a modcall run: inputs + thresholds that shape the
+    per-chromosome VCF body lines."""
+
+    def fsize(p):
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return -1
+
+    parts = [
+        "bams=" + ",".join(str(fsize(b)) for b in sorted(cfg.bam_files)),
+        f"fa={fsize(cfg.fasta_file)}",
+        f"snp={fsize(cfg.snp_file) if cfg.snp_file else 0}",
+        f"thr={cfg.mod_threshold}:{cfg.unmod_threshold}"
+        f":{cfg.heter_ratio}:{cfg.noise_ratio}",
+        f"adj={cfg.connect_adjacent}:{cfg.connect_confidence}",
+        f"all={cfg.output_all_mod}",
+    ]
+    return hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
+
+
+class PickleContigCheckpoint:
+    """Per-(contig, stage) pickle store for object-shaped stage outputs
+    (the somatic extraction passes). Files are written atomically; a
+    fingerprint mismatch or unreadable file means recompute, never trust."""
+
+    def __init__(self, directory: str, fingerprint: str, kind: str):
+        self.dir = directory
+        self.fingerprint = fingerprint
+        self.kind = kind
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, chrom: str, stage: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "._-" else "%%%02x" % ord(c)
+                       for c in chrom)
+        return os.path.join(self.dir, f"{safe}.{self.kind}.{stage}.pkl")
+
+    def load(self, chrom: str, stage: str):
+        """The stored payload, or None when absent/stale/corrupt."""
+        import pickle
+
+        try:
+            with open(self._path(chrom, stage), "rb") as f:
+                blob = pickle.load(f)
+            if blob.get("fingerprint") != self.fingerprint:
+                return None
+            return blob["payload"]
+        except Exception:  # noqa: BLE001 — any corruption -> recompute
+            return None
+
+    def save(self, chrom: str, stage: str, payload) -> None:
+        import pickle
+
+        path = self._path(chrom, stage)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({"fingerprint": self.fingerprint,
+                         "payload": payload}, f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+
+
+class LinesCheckpoint:
+    """Per-contig text-lines store (modcall's per-chromosome VCF body)."""
+
+    def __init__(self, directory: str, fingerprint: str):
+        self.dir = directory
+        self.fingerprint = fingerprint
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, chrom: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "._-" else "%%%02x" % ord(c)
+                       for c in chrom)
+        return os.path.join(self.dir, f"{safe}.modcall.json")
+
+    def load(self) -> dict[str, list]:
+        out: dict[str, list] = {}
+        try:
+            names = os.listdir(self.dir)
+        except OSError:
+            return out
+        for name in names:
+            if not name.endswith(".modcall.json"):
+                continue
+            try:
+                with open(os.path.join(self.dir, name)) as f:
+                    blob = json.load(f)
+                if blob.get("fingerprint") != self.fingerprint:
+                    continue
+                out[blob["chrom"]] = list(blob["lines"])
+            except (OSError, ValueError, KeyError):
+                continue
+        return out
+
+    def save(self, chrom: str, lines: list) -> None:
+        path = self._path(chrom)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": self.fingerprint, "chrom": chrom,
+                       "lines": list(lines)}, f)
+        os.replace(tmp, path)
+
+
 class ContigCheckpoint:
     """Per-contig result store under one directory."""
 
