@@ -81,19 +81,27 @@ def precompute_vote_bands(counts_hi, counts_lo, vtype, vtype_band, valid_band,
 
 
 def _scan_kernel(conn_ref, weight_ref, small_ref, elig_ref, same_ref,
-                 gap_ref, out_ref, ring, *, S: int, distance: int):
+                 gap_ref, scal_in_ref, ring_in_ref, out_ref, ring_out_ref,
+                 scal_out_ref, ring, *, S: int, distance: int):
     """Sequential ring recurrence. ``ring`` rows: 0 h1, 1 h2, 2 counter,
-    3 onelong-h1, 4 onelong-h2. Outputs: out[t] = (assigned, hp, bstart)."""
+    3 onelong-h1, 4 onelong-h2. Outputs: out[t] = (assigned, hp, bstart).
+
+    Carry-chained: ``scal_in`` = (t0, last_connect, block_start, 0) in
+    GLOBAL ranks plus the incoming vote ring, so a long site axis can run
+    as a sequence of VMEM-sized blocks (the blocked wrapper below) —
+    bstart outputs are global ranks either way (t0 = 0 when unblocked)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ring[...] = jnp.zeros((8, LANES), I32)
+    ring[...] = ring_in_ref[...]
+    t0 = scal_in_ref[0]
     lane0 = (jax.lax.broadcasted_iota(I32, (1, LANES), 1) == 0).astype(I32)
     keep_last = jnp.where(
         jax.lax.broadcasted_iota(I32, (8, LANES), 1) == LANES - 1, 0, 1)
 
     def step(t, carry):
         last_connect, block_start = carry
+        tg = t + t0  # global site rank
 
         # ---- consume lane 0 (site t) ---------------------------------
         h1 = jnp.sum(ring[0:1, :] * lane0)
@@ -108,13 +116,13 @@ def _scan_kernel(conn_ref, weight_ref, small_ref, elig_ref, same_ref,
         g = gap_ref[t]
         skip_distance = g > distance
         eq = H1 == H2
-        skip_connected = eq & (t < last_connect)
+        skip_connected = eq & (tg < last_connect)
         new_block = eq & jnp.logical_not(skip_connected) & \
             jnp.logical_not(skip_distance)
         assigned = jnp.logical_not(skip_distance) & \
             jnp.logical_not(skip_connected)
         hp = jnp.where(eq, 1, jnp.where(H1 > H2, 1, 2)).astype(I32)
-        block_start = jnp.where(new_block, t, block_start)
+        block_start = jnp.where(new_block, tg, block_start)
         bstart_out = jnp.where(assigned, block_start, -1)
 
         # ---- cast votes (lane d-1 targets site t+d) ------------------
@@ -131,7 +139,7 @@ def _scan_kernel(conn_ref, weight_ref, small_ref, elig_ref, same_ref,
 
         d_plus1 = jax.lax.broadcasted_iota(I32, (1, LANES), 1) + 1
         d_max = jnp.max(jnp.where(conn > 0, d_plus1, 0))
-        last_connect = jnp.where(d_max > 0, t + d_max, last_connect)
+        last_connect = jnp.where(d_max > 0, tg + d_max, last_connect)
 
         # ---- shift ring left, then add the new votes -----------------
         shifted = pltpu.roll(ring[...], shift=LANES - 1, axis=1) * keep_last
@@ -147,32 +155,91 @@ def _scan_kernel(conn_ref, weight_ref, small_ref, elig_ref, same_ref,
         out_ref[pl.ds(t, 1), :] = row
         return (last_connect, block_start)
 
-    jax.lax.fori_loop(0, S, step, (jnp.asarray(-1, I32), jnp.asarray(-1, I32)))
+    lc, bs = jax.lax.fori_loop(0, S, step,
+                               (scal_in_ref[1], scal_in_ref[2]))
+    ring_out_ref[...] = ring[...]
+    scal_out_ref[0] = lc
+    scal_out_ref[1] = bs
+    scal_out_ref[2] = jnp.int32(0)
+    scal_out_ref[3] = jnp.int32(0)
+
+
+def _pallas_block_call(conn, weight, small, elig, same, gap, scal, ring,
+                       Sb: int, distance: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        partial(_scan_kernel, S=Sb, distance=distance),
+        out_shape=[jax.ShapeDtypeStruct((Sb, LANES), I32),
+                   jax.ShapeDtypeStruct((8, LANES), I32),
+                   jax.ShapeDtypeStruct((4,), I32)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.VMEM((8, LANES), I32)],
+        interpret=interpret,
+    )(conn, weight, small, elig, same, gap, scal, ring)
+
+
+def pallas_block_size() -> int:
+    """Sites per Pallas block. The kernel holds 7 [Sb, 128] i32 planes in
+    VMEM (~3.5 MB per 1024 sites); 8192 (~28 MB) leaves headroom under the
+    ~128 MB v5e VMEM. Chromosomes beyond this run as a carry-chained block
+    sequence (one jit, lax.scan over blocks)."""
+    import os
+
+    return int(os.environ.get("LPS_PALLAS_BLOCK", "8192"))
 
 
 def vote_scan_pallas(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
                      window: int, distance: int, edge_threshold_x10: float,
                      interpret: bool = False):
     """Pallas engine with the same contract as ops.vote_scan.vote_scan_core:
-    returns (assigned bool[S], hp int32[S], bstart int32[S])."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    returns (assigned bool[S], hp int32[S], bstart int32[S]).
 
+    S beyond the VMEM block budget runs as a carry-chained sequence of
+    blocks (the scan is sequential anyway — blocking adds only per-block
+    launch overhead, element-exact vs the single-shot kernel)."""
     S = counts_hi.shape[0]
     conn, weight, small, elig, same = precompute_vote_bands(
         counts_hi, counts_lo, vtype, vtype_band, valid_band,
         edge_threshold_x10)
     gap = gap.astype(I32)
+    zero_scal = jnp.array([0, -1, -1, 0], I32)
+    zero_ring = jnp.zeros((8, LANES), I32)
 
-    out = pl.pallas_call(
-        partial(_scan_kernel, S=S, distance=distance),
-        out_shape=jax.ShapeDtypeStruct((S, LANES), I32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, LANES), I32)],
-        interpret=interpret,
-    )(conn, weight, small, elig, same, gap)
+    blk = pallas_block_size()
+    if S <= blk:
+        out, _ring, _scal = _pallas_block_call(
+            conn, weight, small, elig, same, gap, zero_scal, zero_ring,
+            Sb=S, distance=distance, interpret=interpret)
+        return out[:, 0].astype(bool), out[:, 1], out[:, 2]
+
+    if S % blk:
+        raise ValueError(f"S={S} not a multiple of block {blk}")
+    B = S // blk
+
+    def body(carry, xs):
+        ring, lc_bs = carry
+        conn_b, w_b, sm_b, el_b, sa_b, gap_b, t0 = xs
+        scal = jnp.concatenate([t0[None], lc_bs, jnp.zeros(1, I32)])
+        out, ring2, scal2 = _pallas_block_call(
+            conn_b, w_b, sm_b, el_b, sa_b, gap_b, scal, ring,
+            Sb=blk, distance=distance, interpret=interpret)
+        return (ring2, scal2[:2]), out
+
+    t0s = (jnp.arange(B, dtype=I32) * blk)
+    xs = (conn.reshape(B, blk, LANES), weight.reshape(B, blk, LANES),
+          small.reshape(B, blk, LANES), elig.reshape(B, blk, LANES),
+          same.reshape(B, blk, LANES), gap.reshape(B, blk), t0s)
+    (_ring, _lc_bs), outs = jax.lax.scan(
+        body, (zero_ring, jnp.array([-1, -1], I32)), xs)
+    out = outs.reshape(S, LANES)
     return out[:, 0].astype(bool), out[:, 1], out[:, 2]
 
 

@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""WGS-scale soak: chr20-like chromosome through phase + haplotag
+(VERDICT r2 #5 / weak #4).
+
+Builds a >=64 Mbp single-chromosome fixture with >=300k het sites
+(chr20-scale: ~1 het / 200 bp at snp_rate 0.005), then drives:
+
+  1. our `phase` on the TPU path (LPS_STRICT_DEVICE=1) — S >> 4096
+     exercises the carry-chained Pallas block sequence and power-of-two
+     bucketing at S_pad = 2^19;
+  2. the reference binary `phase` (all cores) — VCF must be identical;
+  3. our `haplotag` whole-file path, then the bounded-memory streaming
+     path (LPS_MAX_INMEM_BAM) — tagged records must be identical;
+  4. the wavefront site-sharded scan on a virtual 8-device CPU mesh —
+     VCF must equal the TPU run.
+
+Each step runs in a subprocess that reports its own wall time and peak
+RSS. Results land in WGS_SOAK.md.
+
+Usage: python tools/wgs_soak.py [workdir] [--skip-wavefront]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+REF_BIN = os.path.join(ROOT, ".refbuild", "longphase-s")
+
+CFG = dict(seed=33, length=64_000_000, coverage=20, read_len=12000,
+           snp_rate=0.005, error_rate=0.04, qual=22)
+
+CHILD = textwrap.dedent("""
+    import json, resource, sys, time
+    sys.path.insert(0, %r)
+    spec = json.loads(sys.argv[1])
+    t0 = time.monotonic()
+    import importlib
+    mod = importlib.import_module(spec["module"])
+    fn = getattr(mod, spec["fn"])
+    cfg_cls = getattr(mod, spec["cfg_cls"])
+    fn(cfg_cls(**spec["cfg"]))
+    wall = time.monotonic() - t0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(json.dumps({"wall_s": round(wall, 2),
+                      "peak_rss_gb": round(rss, 2)}))
+""" % ROOT)
+
+
+def run_child(spec, env_extra=None, timeout=7200):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{ROOT}:/root/.axon_site"
+    env.update(env_extra or {})
+    r = subprocess.run([sys.executable, "-c", CHILD, json.dumps(spec)],
+                       env=env, capture_output=True, timeout=timeout)
+    if r.returncode != 0:
+        raise RuntimeError(f"child failed: {r.stderr.decode()[-3000:]}")
+    return json.loads(r.stdout.decode().splitlines()[-1])
+
+
+def get_fixture(work):
+    marker = os.path.join(work, "fixture.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("cfg") == {k: str(v) for k, v in CFG.items()} and all(
+                os.path.exists(meta[k]) for k in ("bam", "vcf", "fasta")):
+            return meta
+    print("simulating 64 Mbp fixture (~15 min)...", flush=True)
+    from longphase_s_tpu.testing.simulate import make_fixture
+    fix = make_fixture(os.path.join(work, "fix"), **CFG)
+    meta = {"bam": fix["bam"], "vcf": fix["vcf"], "fasta": fix["fasta"],
+            "chrom": fix["chrom"], "n_reads": len(fix["reads"]),
+            "n_sites": len(fix["variants"]),
+            "cfg": {k: str(v) for k, v in CFG.items()}}
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def strip_vcf(path):
+    with open(path) as f:
+        return [l for l in f
+                if not l.startswith("##longphase")
+                and not l.startswith("##commandline")]
+
+
+def tags_digest(path):
+    import hashlib
+
+    from longphase_s_tpu.io.bam import BamReader
+    h = hashlib.sha256()
+    r = BamReader(path)
+    for rec in r:
+        h.update(repr((rec.qname, rec.flag, rec.pos, rec.get_tag("HP"),
+                       rec.get_tag("PS"), rec.get_tag("PQ"))).encode())
+    r.close()
+    return h.hexdigest()
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip_wave = "--skip-wavefront" in sys.argv
+    work = args[0] if args else os.path.join(ROOT, ".bench_cache", "wgs_soak")
+    os.makedirs(work, exist_ok=True)
+    fix = get_fixture(work)
+    rows = {}
+
+    # --- 1. our phase, TPU strict device ---
+    ours_phase = os.path.join(work, "ours_phase")
+    rows["phase_tpu"] = run_child(
+        {"module": "longphase_s_tpu.models.phase", "fn": "run_phase",
+         "cfg_cls": "PhaseConfig",
+         "cfg": {"snp_file": fix["vcf"], "bam_files": [fix["bam"]],
+                 "fasta_file": fix["fasta"], "result_prefix": ours_phase,
+                 "is_pb": True, "engine": "tpu"}},
+        env_extra={"LPS_STRICT_DEVICE": "1"})
+    rows["phase_tpu"]["sites_per_s"] = round(
+        fix["n_sites"] / rows["phase_tpu"]["wall_s"], 1)
+    print("phase_tpu:", rows["phase_tpu"], flush=True)
+
+    # --- 2. reference phase ---
+    if os.path.exists(REF_BIN):
+        import time
+        golden = os.path.join(work, "golden_phase")
+        t0 = time.monotonic()
+        subprocess.run([REF_BIN, "phase", "--pb", "-s", fix["vcf"],
+                        "-b", fix["bam"], "-r", fix["fasta"], "-o", golden,
+                        "-t", str(os.cpu_count())],
+                       check=True, capture_output=True, timeout=7200)
+        rows["phase_ref"] = {"wall_s": round(time.monotonic() - t0, 2)}
+        rows["phase_ref"]["sites_per_s"] = round(
+            fix["n_sites"] / rows["phase_ref"]["wall_s"], 1)
+        identical = strip_vcf(golden + ".vcf") == strip_vcf(
+            ours_phase + ".vcf")
+        rows["phase_vcf_identical"] = identical
+        print("phase_ref:", rows["phase_ref"], "identical:", identical,
+              flush=True)
+
+    # --- 3. haplotag: whole-file, then bounded-memory streaming ---
+    phased_vcf = ours_phase + ".vcf"
+    tag_whole = os.path.join(work, "tag_whole")
+    rows["haplotag_whole"] = run_child(
+        {"module": "longphase_s_tpu.models.haplotag", "fn": "run_haplotag",
+         "cfg_cls": "HaplotagConfig",
+         "cfg": {"snp_file": phased_vcf, "bam_file": fix["bam"],
+                 "fasta_file": fix["fasta"], "result_prefix": tag_whole}},
+        env_extra={"LPS_STRICT_DEVICE": "1"})
+    rows["haplotag_whole"]["reads_per_s"] = round(
+        fix["n_reads"] / rows["haplotag_whole"]["wall_s"], 1)
+    print("haplotag_whole:", rows["haplotag_whole"], flush=True)
+
+    tag_stream = os.path.join(work, "tag_stream")
+    rows["haplotag_stream"] = run_child(
+        {"module": "longphase_s_tpu.models.haplotag", "fn": "run_haplotag",
+         "cfg_cls": "HaplotagConfig",
+         "cfg": {"snp_file": phased_vcf, "bam_file": fix["bam"],
+                 "fasta_file": fix["fasta"], "result_prefix": tag_stream}},
+        env_extra={"LPS_MAX_INMEM_BAM": str(64 << 20),
+                   "LPS_STRICT_DEVICE": "1"})
+    rows["haplotag_stream"]["reads_per_s"] = round(
+        fix["n_reads"] / rows["haplotag_stream"]["wall_s"], 1)
+    rows["stream_tags_identical"] = (tags_digest(tag_whole + ".bam")
+                                     == tags_digest(tag_stream + ".bam"))
+    print("haplotag_stream:", rows["haplotag_stream"], "identical:",
+          rows["stream_tags_identical"], flush=True)
+
+    # --- 4. wavefront on the virtual 8-device CPU mesh ---
+    if not skip_wave:
+        wave = os.path.join(work, "ours_wave")
+        rows["phase_wavefront_cpu8"] = run_child(
+            {"module": "longphase_s_tpu.models.phase", "fn": "run_phase",
+             "cfg_cls": "PhaseConfig",
+             "cfg": {"snp_file": fix["vcf"], "bam_files": [fix["bam"]],
+                     "fasta_file": fix["fasta"], "result_prefix": wave,
+                     "is_pb": True, "engine": "tpu"}},
+            env_extra={"JAX_PLATFORMS": "cpu", "LPS_WAVEFRONT": "1",
+                       "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+        rows["wavefront_vcf_identical"] = (
+            strip_vcf(wave + ".vcf") == strip_vcf(ours_phase + ".vcf"))
+        print("wavefront:", rows["phase_wavefront_cpu8"], "identical:",
+              rows["wavefront_vcf_identical"], flush=True)
+
+    md = ["# WGS-scale soak (64 Mbp / "
+          f"{fix['n_sites']:,} het sites / {fix['n_reads']:,} reads)",
+          "",
+          "`tools/wgs_soak.py` — chr20-scale single chromosome, "
+          "S_pad = 2^19 (128x the 4096-site Pallas block; carry-chained "
+          "block sequence), whole-file and bounded-memory streaming paths.",
+          "", "```json", json.dumps(rows, indent=2), "```", ""]
+    with open(os.path.join(ROOT, "WGS_SOAK.md"), "w") as f:
+        f.write("\n".join(md))
+    print("wrote WGS_SOAK.md")
+    ok = rows.get("phase_vcf_identical", True) and \
+        rows.get("stream_tags_identical", True) and \
+        rows.get("wavefront_vcf_identical", True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
