@@ -88,6 +88,35 @@ def test_two_process_run_matches_single(fix, tmp_path):
     assert _vcf_body(tmp_path / "dist.vcf") == _vcf_body(f"{single}.vcf")
 
 
+def test_four_process_run_matches_single(fix, tmp_path):
+    """nprocs=4 (VERDICT r2 #9): four contig-sharded processes, one writer
+    gather — VCF must still match the single-process run byte-for-byte."""
+    single = tmp_path / "single4"
+    run_phase(PhaseConfig(snp_file=fix["vcf"], bam_files=[fix["bam"]],
+                          fasta_file=fix["fasta"], result_prefix=str(single),
+                          num_threads=2, is_pb=True, engine="oracle"))
+
+    port = _free_port()
+    cfg = dict(snp_file=fix["vcf"], bam_files=[fix["bam"]],
+               fasta_file=fix["fasta"],
+               result_prefix=str(tmp_path / "dist4"),
+               num_threads=1, is_pb=True, engine="oracle")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, json.dumps(cfg),
+             f"127.0.0.1:{port},4,{pid}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(4)
+    ]
+    outs = _communicate_all(procs)
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    assert _vcf_body(tmp_path / "dist4.vcf") == _vcf_body(f"{single}.vcf")
+
+
 def test_shard_contigs_single_process_is_identity():
     from longphase_s_tpu.parallel import distributed as dist
 
