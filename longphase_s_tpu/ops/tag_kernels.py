@@ -180,18 +180,32 @@ def _germline_votes_dev(vi, al, base, flags, kind, aux, valid, gate, t,
 # ---------------------------------------------------------------------------
 
 
-def _k_germline(vi, al, base, flags, kind, aux, valid, gate,
-                t_has, t_vt, t_gt, t_ps, t_ref, t_alt, t_hp1, t_hp2,
-                t_hp1l, t_hp2l, A_pad, ref_nonempty):
-    t = {"has": t_has, "vtype": t_vt, "gt": t_gt, "ps": t_ps,
-         "snp_ref": t_ref, "snp_alt": t_alt, "hp1c": t_hp1, "hp2c": t_hp2,
-         "hp1_long": t_hp1l, "hp2_long": t_hp2l}
+def _unpack_obs(obs_i32, obs_u8):
+    """Split the packed observation uploads back into per-field arrays."""
+    vi, al, aux = obs_i32[0], obs_i32[1], obs_i32[2]
+    base = obs_u8[0].astype(obs_i32.dtype)
+    flags = obs_u8[1].astype(obs_i32.dtype)
+    kind = obs_u8[2].astype(obs_i32.dtype)
+    valid = obs_u8[3] != 0
+    gate = obs_u8[4] != 0
+    return vi, al, base, flags, kind, aux, valid, gate
+
+
+def _k_germline(obs_i32, obs_u8, tabs, A_pad, ref_nonempty):
+    """Packed-I/O germline kernel: one [5+err] x A_pad int32 download."""
+    import jax.numpy as jnp
+
+    vi, al, base, flags, kind, aux, valid, gate = _unpack_obs(obs_i32,
+                                                              obs_u8)
+    t = {"has": tabs[0] != 0, "vtype": tabs[1], "gt": tabs[2], "ps": tabs[3],
+         "snp_ref": tabs[4], "snp_alt": tabs[5], "hp1c": tabs[6],
+         "hp2c": tabs[7], "hp1_long": tabs[8] != 0, "hp2_long": tabs[9] != 0}
     h1, h2, cps, err = _germline_votes_dev(vi, al, base, flags, kind, aux,
                                            valid, gate, t, ref_nonempty)
     h1_cnt = _seg_count(al, h1, A_pad)
     h2_cnt = _seg_count(al, h2, A_pad)
-    n_ps, min_ps = _distinct_and_min(al, t_ps[vi], cps, A_pad)
-    return h1_cnt, h2_cnt, n_ps, min_ps, err
+    n_ps, min_ps = _distinct_and_min(al, t["ps"][vi], cps, A_pad)
+    return jnp.concatenate([h1_cnt, h2_cnt, n_ps, min_ps, err[None]])
 
 
 _jit_germline = None
@@ -207,42 +221,46 @@ def _get_jit_germline():
     return _jit_germline
 
 
-def _obs_inputs(walk, No_pad):
+def _obs_inputs(walk, No_pad, gate=None):
+    """Pack the observation stream into TWO uploads (int32 [3, No] +
+    uint8 [5, No]) — each host->device transfer is a tunnel round-trip,
+    so transfer count, not bytes, dominates small walks."""
     import jax.numpy as jnp
 
-    return (
-        jnp.asarray(_pad(walk["obs_var"], No_pad, 0, np.int32)),
-        jnp.asarray(_pad(walk["obs_aln"], No_pad, 0, np.int32)),
-        jnp.asarray(_pad(walk["obs_base"], No_pad, 0, np.uint8)
-                    .astype(np.int32)),
-        jnp.asarray(_pad(walk["obs_flags"], No_pad, 0, np.uint8)
-                    .astype(np.int32)),
-        jnp.asarray(_pad(walk["obs_kind"], No_pad, 255, np.uint8)
-                    .astype(np.int32)),
-        jnp.asarray(_pad(walk["obs_aux"], No_pad, 0, np.int32)),
-        jnp.asarray(_pad(np.ones(len(walk["obs_var"]), bool), No_pad,
-                         False, bool)),
-    )
+    No = len(walk["obs_var"])
+    i32 = np.zeros((3, No_pad), np.int32)
+    i32[0, :No] = walk["obs_var"]
+    i32[1, :No] = walk["obs_aln"]
+    i32[2, :No] = walk["obs_aux"]
+    u8 = np.zeros((5, No_pad), np.uint8)
+    u8[0, :No] = walk["obs_base"]
+    u8[1, :No] = walk["obs_flags"]
+    u8[2, :No] = walk["obs_kind"]
+    u8[2, No:] = 255
+    u8[3, :No] = 1
+    if gate is None:
+        u8[4, :No] = 1
+    else:
+        u8[4, :No] = gate
+    return jnp.asarray(i32), jnp.asarray(u8)
+
+
+_GERMLINE_ROWS = ("has", "vtype", "gt", "ps", "snp_ref", "snp_alt",
+                  "hp1c", "hp2c", "hp1_long", "hp2_long")
 
 
 def _germline_tables(t, S_pad):
     import jax.numpy as jnp
 
-    ps = t["ps"]
-    if ps.max(initial=0) > IMAX:
+    if t["ps"].max(initial=0) > IMAX:
         raise OverflowError("PS value exceeds int32")
-    return (
-        jnp.asarray(_pad(t["has"], S_pad, False, bool)),
-        jnp.asarray(_pad(t["vtype"], S_pad, 0, np.int8).astype(np.int32)),
-        jnp.asarray(_pad(t["gt"], S_pad, -1, np.int8).astype(np.int32)),
-        jnp.asarray(_pad(ps, S_pad, -1, np.int64).astype(np.int32)),
-        jnp.asarray(_pad(t["snp_ref"], S_pad, 0, np.uint8).astype(np.int32)),
-        jnp.asarray(_pad(t["snp_alt"], S_pad, 0, np.uint8).astype(np.int32)),
-        jnp.asarray(_pad(t["hp1c"], S_pad, 0, np.uint8).astype(np.int32)),
-        jnp.asarray(_pad(t["hp2c"], S_pad, 0, np.uint8).astype(np.int32)),
-        jnp.asarray(_pad(t["hp1_long"], S_pad, False, bool)),
-        jnp.asarray(_pad(t["hp2_long"], S_pad, False, bool)),
-    )
+    S = len(t["pos"])
+    buf = np.zeros((len(_GERMLINE_ROWS), S_pad), np.int32)
+    buf[2] = -1  # gt fill
+    buf[3] = -1  # ps fill
+    for r, key in enumerate(_GERMLINE_ROWS):
+        buf[r, :S] = t[key]
+    return jnp.asarray(buf)
 
 
 def germline_counts_device(walk, t, ref_nonempty: bool, gate=None):
@@ -250,28 +268,22 @@ def germline_counts_device(walk, t, ref_nonempty: bool, gate=None):
     min_ps) int64 numpy arrays of length A, mirroring
     models.haplotag_fast.germline_votes + aggregate_reads (minus sv_counts,
     which the caller adds). Exits like the reference on a missing PS."""
-    import jax.numpy as jnp
-
     A = len(walk["category"])
     No = len(walk["obs_var"])
     No_pad = _pow2(No, 1024)
     S_pad = _pow2(len(t["pos"]), 256)
     A_pad = _pow2(A, 256)
-    obs = _obs_inputs(walk, No_pad)
+    obs_i32, obs_u8 = _obs_inputs(walk, No_pad, gate)
     tabs = _germline_tables(t, S_pad)
-    g = jnp.asarray(_pad(np.ones(No, bool) if gate is None else gate,
-                         No_pad, False, bool))
-    h1_cnt, h2_cnt, n_ps, min_ps, err = _get_jit_germline()(
-        *obs, g, *tabs, A_pad=A_pad, ref_nonempty=ref_nonempty)
-    err = int(err)
+    out = np.asarray(_get_jit_germline()(
+        obs_i32, obs_u8, tabs, A_pad=A_pad, ref_nonempty=ref_nonempty))
+    err = int(out[-1])
     if err != int(IMAX):
         print("[ERROR] (judgeSnpHap) => can't find the position: pos: "
               f"{t['pos'][walk['obs_var'][err]]}", file=sys.stderr)
         sys.exit(0)
-    return (np.asarray(h1_cnt)[:A].astype(np.int64),
-            np.asarray(h2_cnt)[:A].astype(np.int64),
-            np.asarray(n_ps)[:A].astype(np.int64),
-            np.asarray(min_ps)[:A].astype(np.int64))
+    res = out[:-1].reshape(4, A_pad)[:, :A].astype(np.int64)
+    return res[0], res[1], res[2], res[3]
 
 
 # ---------------------------------------------------------------------------
@@ -339,13 +351,14 @@ def _is_alt_dev(vi, base, flags, t):
     return is_alt & has_any
 
 
-def _posbase_dev(vi, base, kind, valid, is_alt, gate_obs, t, base_code,
-                 S_pad: int):
+def _posbase_dev(vi, base, kind, valid, is_alt, gate_obs, t, S_pad: int):
     """countBaseNucleotide / countDeletionBase accumulation
     (HaplotagParsingBam.cpp:682-730): per-variant A/C/G/T(/unknown) totals,
     MAPQ-gated totals, alt/depth/del counters. Mirrors
     core.somatic_fast.accumulate_pos_base."""
     import jax.numpy as jnp
+
+    base_code = jnp.asarray(_BASE_CODE_NP)  # traced constant, not an upload
 
     kind0 = (kind == 0) & valid
     tvt = t["tum_vt"][vi]
@@ -382,15 +395,22 @@ def _posbase_dev(vi, base, kind, valid, is_alt, gate_obs, t, base_code,
     return acgt, macgt, alt, malt, depth, mdepth, delc, touched
 
 
-def _k_somatic(vi, al, base, flags, kind, aux, valid, gate, is_som, derive,
-               base_code, tabs, A_pad, S_pad, mode, want_posbase,
+def _k_somatic(obs_i32, obs_u8, tbuf, A_pad, S_pad, mode, want_posbase,
                want_derive, ref_nonempty):
     """Fused somatic-pass reductions. ``mode``: 'extract' (tumor extract
     pass), 'haplotag' (tumor tag pass), 'normal' (normal extract pass:
-    germline judge + pos-base tables)."""
+    germline judge + pos-base tables). Packed I/O: one int32 result vector
+    (per-A rows, then per-S rows, then err) plus the uint8 pk stream."""
     import jax.numpy as jnp
 
-    t = tabs
+    vi, al, base, flags, kind, aux, valid, gate = _unpack_obs(obs_i32,
+                                                              obs_u8)
+    t = {}
+    for r, key in enumerate(_SOMATIC_ROWS):
+        row = tbuf[r]
+        t[key] = (row != 0) if key in _SOMATIC_BOOL_ROWS else row
+    is_som = t.pop("is_som")
+    derive = t.pop("derive")
     is_alt = _is_alt_dev(vi, base, flags, t)
     gate_obs = gate
     out = {}
@@ -426,7 +446,7 @@ def _k_somatic(vi, al, base, flags, kind, aux, valid, gate, is_som, derive,
     if want_posbase:
         (out["acgt"], out["macgt"], out["alt"], out["malt"], out["depth"],
          out["mdepth"], out["delc"], out["touched"]) = _posbase_dev(
-            vi, base, kind, valid, is_alt, gate_obs, t, base_code, S_pad)
+            vi, base, kind, valid, is_alt, gate_obs, t, S_pad)
 
     if want_derive:
         # inheritHaplotype derive counts (SomaticHaplotagProcess.cpp:461-527)
@@ -451,14 +471,21 @@ def _k_somatic(vi, al, base, flags, kind, aux, valid, gate, is_som, derive,
           + is_alt.astype(jnp.uint8) * PK_IS_ALT
           + allele_gate.astype(jnp.uint8) * PK_ALLELE_GATE
           + tvp.astype(jnp.uint8) * PK_TVP)
-    out["pk"] = pk
     if mode == "extract":
         dump = S_pad * 2
         ackey = jnp.where(allele_gate,
                           vi * 2 + is_alt.astype(jnp.int32), dump)
         out["allele_counts"] = jnp.zeros(dump + 1, jnp.int32).at[
             ackey].add(1)[:dump].reshape(S_pad, 2)
-    return out
+
+    # pack everything except pk into ONE int32 vector: per-A rows, per-S
+    # rows (2-D tables flattened), err — a single tunnel download
+    a_rows = [out[k] for k in _somatic_a_keys(want_derive)]
+    s_rows = [out[k].reshape(-1).astype(jnp.int32)
+              for k in _somatic_s_keys(mode, want_posbase)]
+    err = out.get("err", jnp.asarray(IMAX))
+    packed = jnp.concatenate(a_rows + s_rows + [err[None]])
+    return packed, pk
 
 
 _jit_somatic = None
@@ -476,33 +503,62 @@ def _get_jit_somatic():
     return _jit_somatic
 
 
-def _somatic_tables(t, S_pad):
+_SOMATIC_ROWS = (
+    "nor_has", "nor_vt", "nor_gt", "nor_ps", "nor_ref0", "nor_alt0",
+    "nor_hp1c", "nor_hp2c", "alt_eq_hp1", "alt_eq_hp2", "ref_eq_hp1",
+    "ref_eq_hp2", "hp1_long", "hp2_long", "tum_has", "tum_vt", "tum_gt",
+    "tum_ps", "tum_ref0", "tum_alt0", "tum_ref_is1", "tum_alt_is1",
+    "is_som", "derive")
+_SOMATIC_BOOL_ROWS = frozenset((
+    "nor_has", "alt_eq_hp1", "alt_eq_hp2", "ref_eq_hp1", "ref_eq_hp2",
+    "hp1_long", "hp2_long", "tum_has", "tum_ref_is1", "tum_alt_is1",
+    "is_som"))
+_SOMATIC_FILL = {"nor_gt": -1, "nor_ps": -1, "tum_gt": -1, "tum_ps": -1}
+
+
+def _somatic_a_keys(want_derive):
+    keys = ["h1_cnt", "h2_cnt", "h3_cnt", "n_ps", "min_ps"]
+    if want_derive:
+        keys += ["d1_cnt", "d2_cnt"]
+    return keys
+
+
+def _somatic_s_keys(mode, want_posbase):
+    keys = []
+    if want_posbase:
+        keys += ["acgt", "macgt", "alt", "malt", "depth", "mdepth", "delc",
+                 "touched"]
+    if mode == "extract":
+        keys += ["allele_counts"]
+    return keys
+
+
+_S_KEY_COLS = {"acgt": 5, "macgt": 5, "allele_counts": 2}
+
+
+def _somatic_tables(t, S_pad, is_som, derive):
+    """One packed int32 [rows, S_pad] upload for every per-variant column
+    (incl. is_som/derive), instead of ~24 round-trips."""
     import jax.numpy as jnp
 
     for key in ("nor_ps", "tum_ps"):
         if t[key].max(initial=0) > IMAX:
             raise OverflowError("PS value exceeds int32")
-
-    def b(k):
-        return jnp.asarray(_pad(t[k], S_pad, False, bool))
-
-    def i(k, fill=0):
-        return jnp.asarray(_pad(t[k], S_pad, fill,
-                                t[k].dtype).astype(np.int32))
-
-    return {
-        "nor_has": b("nor_has"), "nor_vt": i("nor_vt"),
-        "nor_gt": i("nor_gt", -1), "nor_ps": i("nor_ps", -1),
-        "nor_ref0": i("nor_ref0"), "nor_alt0": i("nor_alt0"),
-        "nor_hp1c": i("nor_hp1c"), "nor_hp2c": i("nor_hp2c"),
-        "alt_eq_hp1": b("alt_eq_hp1"), "alt_eq_hp2": b("alt_eq_hp2"),
-        "ref_eq_hp1": b("ref_eq_hp1"), "ref_eq_hp2": b("ref_eq_hp2"),
-        "hp1_long": b("hp1_long"), "hp2_long": b("hp2_long"),
-        "tum_has": b("tum_has"), "tum_vt": i("tum_vt"),
-        "tum_gt": i("tum_gt", -1), "tum_ps": i("tum_ps", -1),
-        "tum_ref0": i("tum_ref0"), "tum_alt0": i("tum_alt0"),
-        "tum_ref_is1": b("tum_ref_is1"), "tum_alt_is1": b("tum_alt_is1"),
-    }
+    S = len(t["pos"])
+    buf = np.zeros((len(_SOMATIC_ROWS), S_pad), np.int32)
+    for r, key in enumerate(_SOMATIC_ROWS):
+        fill = _SOMATIC_FILL.get(key)
+        if fill:
+            buf[r] = fill
+        if key == "is_som":
+            if is_som is not None:
+                buf[r, :S] = is_som
+        elif key == "derive":
+            if derive is not None:
+                buf[r, :S] = derive
+        else:
+            buf[r, :S] = t[key]
+    return jnp.asarray(buf)
 
 
 def somatic_counts_device(walk, t, mode: str, *, is_som=None, derive=None,
@@ -511,49 +567,40 @@ def somatic_counts_device(walk, t, mode: str, *, is_som=None, derive=None,
     """Device somatic-pass reductions. Returns a dict of numpy arrays:
     per-alignment h1/h2/h3 counts and distinct/min normal-PS, packed
     per-observation masks (PK_* bits), and — when requested — the
-    per-variant PosBase tables, allele counts, and derive counts."""
-    import jax.numpy as jnp
-
+    per-variant PosBase tables, allele counts, and derive counts.
+    Transfers: 3 uploads (obs int32/uint8, tables) + 2 downloads."""
     A = len(walk["category"])
     S = len(t["pos"])
     No = len(walk["obs_var"])
     No_pad = _pow2(No, 1024)
     S_pad = _pow2(S, 256)
     A_pad = _pow2(A, 256)
-    obs = _obs_inputs(walk, No_pad)
-    tabs = _somatic_tables(t, S_pad)
-    g = jnp.asarray(_pad(np.ones(No, bool) if gate is None else gate,
-                         No_pad, False, bool))
-    som = jnp.asarray(_pad(
-        np.zeros(S, bool) if is_som is None else is_som, S_pad, False, bool))
-    der = jnp.asarray(_pad(
-        np.zeros(S, np.int8) if derive is None else derive, S_pad, 0,
-        np.int8).astype(np.int32))
-    bc = jnp.asarray(_BASE_CODE_NP)
-    out = _get_jit_somatic()(
-        *obs, g, som, der, bc, tabs, A_pad=A_pad, S_pad=S_pad, mode=mode,
+    obs_i32, obs_u8 = _obs_inputs(walk, No_pad, gate)
+    tbuf = _somatic_tables(t, S_pad, is_som, derive)
+    packed, pk = _get_jit_somatic()(
+        obs_i32, obs_u8, tbuf, A_pad=A_pad, S_pad=S_pad, mode=mode,
         want_posbase=want_posbase, want_derive=want_derive,
         ref_nonempty=ref_nonempty)
+    packed = np.asarray(packed)
+    err = int(packed[-1])
+    if err != int(IMAX):
+        print("[ERROR] (judgeSnpHap) => can't find the position: "
+              f"pos: {t['pos'][walk['obs_var'][err]]}", file=sys.stderr)
+        sys.exit(0)
     res = {}
-    for k, v in out.items():
-        arr = np.asarray(v)
-        if k == "err":
-            err = int(arr)
-            if err != int(IMAX):
-                print("[ERROR] (judgeSnpHap) => can't find the position: "
-                      f"pos: {t['pos'][walk['obs_var'][err]]}",
-                      file=sys.stderr)
-                sys.exit(0)
-            continue
-        if k == "pk":
-            res[k] = arr[:No]
-        elif k in ("h1_cnt", "h2_cnt", "h3_cnt", "n_ps", "min_ps",
-                   "d1_cnt", "d2_cnt"):
-            res[k] = arr[:A].astype(np.int64)
-        elif arr.ndim == 2:
-            res[k] = arr[:S].astype(np.int64)
+    off = 0
+    for k in _somatic_a_keys(want_derive):
+        res[k] = packed[off:off + A_pad][:A].astype(np.int64)
+        off += A_pad
+    for k in _somatic_s_keys(mode, want_posbase):
+        cols = _S_KEY_COLS.get(k, 1)
+        chunk = packed[off:off + S_pad * cols]
+        off += S_pad * cols
+        if cols > 1:
+            res[k] = chunk.reshape(S_pad, cols)[:S].astype(np.int64)
         else:
-            res[k] = arr[:S].astype(np.int64)
+            res[k] = chunk[:S].astype(np.int64)
+    res["pk"] = np.asarray(pk)[:No]
     return res
 
 
@@ -612,13 +659,15 @@ _MC_VT_SNP = 1  # models/modcall.py VT_SNP
 _MC_D = 50
 
 
-def _k_modcall_edges(pos, allele, vtype, read, valid):
+def _k_modcall_edges(ebuf):
     """Unique (k1=(p1,a1), k2=(dd,a2)) edge pairs with counts, as two int32
     key streams (TPU-friendly; no x64). Returns (uk1, uk2, cnt, n_unique)
     padded to the flattened length; host slices [:n_unique]."""
     import jax
     import jax.numpy as jnp
 
+    pos, allele, vtype, read, valid = (ebuf[0], ebuf[1], ebuf[2], ebuf[3],
+                                       ebuf[4] != 0)
     E = pos.shape[0]
     k1s, k2s = [], []
     for d in range(1, _MC_D + 1):
@@ -649,7 +698,7 @@ def _k_modcall_edges(pos, allele, vtype, read, valid):
         jnp.where(first, s1, IMAX))
     uk2 = jnp.full(N, IMAX, jnp.int32).at[dump].set(
         jnp.where(first, s2, IMAX))
-    return uk1, uk2, cnt, jnp.sum(first.astype(jnp.int32))
+    return jnp.stack([uk1, uk2, cnt]), jnp.sum(first.astype(jnp.int32))
 
 
 _jit_modcall = None
@@ -677,13 +726,15 @@ def modcall_edges_device(f_pos, f_allele, f_vtype, f_read):
     if f_pos.max(initial=0) * 2 + 1 > IMAX:
         raise OverflowError("position exceeds int32 key space")
     E_pad = _pow2(E, 1024)
-    pos = jnp.asarray(_pad(f_pos, E_pad, 0, np.int64).astype(np.int32))
-    allele = jnp.asarray(_pad(f_allele, E_pad, 0, np.int64).astype(np.int32))
-    vtype = jnp.asarray(_pad(f_vtype, E_pad, -1, np.int8).astype(np.int32))
-    read = jnp.asarray(_pad(f_read, E_pad, -1, np.int64).astype(np.int32))
-    valid = jnp.asarray(_pad(np.ones(E, bool), E_pad, False, bool))
-    uk1, uk2, cnt, n = _get_jit_modcall()(pos, allele, vtype, read, valid)
+    ebuf = np.zeros((5, E_pad), np.int32)
+    ebuf[0, :E] = f_pos
+    ebuf[1, :E] = f_allele
+    ebuf[2] = -1
+    ebuf[2, :E] = f_vtype
+    ebuf[3] = -1
+    ebuf[3, :E] = f_read
+    ebuf[4, :E] = 1
+    stacked, n = _get_jit_modcall()(jnp.asarray(ebuf))
     n = int(n)
-    return (np.asarray(uk1[:n]).astype(np.int64),
-            np.asarray(uk2[:n]).astype(np.int64),
-            np.asarray(cnt[:n]).astype(np.int64))
+    out = np.asarray(stacked[:, :n]).astype(np.int64)
+    return out[0], out[1], out[2]
