@@ -200,6 +200,49 @@ fused_phase_jit = jax.jit(
                      "use_pallas", "interpret"))
 
 
+def _mxu_phase(bits, gap, vtype, vtype_band, valid_band, positions,
+               S, window, distance, edge_threshold_x10, use_pallas,
+               interpret):
+    """MXU-pack variant of _fused_phase up to block assembly (read
+    correction runs on host from the merged stream — the whole observation
+    stream never ships to the device on this path)."""
+    from .mxu_pack import mxu_pair_counts
+
+    counts_hi, counts_lo = mxu_pair_counts(bits, window)
+    if use_pallas:
+        from .pallas_scan import vote_scan_pallas
+
+        assigned, hp, bstart = vote_scan_pallas(
+            counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
+            window=window, distance=distance,
+            edge_threshold_x10=edge_threshold_x10, interpret=interpret)
+    else:
+        from .vote_scan import vote_scan_core
+
+        assigned, hp, bstart = vote_scan_core(
+            counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
+            window=window, distance=distance,
+            edge_threshold_x10=edge_threshold_x10)
+    ps, ori = device_assemble_blocks(assigned.astype(bool), hp.astype(I32),
+                                     bstart.astype(I32), positions, S)
+    return jnp.stack([ps, ori.astype(I32)])
+
+
+mxu_phase_jit = jax.jit(
+    _mxu_phase,
+    static_argnames=("S", "window", "distance", "edge_threshold_x10",
+                     "use_pallas", "interpret"))
+
+
+def mxu_pack_min() -> int:
+    """Observation count above which the MXU tile pack replaces the scatter
+    pack (scatter costs ~W*No updates at ~75M/s; the tile build + matmul
+    path wins decisively once streams reach millions of observations)."""
+    import os
+
+    return int(os.environ.get("LPS_MXU_PACK_MIN", str(1 << 21)))
+
+
 def run_fused_phase(m_read, m_rank, m_allele, m_qok, m_aln, positions, vtype,
                     n_aln: int, params, use_pallas: bool,
                     interpret: bool = False):
@@ -216,6 +259,13 @@ def run_fused_phase(m_read, m_rank, m_allele, m_qok, m_aln, positions, vtype,
     No = len(m_read)
     No_pad = max(1024, 1 << int(np.ceil(np.log2(max(No, 1)))))
     A_pad = max(256, 1 << int(np.ceil(np.log2(max(n_aln, 1)))))
+
+    if No >= mxu_pack_min():
+        out = _run_mxu_phase(m_read, m_rank, m_allele, m_qok, m_aln,
+                             positions, vtype, n_aln, params, S, S_pad,
+                             use_pallas, interpret)
+        if out is not None:
+            return out
 
     def pad_to(a, n, fill, dtype):
         out = np.full(n, fill, dtype)
@@ -254,6 +304,48 @@ def run_fused_phase(m_read, m_rank, m_allele, m_qok, m_aln, positions, vtype,
         snp_confidence=float(params.snp_confidence),
         use_pallas=use_pallas, interpret=interpret))
     return out[0, :S].astype(np.int64), out[1, :S].astype(np.int8)
+
+
+def _run_mxu_phase(m_read, m_rank, m_allele, m_qok, m_aln, positions, vtype,
+                   n_aln, params, S, S_pad, use_pallas, interpret):
+    """WGS-scale path: MXU tile pack + scan + assembly on device, read
+    correction on host. Returns (ps, ori) or None when the stream violates
+    the tile-pack assumptions (caller uses the scatter pack)."""
+    from .mxu_pack import build_tiles, host_read_correction_merged
+
+    W = params.connect_adjacent
+    bits = build_tiles(m_read, m_rank, m_allele, m_qok, S_pad, W)
+    if bits is None:
+        return None
+
+    gap = np.full(S_pad, np.iinfo(np.int32).max, dtype=np.int32)
+    if S > 1:
+        gap[:S - 1] = np.minimum(np.diff(positions),
+                                 np.iinfo(np.int32).max).astype(np.int32)
+    ranks = np.arange(S)
+    tgt = ranks[:, None] + np.arange(1, W + 1)[None, :]
+    valid_band = np.zeros((S_pad, W), dtype=bool)
+    valid_band[:S] = tgt < S
+    vtype_band = np.zeros((S_pad, W), dtype=np.int8)
+    vtype_band[:S] = np.where(tgt < S, vtype[np.minimum(tgt, S - 1)], 0)
+    vtype_p = np.zeros(S_pad, dtype=np.int8)
+    vtype_p[:S] = vtype
+    positions_p = np.zeros(S_pad, dtype=np.int32)
+    positions_p[:S] = positions
+
+    out = np.array(mxu_phase_jit(
+        jnp.asarray(bits), jnp.asarray(gap), jnp.asarray(vtype_p),
+        jnp.asarray(vtype_band), jnp.asarray(valid_band),
+        jnp.asarray(positions_p),
+        S=S, window=W, distance=params.distance,
+        edge_threshold_x10=float(params.edge_threshold) * 10.0,
+        use_pallas=use_pallas, interpret=interpret))
+    ps = out[0, :S].astype(np.int64)
+    ori = out[1, :S].astype(np.int8)
+    new_ps, new_ori = host_read_correction_merged(
+        ps, ori, vtype, m_rank, m_allele, m_aln, n_aln,
+        params.read_confidence, params.snp_confidence)
+    return new_ps.astype(np.int64), new_ori.astype(np.int8)
 
 
 def run_fused_pack_scan(m_read, m_rank, m_allele, m_qok, positions, vtype,
