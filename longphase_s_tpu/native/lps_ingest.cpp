@@ -696,14 +696,27 @@ void lps_result_free(void* handle) { delete (ExtractResult*)handle; }
 // threads, emit standard BGZF member blocks with the BC/BSIZE extra field.
 static const size_t BGZF_CHUNK = 65280;
 
+// forward decl: single-threaded BGZF member encoding into `out` (used by
+// callers that already run inside a worker pool)
+static void bgzf_compress_serial(const uint8_t* data, size_t n, int level,
+                                 std::vector<uint8_t>& out);
+
 static size_t deflate_chunk(const uint8_t* src, size_t n, int level,
                             std::vector<uint8_t>& out) {
 #ifdef USE_LIBDEFLATE
-  struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+  // reuse one compressor per (thread, level): alloc+init per 64KB block
+  // costs more than the level-1 deflate itself
+  thread_local struct libdeflate_compressor* cached = nullptr;
+  thread_local int cached_level = -1;
+  if (cached == nullptr || cached_level != level) {
+    if (cached) libdeflate_free_compressor(cached);
+    cached = libdeflate_alloc_compressor(level);
+    cached_level = level;
+  }
+  struct libdeflate_compressor* c = cached;
   size_t bound = libdeflate_deflate_compress_bound(c, n);
   out.resize(bound);
   size_t sz = libdeflate_deflate_compress(c, src, n, out.data(), bound);
-  libdeflate_free_compressor(c);
   out.resize(sz);
   return sz;
 #else
@@ -722,6 +735,31 @@ static size_t deflate_chunk(const uint8_t* src, size_t n, int level,
   out.resize(sz);
   return sz;
 #endif
+}
+
+static void bgzf_compress_serial(const uint8_t* data, size_t n, int level,
+                                 std::vector<uint8_t>& out) {
+  size_t n_chunks = n ? (n + BGZF_CHUNK - 1) / BGZF_CHUNK : 0;
+  std::vector<uint8_t> comp;
+  for (size_t i = 0; i < n_chunks; ++i) {
+    const uint8_t* src = data + i * BGZF_CHUNK;
+    size_t len = std::min(BGZF_CHUNK, n - i * BGZF_CHUNK);
+    size_t csz = deflate_chunk(src, len, level, comp);
+    uint32_t crc = crc32(0L, src, (uInt)len);
+    size_t bsize = csz + 26;
+    size_t off = out.size();
+    out.resize(off + bsize);
+    uint8_t* p = out.data() + off;
+    const uint8_t head[16] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0,
+                              0,    0xff, 6, 0, 66, 67, 2, 0};
+    memcpy(p, head, 16);
+    uint16_t bs = (uint16_t)(bsize - 1);
+    memcpy(p + 16, &bs, 2);
+    memcpy(p + 18, comp.data(), csz);
+    memcpy(p + 18 + csz, &crc, 4);
+    uint32_t isize = (uint32_t)len;
+    memcpy(p + 22 + csz, &isize, 4);
+  }
 }
 
 int64_t lps_bgzf_compress(const uint8_t* data, int64_t n, int level,
@@ -1813,6 +1851,9 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
   };
   compress_write(head);
 
+  // assemble AND compress in the workers (compression parallelizes across
+  // the pool; a serial compressor in the writer thread caps the whole
+  // write at one core's deflate throughput), then fwrite in order
   std::atomic<int64_t> next_chunk{0};
   auto assembler = [&]() {
     for (;;) {
@@ -1823,7 +1864,7 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
         std::unique_lock<std::mutex> lk(mu);
         cv.wait(lk, [&] { return ci - write_cursor < (int64_t)IN_FLIGHT; });
       }
-      std::vector<uint8_t>& body = bufs[(size_t)ci];
+      std::vector<uint8_t> body;
       int64_t b = ci * CHUNK, e = std::min(n_out, (ci + 1) * CHUNK);
       for (int64_t oi = b; oi < e; ++oi) {
         size_t rec_start = body.size();
@@ -1833,6 +1874,8 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
         int32_t bsz = (int32_t)(body.size() - rec_start - 4);
         memcpy(&body[rec_start], &bsz, 4);
       }
+      bgzf_compress_serial(body.data(), body.size(), level,
+                           bufs[(size_t)ci]);
       {
         std::lock_guard<std::mutex> lk(mu);
         chunk_done[(size_t)ci] = 1;
@@ -1845,14 +1888,16 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
   if (nt < 2) nt = 2;
   if (nt > 8) nt = 8;
   std::vector<std::thread> workers;
-  for (unsigned t = 0; t + 1 < nt; ++t) workers.emplace_back(assembler);
+  for (unsigned t = 0; t < nt; ++t) workers.emplace_back(assembler);
 
   for (int64_t ci = 0; ci < n_chunks; ++ci) {
     {
       std::unique_lock<std::mutex> lk(mu);
       cv.wait(lk, [&] { return chunk_done[(size_t)ci] != 0; });
     }
-    compress_write(bufs[(size_t)ci]);
+    const std::vector<uint8_t>& comp = bufs[(size_t)ci];
+    if (fwrite(comp.data(), 1, comp.size(), f) != comp.size()) ok = false;
+    total_comp += (int64_t)comp.size();
     std::vector<uint8_t>().swap(bufs[(size_t)ci]);  // release eagerly
     {
       std::lock_guard<std::mutex> lk(mu);
