@@ -433,6 +433,60 @@ def device_metrics(lines):
 
     per_call = (timed(33) - timed(1)) / 32
 
+    # device tag kernels: correctness + per-call wall on a synthetic walk
+    # (the throughput pipelines only offload above LPS_TAG_DEVICE_MIN, so
+    # this line keeps the kernels exercised on hardware every round)
+    try:
+        import os as _os
+
+        from longphase_s_tpu.models.haplotag_fast import (aggregate_reads,
+                                                          germline_votes)
+        from longphase_s_tpu.ops import tag_kernels
+
+        rng2 = np.random.default_rng(7)
+        No2, A2, S2 = 400_000, 4_000, 3_000
+        walk = {
+            "obs_var": rng2.integers(0, S2, No2).astype(np.int32),
+            "obs_aln": np.sort(rng2.integers(0, A2, No2)).astype(np.int32),
+            "obs_base": rng2.choice(np.frombuffer(b"ACGT", np.uint8), No2),
+            "obs_flags": rng2.integers(0, 16, No2).astype(np.uint8),
+            "obs_kind": rng2.choice(np.array([0, 0, 0, 1], np.uint8), No2),
+            "obs_aux": rng2.integers(0, 50, No2).astype(np.int32),
+            "category": np.zeros(A2, np.uint8),
+        }
+        t = {
+            "pos": np.arange(S2, dtype=np.int64) * 97 + 1000,
+            "has": rng2.random(S2) > 0.05,
+            "vtype": rng2.choice(np.array([1, 1, 2, 3], np.int8), S2),
+            "gt": np.zeros(S2, np.int8),
+            "ps": rng2.integers(1, 1 << 30, S2),
+            "snp_ref": rng2.choice(np.frombuffer(b"ACGT", np.uint8), S2),
+            "snp_alt": rng2.choice(np.frombuffer(b"ACGT", np.uint8), S2),
+            "hp1c": rng2.choice(np.frombuffer(b"ACGT", np.uint8), S2),
+            "hp2c": rng2.choice(np.frombuffer(b"ACGT", np.uint8), S2),
+            "hp1_long": rng2.random(S2) > 0.8,
+            "hp2_long": rng2.random(S2) > 0.8,
+        }
+        h1, h2, cps = germline_votes(walk, t, True)
+        host = aggregate_reads(walk, t, h1, h2, cps)
+        _os.environ["LPS_TAG_ENGINE"] = "device"
+        try:
+            dev = tag_kernels.germline_counts_device(walk, t, True)
+            t0 = time.monotonic()
+            dev = tag_kernels.germline_counts_device(walk, t, True)
+            dev_ms = (time.monotonic() - t0) * 1e3
+        finally:
+            _os.environ.pop("LPS_TAG_ENGINE", None)
+        ok_tag = all((np.asarray(a) == np.asarray(b)).all()
+                     for a, b in zip(host, dev))
+        lines.append({"metric": "tag_kernel_device_ok",
+                      "value": int(ok_tag), "unit": "bool",
+                      "vs_baseline": round(dev_ms, 1)})  # ms/call
+    except Exception as e:  # noqa: BLE001
+        print(f"bench tag_kernel_device failed: {e!r}", file=sys.stderr)
+        lines.append({"metric": "tag_kernel_device_ok", "value": 0,
+                      "unit": "bool", "vs_baseline": None})
+
     # roofline (v5e): minimal HBM traffic + sequential-scan critical path
     HBM_BPS = 819e9
     CLOCK = 0.94e9

@@ -361,7 +361,7 @@ def extract_normal_chromosome_fast(nb, chrom, chrom_len, positions, variants,
 
     from ..ops import tag_kernels
     dev = None
-    if tag_kernels.engine() == "device":
+    if tag_kernels.engine(len(walk["obs_var"])) == "device":
         try:
             dev = tag_kernels.somatic_counts_device(
                 walk, t, "normal", gate=mapq_ok_obs, want_posbase=True,
@@ -477,7 +477,7 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
 
     from ..ops import tag_kernels
     dev = None
-    if tag_kernels.engine() == "device":
+    if tag_kernels.engine(len(walk["obs_var"])) == "device":
         try:
             dev = tag_kernels.somatic_counts_device(
                 walk, t, "extract", gate=mapq_ok_obs, want_posbase=True)

@@ -252,7 +252,7 @@ def _judge_walk(cfg, walk, t, ref_string, sv_counts, stats):
     ReadStatistics counters — all per-record, so window splits are exact."""
     from ..ops import tag_kernels
 
-    if tag_kernels.engine() == "device":
+    if tag_kernels.engine(len(walk["obs_var"])) == "device":
         try:
             h1_cnt, h2_cnt, n_ps, min_ps = \
                 tag_kernels.germline_counts_device(walk, t, bool(ref_string))

@@ -177,7 +177,7 @@ def _run_chrom_on_handle(cfg, nb, chrom, chrom_len, chr_seq, positions,
     if E:
         from ..ops import tag_kernels
         up1a = None
-        if tag_kernels.engine() == "device":
+        if tag_kernels.engine(len(f_pos) * 8) == "device":
             try:
                 up1a, up2a, cnt = tag_kernels.modcall_edges_device(
                     f_pos, f_allele, f_vtype, f_read)

@@ -897,7 +897,7 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
         A = len(walk["category"])
         from ..ops import tag_kernels
         dev = None
-        if tag_kernels.engine() == "device":
+        if tag_kernels.engine(len(walk["obs_var"])) == "device":
             try:
                 dev = tag_kernels.somatic_counts_device(
                     walk, t, "haplotag", is_som=is_som, derive=derive,

@@ -45,12 +45,27 @@ for _i, _c in enumerate("ACGT"):
     _BASE_CODE_NP[ord(_c)] = _i
 
 
-def engine() -> str:
-    """'device' or 'host' for the tag-family reductions."""
+def engine(n_work: int | None = None) -> str:
+    """'device' or 'host' for the tag-family reductions.
+
+    The offload only pays once the reduction work amortizes the per-call
+    dispatch + transfer cost: with a locally attached TPU that threshold is
+    tiny; through this environment's remote tunnel (~35 ms RTT, ~20 MB/s)
+    it is millions of observations. ``n_work`` (observation count) gates
+    the default; LPS_TAG_DEVICE_MIN overrides the threshold and
+    LPS_TAG_ENGINE=device|host forces the engine outright.
+    LPS_STRICT_DEVICE does NOT force the device engine — it makes device
+    failures fatal wherever the device path is selected."""
     env = os.environ.get("LPS_TAG_ENGINE")
     if env in ("device", "host"):
         return env
-    return "device" if os.environ.get("LPS_STRICT_DEVICE") else "host"
+    if n_work is None:
+        return "host"
+    return "device" if n_work >= device_min() else "host"
+
+
+def device_min() -> int:
+    return int(os.environ.get("LPS_TAG_DEVICE_MIN", str(4_000_000)))
 
 
 def strict() -> bool:

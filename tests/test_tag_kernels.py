@@ -111,12 +111,21 @@ def test_modcall_device_parity(tmp_path, engine_env):
     assert len(outs["host"]) > 20  # non-trivial output
 
 
-def test_strict_device_no_silent_fallback(monkeypatch):
-    """LPS_STRICT_DEVICE must propagate kernel failures, not fall back."""
-    monkeypatch.setenv("LPS_STRICT_DEVICE", "1")
+def test_engine_selection_and_strictness(monkeypatch):
+    """The device offload is work-size gated (per-call dispatch/transfer
+    cost must amortize); LPS_TAG_ENGINE forces either engine outright and
+    LPS_STRICT_DEVICE makes selected-device failures fatal."""
     monkeypatch.delenv("LPS_TAG_ENGINE", raising=False)
+    monkeypatch.delenv("LPS_TAG_DEVICE_MIN", raising=False)
     from longphase_s_tpu.ops import tag_kernels
-    assert tag_kernels.engine() == "device"
-    assert tag_kernels.strict()
+    assert tag_kernels.engine() == "host"                 # no size: host
+    assert tag_kernels.engine(100) == "host"              # tiny walk
+    assert tag_kernels.engine(tag_kernels.device_min()) == "device"
+    monkeypatch.setenv("LPS_TAG_DEVICE_MIN", "50")
+    assert tag_kernels.engine(100) == "device"
     monkeypatch.setenv("LPS_TAG_ENGINE", "host")
-    assert tag_kernels.engine() == "host"
+    assert tag_kernels.engine(1 << 40) == "host"          # forced host
+    monkeypatch.setenv("LPS_TAG_ENGINE", "device")
+    assert tag_kernels.engine(1) == "device"              # forced device
+    monkeypatch.setenv("LPS_STRICT_DEVICE", "1")
+    assert tag_kernels.strict()

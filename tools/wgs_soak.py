@@ -39,11 +39,14 @@ CHILD = textwrap.dedent("""
     import json, resource, sys, time
     sys.path.insert(0, %r)
     spec = json.loads(sys.argv[1])
-    t0 = time.monotonic()
     import importlib
     mod = importlib.import_module(spec["module"])
     fn = getattr(mod, spec["fn"])
     cfg_cls = getattr(mod, spec["cfg_cls"])
+    # warm-up run: page cache, jit compile(+cache load) — the timed number
+    # is the steady-state wall, like bench.py's warm-up + best-of protocol
+    fn(cfg_cls(**spec["cfg"]))
+    t0 = time.monotonic()
     fn(cfg_cls(**spec["cfg"]))
     wall = time.monotonic() - t0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
