@@ -745,7 +745,11 @@ static void bgzf_compress_serial(const uint8_t* data, size_t n, int level,
     const uint8_t* src = data + i * BGZF_CHUNK;
     size_t len = std::min(BGZF_CHUNK, n - i * BGZF_CHUNK);
     size_t csz = deflate_chunk(src, len, level, comp);
+#ifdef USE_LIBDEFLATE
+    uint32_t crc = libdeflate_crc32(0, src, len);  // SIMD, ~10x zlib's
+#else
     uint32_t crc = crc32(0L, src, (uInt)len);
+#endif
     size_t bsize = csz + 26;
     size_t off = out.size();
     out.resize(off + bsize);
@@ -779,7 +783,11 @@ int64_t lps_bgzf_compress(const uint8_t* data, int64_t n, int level,
       const uint8_t* src = data + i * BGZF_CHUNK;
       size_t len = std::min(BGZF_CHUNK, (size_t)(n - (int64_t)i * BGZF_CHUNK));
       size_t csz = deflate_chunk(src, len, level, comp);
-      uint32_t crc = crc32(0L, src, (uInt)len);
+  #ifdef USE_LIBDEFLATE
+    uint32_t crc = libdeflate_crc32(0, src, len);  // SIMD, ~10x zlib's
+#else
+    uint32_t crc = crc32(0L, src, (uInt)len);
+#endif
       size_t bsize = csz + 26;  // 18 header + data + 8 trailer
       std::vector<uint8_t>& b = blocks[i];
       b.resize(bsize);
