@@ -1271,8 +1271,32 @@ void* lps_bam_load_cram(const char* path, const char* fasta_path,
     blob_total += (size_t)blob_len;
     n_rec_total += (size_t)nr;
   }
-  h->data.reserve(12 + (size_t)hdr_len + names_total + blob_total +
-                  4 * n_rec_total);
+  size_t cap = 12 + (size_t)hdr_len + names_total + blob_total +
+               4 * n_rec_total;
+  {
+    // pre-fault the heap block the handle is about to own: malloc doesn't
+    // touch pages, one write per page from N threads faults them in
+    // parallel, and free keeps them resident (trim disabled in the ctor) —
+    // the reserve() below reuses them, so the copy loop never stalls on
+    // this VM's ~10us minor faults
+    unsigned ntw = std::thread::hardware_concurrency();
+    if (ntw < 1) ntw = 1;
+    if (ntw > 8) ntw = 8;
+    uint8_t* warm = (uint8_t*)malloc(cap + 4096);
+    if (warm) {
+      std::vector<std::thread> ts;
+      size_t per = (cap / ntw + 4095) & ~(size_t)4095;
+      for (unsigned t = 0; t < ntw; ++t) {
+        ts.emplace_back([&, t]() {
+          size_t lo = t * per, hi = std::min(cap, lo + per);
+          for (size_t p = lo; p < hi; p += 4096) warm[p] = 0;
+        });
+      }
+      for (auto& th : ts) th.join();
+      free(warm);
+    }
+  }
+  h->data.reserve(cap);
   h->rec_off.reserve(n_rec_total);
   h->rec_len.reserve(n_rec_total);
   auto put_i32 = [&](int32_t v) {
@@ -1300,26 +1324,69 @@ void* lps_bam_load_cram(const char* path, const char* fasta_path,
   h->records_off = h->data.size();
   h->tid_first.assign((size_t)n_ref, -1);
   h->tid_last.assign((size_t)n_ref, -1);
+
+  // The record image is ~GBs; on this VM the cold page faults of one big
+  // serial fill dominate the whole open. Pre-fault the heap block across
+  // threads (malloc doesn't touch pages; one write per page from N threads
+  // faults them in parallel; free keeps them resident — the ctor above
+  // disables trim), then copy containers into precomputed slices in
+  // parallel.
+  size_t rec_base_off = h->data.size();
+  std::vector<size_t> dest_off((size_t)n_cont + 1, rec_base_off);
+  std::vector<int64_t> rec_base((size_t)n_cont + 1, 0);
   for (int64_t c = 0; c < n_cont; ++c) {
     const uint8_t* blob;
     int64_t blob_len;
     const int64_t* sizes;
     int64_t nr = lps_cram_container(rp, c, &blob, &blob_len, &sizes);
-    int64_t boff = 0;
-    for (int64_t i = 0; i < nr; ++i) {
-      int64_t sz = sizes[i];
-      put_i32((int32_t)sz);
-      size_t rpos = h->data.size();
-      h->data.insert(h->data.end(), blob + boff, blob + boff + sz);
-      boff += sz;
-      int32_t tid = rd_i32(&h->data[rpos]);
-      int64_t idx = (int64_t)h->rec_off.size();
-      h->rec_off.push_back(rpos);
-      h->rec_len.push_back((uint32_t)sz);
-      if (tid >= 0 && tid < n_ref) {
-        if (h->tid_first[tid] < 0) h->tid_first[tid] = idx;
-        h->tid_last[tid] = idx + 1;
+    dest_off[(size_t)c + 1] = dest_off[(size_t)c] + (size_t)blob_len +
+                              4 * (size_t)nr;
+    rec_base[(size_t)c + 1] = rec_base[(size_t)c] + nr;
+  }
+  size_t total_size = dest_off[(size_t)n_cont];
+  int64_t n_rec = rec_base[(size_t)n_cont];
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  // the pages were pre-faulted before reserve(); this memset runs at
+  // memory speed and the parallel copies below never stall on faults
+  h->data.resize(total_size);
+  h->rec_off.resize((size_t)n_rec);
+  h->rec_len.resize((size_t)n_rec);
+  std::atomic<int64_t> next_c{0};
+  auto copier = [&]() {
+    for (;;) {
+      int64_t c = next_c.fetch_add(1);
+      if (c >= n_cont) return;
+      const uint8_t* blob;
+      int64_t blob_len;
+      const int64_t* sizes;
+      int64_t nr = lps_cram_container(rp, c, &blob, &blob_len, &sizes);
+      uint8_t* dst = h->data.data() + dest_off[(size_t)c];
+      int64_t boff = 0;
+      int64_t ri = rec_base[(size_t)c];
+      for (int64_t i = 0; i < nr; ++i, ++ri) {
+        int32_t sz = (int32_t)sizes[i];
+        memcpy(dst, &sz, 4);
+        memcpy(dst + 4, blob + boff, (size_t)sz);
+        h->rec_off[(size_t)ri] = (size_t)(dst + 4 - h->data.data());
+        h->rec_len[(size_t)ri] = (uint32_t)sz;
+        dst += 4 + sz;
+        boff += sz;
       }
+    }
+  };
+  {
+    std::vector<std::thread> ts;
+    for (unsigned t = 1; t < nt; ++t) ts.emplace_back(copier);
+    copier();
+    for (auto& th : ts) th.join();
+  }
+  for (int64_t idx = 0; idx < n_rec; ++idx) {
+    int32_t tid = rd_i32(&h->data[h->rec_off[(size_t)idx]]);
+    if (tid >= 0 && tid < n_ref) {
+      if (h->tid_first[tid] < 0) h->tid_first[tid] = idx;
+      h->tid_last[tid] = idx + 1;
     }
   }
   lps_cram_free(rp);
