@@ -51,6 +51,31 @@ struct Buf {
   std::vector<uint8_t> data;
 };
 
+// Fault-in a heap block of ~n bytes across threads BEFORE a big vector
+// allocation: malloc doesn't touch pages, one write per page from N
+// threads faults them in parallel, and free keeps them resident (the
+// ctor above disables trim) so the vector's own allocation reuses them.
+// On this VM minor faults cost ~10us — a serial GB-sized resize() is
+// seconds of pure fault time without this.
+static void prefault_parallel(size_t n) {
+  if (n < (8u << 20)) return;  // not worth thread spawns below ~8 MB
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 2) return;
+  if (nt > 8) nt = 8;
+  uint8_t* warm = (uint8_t*)malloc(n + 4096);
+  if (!warm) return;
+  std::vector<std::thread> ts;
+  size_t per = (n / nt + 4095) & ~(size_t)4095;
+  for (unsigned t = 0; t < nt; ++t) {
+    ts.emplace_back([warm, n, per, t]() {
+      size_t lo = t * per, hi = std::min(n, lo + per);
+      for (size_t p = lo; p < hi; p += 4096) warm[p] = 0;
+    });
+  }
+  for (auto& th : ts) th.join();
+  free(warm);
+}
+
 // ---------------------------------------------------------------- BGZF ----
 static bool inflate_block(const uint8_t* src, size_t src_len, size_t& consumed,
                           std::vector<uint8_t>& out) {
@@ -130,6 +155,7 @@ static bool read_entire_bgzf(const char* path, std::vector<uint8_t>& out) {
     total_u += isize;
     pos += bsize;
   }
+  prefault_parallel(total_u);
   out.resize(total_u);
 
   unsigned n_threads = std::thread::hardware_concurrency();
@@ -1273,29 +1299,7 @@ void* lps_bam_load_cram(const char* path, const char* fasta_path,
   }
   size_t cap = 12 + (size_t)hdr_len + names_total + blob_total +
                4 * n_rec_total;
-  {
-    // pre-fault the heap block the handle is about to own: malloc doesn't
-    // touch pages, one write per page from N threads faults them in
-    // parallel, and free keeps them resident (trim disabled in the ctor) —
-    // the reserve() below reuses them, so the copy loop never stalls on
-    // this VM's ~10us minor faults
-    unsigned ntw = std::thread::hardware_concurrency();
-    if (ntw < 1) ntw = 1;
-    if (ntw > 8) ntw = 8;
-    uint8_t* warm = (uint8_t*)malloc(cap + 4096);
-    if (warm) {
-      std::vector<std::thread> ts;
-      size_t per = (cap / ntw + 4095) & ~(size_t)4095;
-      for (unsigned t = 0; t < ntw; ++t) {
-        ts.emplace_back([&, t]() {
-          size_t lo = t * per, hi = std::min(cap, lo + per);
-          for (size_t p = lo; p < hi; p += 4096) warm[p] = 0;
-        });
-      }
-      for (auto& th : ts) th.join();
-      free(warm);
-    }
-  }
+  prefault_parallel(cap);
   h->data.reserve(cap);
   h->rec_off.reserve(n_rec_total);
   h->rec_len.reserve(n_rec_total);
