@@ -34,14 +34,19 @@ BENCH_DIR = os.path.join(ROOT, ".bench_cache")
 REF_BIN = os.path.join(ROOT, ".refbuild", "longphase-s")
 NTHREADS = os.cpu_count() or 4
 
-PHASE_CFG = dict(seed=20, length=4_000_000, coverage=30, read_len=12000,
+# Fixture scale: BASELINE.json's configs are chr20-scale (~64 Mbp); these
+# are 1/4-1/5 of that so a full bench (fixture sim + reference best-of-3 +
+# ours) stays under ~0.5 h on a fresh container while amortizing fixed
+# per-run costs the way real WGS inputs do. The 64 Mbp point is covered by
+# tools/wgs_soak.py / WGS_SOAK.md.
+PHASE_CFG = dict(seed=20, length=12_000_000, coverage=30, read_len=12000,
                  snp_rate=0.001, error_rate=0.05, qual=20)
-SOMATIC_CFG = dict(seed=21, length=1_500_000, normal_coverage=25,
-                   tumor_coverage=30, purity=0.6, n_somatic=120,
-                   n_artifacts=30, read_len=12000, snp_rate=0.0012,
+SOMATIC_CFG = dict(seed=21, length=5_000_000, normal_coverage=25,
+                   tumor_coverage=30, purity=0.6, n_somatic=400,
+                   n_artifacts=100, read_len=12000, snp_rate=0.0012,
                    error_rate=0.02, qual=25)
-METH_CFG = dict(seed=22, length=2_000_000, coverage=25, read_len=10000,
-                snp_rate=0.0012, n_asm=160, n_homo_mod=80, qual=30)
+METH_CFG = dict(seed=22, length=6_000_000, coverage=25, read_len=10000,
+                snp_rate=0.0012, n_asm=480, n_homo_mod=240, qual=30)
 
 
 def _cached_fixture(name, cfg, maker):
