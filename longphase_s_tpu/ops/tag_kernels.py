@@ -65,7 +65,23 @@ def engine(n_work: int | None = None) -> str:
 
 
 def device_min() -> int:
-    return int(os.environ.get("LPS_TAG_DEVICE_MIN", str(4_000_000)))
+    """Offload threshold in observations. The host path streams the
+    reductions at ~150 MB/s of observation bytes, so the offload only wins
+    when the link to the device is faster than that: with a locally
+    attached TPU (PCIe/ICI, GB/s) the default is 4M observations; through
+    the axon remote tunnel (~20 MB/s) the host path wins at every size, so
+    the default is effectively never — LPS_TAG_DEVICE_MIN overrides."""
+    env = os.environ.get("LPS_TAG_DEVICE_MIN")
+    if env:
+        return int(env)
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "axon":
+            return 1 << 62
+    except Exception:  # noqa: BLE001 — no backend: gate stays finite
+        pass
+    return 4_000_000
 
 
 def strict() -> bool:
