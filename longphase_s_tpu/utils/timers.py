@@ -15,7 +15,8 @@ from contextlib import contextmanager
 class StageTimer:
     """Accumulates named stage durations; prints like the reference binary."""
 
-    def __init__(self, out=sys.stderr):
+    def __init__(self, out=None):
+        # resolve sys.stderr lazily so redirect_stderr/capsys see the lines
         self.out = out
         self.stages: dict[str, float] = {}
 
@@ -23,14 +24,16 @@ class StageTimer:
     def __call__(self, name: str, quiet: bool = False):
         begin = time.monotonic()
         if not quiet:
-            print(f"{name} ... ", end="", file=self.out, flush=True)
+            print(f"{name} ... ", end="",
+                  file=self.out or sys.stderr, flush=True)
         try:
             yield
         finally:
             elapsed = time.monotonic() - begin
             self.stages[name] = self.stages.get(name, 0.0) + elapsed
             if not quiet:
-                print(f"{elapsed:.1f}s", file=self.out, flush=True)
+                print(f"{elapsed:.1f}s", file=self.out or sys.stderr,
+                      flush=True)
 
 
 @contextmanager

@@ -60,7 +60,8 @@ def main():
                       bam_files=[phase_meta["bam"]],
                       fasta_file=phase_meta["fasta"],
                       result_prefix="/tmp/sb_phase", engine="tpu")
-    out["phase (4 Mbp, 30x, TPU engine)"] = capture(lambda: run_phase(cfg))
+    out[f"phase ({bench.PHASE_CFG['length'] // 1_000_000} Mbp, "
+        f"{bench.PHASE_CFG['coverage']}x, TPU engine)"] = capture(lambda: run_phase(cfg))
 
     hcfg = HaplotagConfig(snp_file=phased, bam_file=phase_meta["bam"],
                           fasta_file=phase_meta["fasta"],
@@ -73,7 +74,7 @@ def main():
                          tumor_bam_file=som_meta["tumor_bam"],
                          fasta_file=som_meta["fasta"],
                          result_prefix="/tmp/sb_som")
-    out["somatic_haplotag (1.5 Mbp pair)"] = capture(
+    out[f"somatic_haplotag ({bench.SOMATIC_CFG['length'] // 1_000_000} Mbp pair)"] = capture(
         lambda: run_somatic_haplotag(scfg))
 
     pcfg = SomaticConfig(snp_file=som_phased,
@@ -89,7 +90,7 @@ def main():
                          fasta_file=meth_meta["fasta"],
                          snp_file=meth_meta["vcf"],
                          result_prefix="/tmp/sb_mod")
-    out["modcall (2 Mbp MM/ML)"] = capture(lambda: run_modcall(mcfg))
+    out[f"modcall ({bench.METH_CFG['length'] // 1_000_000} Mbp MM/ML)"] = capture(lambda: run_modcall(mcfg))
 
     md = ["# Per-pipeline stage breakdown (bench fixtures, warm)",
           "",
