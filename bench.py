@@ -168,8 +168,10 @@ def _measure_reference(name, cmd, cache_key):
     """Best-of-3 reference run; cached so bench works without the binary."""
     cache = os.path.join(BENCH_DIR, f"baseline_{name}.json")
     if os.path.exists(REF_BIN):
-        # best-of-3, same as our side: this host has intermittent
-        # memory-provisioning stalls that can double any single run
+        # warm-up + best-of-3, the same protocol as our side: the first
+        # reference run after fixture creation pays cold page-cache reads
+        # and can be 2x slower than steady state
+        subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
         elapsed = float("inf")
         for _ in range(3):
             t0 = time.monotonic()
