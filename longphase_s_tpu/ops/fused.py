@@ -236,11 +236,14 @@ mxu_phase_jit = jax.jit(
 
 def mxu_pack_min() -> int:
     """Observation count above which the MXU tile pack replaces the scatter
-    pack (scatter costs ~W*No updates at ~75M/s; the tile build + matmul
-    path wins decisively once streams reach millions of observations)."""
+    pack. The matmul path also uploads ~4-5x fewer bytes (the uint8 bit
+    plane instead of the observation stream), so over a slow link it wins
+    well before the scatter throughput ceiling does: measured crossover on
+    the tunneled v5e is a few hundred thousand observations (12 Mbp bench
+    chromosome: 1.15s scatter vs 0.86s MXU)."""
     import os
 
-    return int(os.environ.get("LPS_MXU_PACK_MIN", str(1 << 21)))
+    return int(os.environ.get("LPS_MXU_PACK_MIN", str(1 << 18)))
 
 
 def run_fused_phase(m_read, m_rank, m_allele, m_qok, m_aln, positions, vtype,
