@@ -459,9 +459,12 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     t = build_somatic_tables(positions, variants)
     n_var = len(positions)
     tvt_tab = t["tum_vt"]
-    want_window = (t["tum_has"] & ((tvt_tab == VT_SNP)
-                                   | (tvt_tab == VT_INSERTION)
-                                   | (tvt_tab == VT_DELETION))).astype(np.uint8)
+    if getattr(cfg, "collect_offset_windows", True):
+        want_window = (t["tum_has"] & (
+            (tvt_tab == VT_SNP) | (tvt_tab == VT_INSERTION)
+            | (tvt_tab == VT_DELETION))).astype(np.uint8)
+    else:  # estimate_purity: the windows feed only the DenseAlt filter
+        want_window = None
     walk = nb.tag_walk(chrom, beg, end, positions, last_var, ref_string,
                        cfg.quality_threshold, False, cfg.tag_supplementary,
                        want_window=want_window, window=100)

@@ -65,6 +65,10 @@ class SomaticConfig:
     command: str = ""
     checkpoint_dir: str = ""  # per-contig extraction resume (SURVEY §5)
     dist: str = ""  # "host:port,nprocs,pid" multi-host spec (SURVEY §2.6)
+    # estimate_purity never consumes the +-100bp offset windows (they feed
+    # only the DenseAlt filter in the calling stage), so its extraction
+    # skips collecting them; outputs are unaffected
+    collect_offset_windows: bool = True
 
 
 def _last_var_pos(variants_sorted, variants, genome_sample):
@@ -1464,6 +1468,7 @@ def run_estimate_purity(cfg: SomaticConfig) -> float:
     so the global statistics match a single-process run exactly."""
     from ..parallel import distributed as dist
 
+    cfg.collect_offset_windows = False  # purity never reads offset_bases
     dist.init_from_spec(cfg.dist)
     dist.maybe_init_from_env()
     timer = StageTimer()

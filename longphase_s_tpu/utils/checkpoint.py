@@ -61,6 +61,9 @@ def somatic_fingerprint(cfg) -> str:
         f"mod={fsize(cfg.mod_file) if cfg.mod_file else 0}",
         f"q={cfg.quality_threshold}:p={cfg.percentage_threshold}",
         f"sup={cfg.tag_supplementary}:region={cfg.region}",
+        # purity-mode extraction omits the offset windows: its checkpoints
+        # must not feed a somatic_haplotag resume (which needs them)
+        f"win={getattr(cfg, 'collect_offset_windows', True)}",
     ]
     return hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
 
