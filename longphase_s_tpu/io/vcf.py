@@ -483,6 +483,20 @@ def rewrite_result_vcf(in_path: str, out_path: str, phasing_result: dict,
 
     ``phasing_result`` maps ``f"{chrom}_{pos0}"`` -> (ra_status, block).
     """
+    from .. import native as _native
+
+    if _native.available():
+        with open(in_path, "rb") as f:
+            raw = f.read()
+        if raw[:2] == b"\x1f\x8b":
+            import gzip as _gzip
+
+            raw = _gzip.decompress(raw)
+        if _native.vcf_rewrite(raw, out_path, phasing_result,
+                               het_set.by_chrom, het_set.filtered_indels,
+                               version, command, phase_indel, indel_quality):
+            return
+
     ps_def = False
     command_line_written = False
     with open_maybe_bgzf(in_path) as fin, open(out_path, "w") as fout:

@@ -704,6 +704,78 @@ def open_chrom_native_bam(path: str, fasta_path: str | None,
                                    blob_all, np.concatenate(boffs))
 
 
+def vcf_rewrite(text: bytes, out_path: str, phasing_result: dict,
+                het_by_chrom: dict, filtered_by_chrom: dict, version: str,
+                command: str, phase_indel: bool, indel_quality: int) -> bool:
+    """Native SnpParser::writeLine rewrite (mirrors io.vcf.rewrite_result_vcf
+    byte-for-byte). ``text`` is the PLAIN (decompressed) input VCF bytes.
+    Returns False when the native library is absent or the input needs the
+    Python fallback (malformed data line)."""
+    lib = _load()
+    if lib is None or os.environ.get("LPS_NO_NATIVE_VCF"):
+        return False
+    if not getattr(lib, "_vcfrw_bound", False):
+        lib._vcfrw_bound = True
+        lib.lps_vcf_rewrite.restype = ctypes.c_int64
+        lib.lps_vcf_rewrite.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+    # group the phasing_result ("chrom_pos0" -> (ra "a|b", block)) per chrom
+    res_by_chrom: dict[str, list] = {}
+    for key, (ra, block) in phasing_result.items():
+        chrom, _, pos = key.rpartition("_")
+        res_by_chrom.setdefault(chrom, []).append(
+            (int(pos), ord(ra[0]), ord(ra[2]), block))
+    chroms = sorted(set(het_by_chrom) | set(res_by_chrom)
+                    | set(filtered_by_chrom))
+    blob = "".join(chroms).encode("ascii")
+    chrom_off = np.zeros(len(chroms) + 1, np.int64)
+    np.cumsum([len(c) for c in chroms], out=chrom_off[1:])
+    het_parts, res_parts, filt_parts = [], [], []
+    het_off = [0]
+    res_off = [0]
+    filt_off = [0]
+    for c in chroms:
+        het = np.sort(np.fromiter(het_by_chrom.get(c, ()), np.int64))
+        het_parts.append(het)
+        het_off.append(het_off[-1] + len(het))
+        rows = sorted(res_by_chrom.get(c, ()))
+        res_parts.append(np.asarray(rows, np.int64).reshape(-1, 4))
+        res_off.append(res_off[-1] + len(rows))
+        filt = np.sort(np.fromiter(filtered_by_chrom.get(c, ()), np.int64))
+        filt_parts.append(filt)
+        filt_off.append(filt_off[-1] + len(filt))
+    het_all = (np.concatenate(het_parts) if het_parts
+               else np.zeros(0, np.int64))
+    res_all = (np.concatenate(res_parts) if res_parts
+               else np.zeros((0, 4), np.int64))
+    filt_all = (np.concatenate(filt_parts) if filt_parts
+                else np.zeros(0, np.int64))
+    res_pos = np.ascontiguousarray(res_all[:, 0])
+    res_a = np.ascontiguousarray(res_all[:, 1].astype(np.uint8))
+    res_b = np.ascontiguousarray(res_all[:, 2].astype(np.uint8))
+    res_block = np.ascontiguousarray(res_all[:, 3])
+    het_all = np.ascontiguousarray(het_all)
+    filt_all = np.ascontiguousarray(filt_all)
+    het_off_a = np.asarray(het_off, np.int64)
+    res_off_a = np.asarray(res_off, np.int64)
+    filt_off_a = np.asarray(filt_off, np.int64)
+    rc = lib.lps_vcf_rewrite(
+        text, len(text), out_path.encode(), version.encode(),
+        command.encode(), 1 if phase_indel else 0, indel_quality,
+        len(chroms), blob, chrom_off.ctypes.data,
+        het_all.ctypes.data, het_off_a.ctypes.data,
+        res_pos.ctypes.data, res_a.ctypes.data, res_b.ctypes.data,
+        res_block.ctypes.data, res_off_a.ctypes.data,
+        filt_all.ctypes.data, filt_off_a.ctypes.data)
+    return rc == 0
+
+
 def gzip_oneshot(data: bytes, level: int = 6) -> bytes | None:
     """Whole-buffer gzip member via libdeflate (CRAM block compression)."""
     lib = _load()

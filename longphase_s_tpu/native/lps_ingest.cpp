@@ -1007,6 +1007,231 @@ int64_t lps_gzip(const uint8_t* data, int64_t n, int level, uint8_t** out_p) {
 
 }  // extern "C"
 
+// ------------------------------------------------------------ VCF rewrite --
+// SnpParser::writeLine semantics (ParsingBam.cpp:460-635) over a plain-text
+// VCF buffer: strip any existing PS subfield, normalize unphased GT
+// (a|b -> sorted a/b), inject "GT=a|b" + PS=block for phased het sites,
+// append ":PS"/":." otherwise, optional INDEL_QUAL_FILTERED FILTER.
+// Tables arrive as per-chromosome sorted position arrays (binary search per
+// line). Mirrors io/vcf.py:rewrite_result_vcf byte-for-byte.
+
+namespace lps_vcfrw {
+
+struct ChromTables {
+  const int64_t* het = nullptr;
+  int64_t n_het = 0;
+  const int64_t* res_pos = nullptr;
+  const uint8_t* res_a = nullptr;  // ra_status[0]
+  const uint8_t* res_b = nullptr;  // ra_status[2]
+  const int64_t* res_block = nullptr;
+  int64_t n_res = 0;
+  const int64_t* filt = nullptr;
+  int64_t n_filt = 0;
+};
+
+static bool in_sorted(const int64_t* a, int64_t n, int64_t v) {
+  const int64_t* e = a + n;
+  const int64_t* it = std::lower_bound(a, e, v);
+  return it != e && *it == v;
+}
+
+static int64_t find_sorted(const int64_t* a, int64_t n, int64_t v) {
+  const int64_t* e = a + n;
+  const int64_t* it = std::lower_bound(a, e, v);
+  return (it != e && *it == v) ? (int64_t)(it - a) : -1;
+}
+
+// column position in the sample string for the subfield whose key starts at
+// key_pos in the format string (io/vcf.py:_find_subfield_start)
+static size_t subfield_start(const std::string& fmt, size_t key_pos,
+                             const std::string& sample) {
+  size_t colon_target = 0;
+  for (size_t i = 0; i < key_pos && i < fmt.size(); ++i)
+    if (fmt[i] == ':') ++colon_target;
+  size_t current = 0, start = 0;
+  for (char ch : sample) {
+    if (current >= colon_target) break;
+    if (ch == ':') ++current;
+    ++start;
+  }
+  return start;
+}
+
+static void strip_ps(std::string& fmt, std::string& sample) {
+  size_t ps = fmt.find("PS");
+  if (ps == std::string::npos) return;
+  size_t start = subfield_start(fmt, ps, sample);
+  if (fmt.find(':', ps + 1) != std::string::npos)
+    fmt = fmt.substr(0, ps) + fmt.substr(ps + 3);
+  else
+    fmt = fmt.substr(0, ps - 1) + fmt.substr(ps + 2);
+  size_t nxt = sample.find(':', start + 1);
+  if (nxt != std::string::npos)
+    sample = sample.substr(0, start) + sample.substr(nxt + 1);
+  else
+    sample = sample.substr(0, start - 1);
+}
+
+static void normalize_gt(const std::string& fmt, std::string& sample) {
+  size_t gt = fmt.find("GT");
+  if (gt == std::string::npos) return;
+  size_t start = subfield_start(fmt, gt, sample);
+  if (start + 2 < sample.size() && sample[start + 1] == '|') {
+    if (sample[start] > sample[start + 2])
+      std::swap(sample[start], sample[start + 2]);
+    sample[start + 1] = '/';
+  }
+}
+
+static void apply_phase(std::string& fmt, std::string& sample, uint8_t a,
+                        uint8_t b, int64_t block) {
+  fmt += ":PS";
+  sample += ":";
+  sample += std::to_string(block);
+  size_t gt = fmt.find("GT");
+  size_t start = subfield_start(fmt, gt, sample);
+  sample[start] = (char)a;
+  sample[start + 1] = '|';
+  sample[start + 2] = (char)b;
+}
+
+}  // namespace lps_vcfrw
+
+extern "C" int64_t lps_vcf_rewrite(
+    const char* text, int64_t text_len, const char* out_path,
+    const char* version, const char* command, int32_t phase_indel,
+    int32_t indel_quality,
+    // per-chromosome tables: names blob + offsets, then concatenated
+    // sorted arrays with per-chrom offsets
+    int64_t n_chroms, const char* chrom_blob, const int64_t* chrom_off,
+    const int64_t* het_all, const int64_t* het_off,
+    const int64_t* res_pos_all, const uint8_t* res_a_all,
+    const uint8_t* res_b_all, const int64_t* res_block_all,
+    const int64_t* res_off,
+    const int64_t* filt_all, const int64_t* filt_off) {
+  using namespace lps_vcfrw;
+  std::unordered_map<std::string, ChromTables> chroms;
+  chroms.reserve((size_t)n_chroms * 2);
+  for (int64_t c = 0; c < n_chroms; ++c) {
+    std::string name(chrom_blob + chrom_off[c],
+                     (size_t)(chrom_off[c + 1] - chrom_off[c]));
+    ChromTables t;
+    t.het = het_all + het_off[c];
+    t.n_het = het_off[c + 1] - het_off[c];
+    t.res_pos = res_pos_all + res_off[c];
+    t.res_a = res_a_all + res_off[c];
+    t.res_b = res_b_all + res_off[c];
+    t.res_block = res_block_all + res_off[c];
+    t.n_res = res_off[c + 1] - res_off[c];
+    t.filt = filt_all + filt_off[c];
+    t.n_filt = filt_off[c + 1] - filt_off[c];
+    chroms.emplace(std::move(name), t);
+  }
+
+  FILE* f = fopen(out_path, "wb");
+  if (!f) return -1;
+  std::string out;
+  out.reserve(1 << 22);
+  auto flush_out = [&]() {
+    if (!out.empty()) {
+      fwrite(out.data(), 1, out.size(), f);
+      out.clear();
+    }
+  };
+
+  bool ps_def = false, command_written = false;
+  const char* p = text;
+  const char* end = text + text_len;
+  std::vector<std::string> fields;
+  std::string cached_chrom;
+  const ChromTables* cached_tab = nullptr;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', (size_t)(end - p));
+    const char* line_end = nl ? nl : end;
+    // rstrip("\n") only (match the Python; \r stays if present)
+    size_t len = (size_t)(line_end - p);
+    if (len >= 2 && p[0] == '#' && p[1] == '#') {
+      if (len >= 16 && memcmp(p, "##FORMAT=<ID=PS,", 16) == 0) ps_def = true;
+      out.append(p, len);
+      out += '\n';
+      if (len >= 17 && memcmp(p, "##FILTER=<ID=PASS", 17) == 0 &&
+          phase_indel && indel_quality > 0) {
+        out += "##FILTER=<ID=INDEL_QUAL_FILTERED,Description=\"Indel "
+               "filtered due to QUAL below threshold (";
+        out += std::to_string(indel_quality);
+        out += ")\">\n";
+      }
+    } else if (len >= 6 && (memcmp(p, "#CHROM", 6) == 0
+                            || memcmp(p, "#chrom", 6) == 0)) {
+      if (!command_written) {
+        if (!ps_def) {
+          out += "##FORMAT=<ID=PS,Number=1,Type=Integer,Description=\""
+                 "Phase set identifier\">\n";
+          ps_def = true;
+        }
+        out += "##longphaseVersion=";
+        out += version;
+        out += "\n##commandline=\"";
+        out += command;
+        out += "\"\n";
+        command_written = true;
+      }
+      out.append(p, len);
+      out += '\n';
+    } else {
+      // data line: whitespace-split like Python str.split()
+      fields.clear();
+      const char* q = p;
+      while (q < line_end) {
+        while (q < line_end && isspace((unsigned char)*q)) ++q;
+        const char* s = q;
+        while (q < line_end && !isspace((unsigned char)*q)) ++q;
+        if (q > s) fields.emplace_back(s, (size_t)(q - s));
+      }
+      if (fields.empty()) {
+        p = line_end + 1;
+        continue;
+      }
+      if (fields.size() < 10) {
+        fclose(f);
+        return -2;  // caller falls back to the Python writer
+      }
+      int64_t pos0 = strtoll(fields[1].c_str(), nullptr, 10) - 1;
+      if (fields[0] != cached_chrom) {
+        cached_chrom = fields[0];
+        auto it = chroms.find(cached_chrom);
+        cached_tab = it == chroms.end() ? nullptr : &it->second;
+      }
+      const ChromTables* tab = cached_tab;
+      strip_ps(fields[8], fields[9]);
+      normalize_gt(fields[8], fields[9]);
+      bool in_het = tab && in_sorted(tab->het, tab->n_het, pos0);
+      bool filtered = phase_indel && indel_quality > 0 && tab &&
+                      in_sorted(tab->filt, tab->n_filt, pos0);
+      int64_t ri = tab ? find_sorted(tab->res_pos, tab->n_res, pos0) : -1;
+      if (ri >= 0 && in_het) {
+        apply_phase(fields[8], fields[9], tab->res_a[ri], tab->res_b[ri],
+                    tab->res_block[ri]);
+      } else {
+        fields[8] += ":PS";
+        fields[9] += ":.";
+      }
+      if (filtered) fields[6] = "INDEL_QUAL_FILTERED";
+      for (size_t i = 0; i < fields.size(); ++i) {
+        if (i) out += '\t';
+        out += fields[i];
+      }
+      out += '\n';
+    }
+    if (out.size() > (1 << 22)) flush_out();
+    if (!nl) break;
+    p = nl + 1;
+  }
+  flush_out();
+  fclose(f);
+  return 0;
+}
+
 // ===========================================================================
 // Tagging/extraction runtime: whole-BAM handle + generic variant-site
 // observation walk + tag rewrite. Behavioral contracts:

@@ -106,11 +106,93 @@ def tags_digest(path):
     return h.hexdigest()
 
 
+SOMATIC_CFG = dict(seed=37, length=32_000_000, normal_coverage=25,
+                   tumor_coverage=30, purity=0.6, n_somatic=2500,
+                   n_artifacts=600, read_len=12000, snp_rate=0.0012,
+                   error_rate=0.02, qual=25)
+
+
+def get_somatic_fixture(work):
+    marker = os.path.join(work, "fixture_somatic.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("cfg") == {k: str(v) for k, v in SOMATIC_CFG.items()}:
+            return meta
+    print("simulating 32 Mbp tumor/normal pair (~30 min)...", flush=True)
+    from longphase_s_tpu.testing.simulate import make_somatic_fixture
+    fix = make_somatic_fixture(os.path.join(work, "fix_som"), **SOMATIC_CFG)
+    meta = {k: fix[k] for k in ("normal_bam", "tumor_bam", "normal_vcf",
+                                "tumor_vcf", "fasta", "chrom")}
+    meta["cfg"] = {k: str(v) for k, v in SOMATIC_CFG.items()}
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def run_somatic_soak(work, rows):
+    """somatic_haplotag at WGS scale (HCC1395-chr20-like pair): ours vs the
+    reference binary, _sc.vcf + tagged records must be identical."""
+    import time
+
+    fix = get_somatic_fixture(work)
+    phased = os.path.join(work, "som_phased")
+    if not os.path.exists(phased + ".vcf"):
+        subprocess.run([REF_BIN, "phase", "--pb", "-s", fix["normal_vcf"],
+                        "-b", fix["normal_bam"], "-r", fix["fasta"],
+                        "-o", phased, "-t", str(os.cpu_count())],
+                       check=True, capture_output=True, timeout=7200)
+    golden = os.path.join(work, "som_golden")
+    t0 = time.monotonic()
+    subprocess.run([REF_BIN, "somatic_haplotag", "-s", phased + ".vcf",
+                    "--tumor-snv-file", fix["tumor_vcf"],
+                    "-b", fix["normal_bam"],
+                    "--tumor-bam-file", fix["tumor_bam"],
+                    "-r", fix["fasta"], "--output-somatic-vcf",
+                    "-o", golden, "-t", str(os.cpu_count())],
+                   check=True, capture_output=True, timeout=7200)
+    rows["somatic_ref"] = {"wall_s": round(time.monotonic() - t0, 2)}
+    ours = os.path.join(work, "som_ours")
+    rows["somatic_ours"] = run_child(
+        {"module": "longphase_s_tpu.models.somatic",
+         "fn": "run_somatic_haplotag", "cfg_cls": "SomaticConfig",
+         "cfg": {"snp_file": phased + ".vcf",
+                 "tumor_snv_file": fix["tumor_vcf"],
+                 "bam_file": fix["normal_bam"],
+                 "tumor_bam_file": fix["tumor_bam"],
+                 "fasta_file": fix["fasta"], "result_prefix": ours,
+                 "write_somatic_vcf": True}},
+        env_extra={"LPS_STRICT_DEVICE": "1"})
+    rows["somatic_speedup"] = round(
+        rows["somatic_ref"]["wall_s"] / rows["somatic_ours"]["wall_s"], 2)
+    rows["somatic_sc_vcf_identical"] = (
+        strip_vcf(golden + "_sc.vcf") == strip_vcf(ours + "_sc.vcf"))
+    rows["somatic_tags_identical"] = (tags_digest(golden + ".bam")
+                                      == tags_digest(ours + ".bam"))
+    print("somatic:", {k: rows[k] for k in
+                       ("somatic_ref", "somatic_ours", "somatic_speedup",
+                        "somatic_sc_vcf_identical",
+                        "somatic_tags_identical")}, flush=True)
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skip_wave = "--skip-wavefront" in sys.argv
     work = args[0] if args else os.path.join(ROOT, ".bench_cache", "wgs_soak")
     os.makedirs(work, exist_ok=True)
+    if "--somatic-only" in sys.argv:
+        rows = {}
+        run_somatic_soak(work, rows)
+        md_path = os.path.join(ROOT, "WGS_SOAK.md")
+        with open(md_path) as f:
+            body = f.read()
+        body += ("\n## Somatic soak (32 Mbp tumor/normal pair)\n\n```json\n"
+                 + json.dumps(rows, indent=2) + "\n```\n")
+        with open(md_path, "w") as f:
+            f.write(body)
+        print("appended somatic soak to WGS_SOAK.md")
+        return 0 if (rows["somatic_sc_vcf_identical"]
+                     and rows["somatic_tags_identical"]) else 1
     fix = get_fixture(work)
     rows = {}
 
