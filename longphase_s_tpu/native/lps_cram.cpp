@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cctype>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -39,6 +40,57 @@ namespace lps_cram {
 struct DecodeError : std::runtime_error {
     explicit DecodeError(const std::string& m) : std::runtime_error(m) {}
 };
+
+// --- stage timing (LPS_TIMING=1; same contract as lps_ingest's) -----------
+static bool lps_timing() {
+    static int v = -1;
+    if (v < 0) v = getenv("LPS_TIMING") ? 1 : 0;
+    return v == 1;
+}
+
+struct PhaseTimer {
+    const char* what;
+    std::chrono::steady_clock::time_point t0;
+    explicit PhaseTimer(const char* w)
+        : what(w), t0(std::chrono::steady_clock::now()) {}
+    ~PhaseTimer() {
+        if (!lps_timing()) return;
+        double ms = std::chrono::duration<double, std::milli>(
+                        std::chrono::steady_clock::now() - t0)
+                        .count();
+        fprintf(stderr, "[lps_timing] %s: %.1f ms\n", what, ms);
+    }
+};
+
+// Allocator that skips value-initialization (same trick as lps_ingest's
+// ByteBuf): to_bam overwrites every byte it resizes into, so the default
+// zero-fill is a pure memset tax on the ~GB concatenated blob.
+template <typename T>
+struct NoInitAllocC {
+    using value_type = T;
+    NoInitAllocC() = default;
+    template <class U>
+    NoInitAllocC(const NoInitAllocC<U>&) {}
+    T* allocate(size_t n) { return std::allocator<T>().allocate(n); }
+    void deallocate(T* p, size_t n) { std::allocator<T>().deallocate(p, n); }
+    template <class U>
+    void construct(U* p) noexcept {
+        ::new (static_cast<void*>(p)) U;
+    }
+    template <class U, class... Args>
+    void construct(U* p, Args&&... args) {
+        ::new (static_cast<void*>(p)) U(std::forward<Args>(args)...);
+    }
+    template <class U>
+    bool operator==(const NoInitAllocC<U>&) const {
+        return true;
+    }
+    template <class U>
+    bool operator!=(const NoInitAllocC<U>&) const {
+        return false;
+    }
+};
+
 
 // ---------------------------------------------------------------------------
 // varints
@@ -449,6 +501,38 @@ struct Codec {
         out.resize(nv);
         for (size_t i = 0; i < nv; i++) out[i] = decode_byte(core, ext);
     }
+
+    // Fast path for the dominant feature shapes (BYTE_ARRAY_STOP /
+    // BYTE_ARRAY_LEN over an external byte stream): one memcpy straight
+    // into the caller's destination, no tmp-vector round trip. Consumes
+    // the full run from the stream, writes at most `cap` bytes (the same
+    // clipping as the per-byte loops it replaces), and returns the run
+    // length. Returns -1 when the codec shape needs the general path.
+    int64_t decode_bytes_into(Block& core, ExtMap& ext, uint8_t* dst,
+                              size_t cap) const {
+        if (kind == E_BYTE_ARRAY_STOP) {
+            Block& b = eblk(ext, content_id);
+            const uint8_t* base = b.data.data();
+            const uint8_t* hit = (const uint8_t*)memchr(
+                base + b.byte, stop, b.data.size() - b.byte);
+            if (!hit) throw DecodeError("missing stop byte");
+            size_t len = (size_t)(hit - (base + b.byte));
+            memcpy(dst, base + b.byte, std::min(len, cap));
+            b.byte += len + 1;
+            return (int64_t)len;
+        }
+        if (kind == E_BYTE_ARRAY_LEN && val_codec->kind == E_EXTERNAL) {
+            int64_t nv = len_codec->decode_int(core, ext);
+            if (nv < 0) throw DecodeError("negative byte array length");
+            Block& b = eblk(ext, val_codec->content_id);
+            if (b.byte + (size_t)nv > b.data.size())
+                throw DecodeError("external eof");
+            memcpy(dst, b.data.data() + b.byte, std::min((size_t)nv, cap));
+            b.byte += (size_t)nv;
+            return nv;
+        }
+        return -1;
+    }
 };
 
 static std::unique_ptr<Codec> parse_codec(const uint8_t* buf, size_t n, size_t& off) {
@@ -733,14 +817,28 @@ static void decode_seq(const CompHeader& comp, Block& core, ExtMap& ext,
         return c ? c->decode_int(core, ext) : def;
     };
     std::vector<uint8_t> tmp;
-    auto dec_bytes = [&](const char* key) -> const std::vector<uint8_t>& {
-        tmp.clear();
+    // Decode a byte run for feature `key` directly into seq/qual at
+    // dst_off (memcpy fast path; general codec shapes fall back to the
+    // per-byte clipped copy this replaces). Returns the run length.
+    auto dec_run_into = [&](const char* key, size_t dst_off,
+                            bool into_qual) -> int64_t {
         const Codec* c = comp.get(key);
-        if (c) {
-            if (c->has_bytes()) c->decode_bytes(core, ext, tmp);
-            else tmp.push_back(c->decode_byte(core, ext));
+        if (!c) return 0;
+        std::vector<uint8_t>& arr = into_qual ? r.qual : r.seq;
+        size_t lim = arr.size();
+        size_t safe_off = dst_off < lim ? dst_off : lim;
+        if (c->has_bytes()) {
+            int64_t n = c->decode_bytes_into(core, ext, arr.data() + safe_off,
+                                             lim - safe_off);
+            if (n >= 0) return n;
+            c->decode_bytes(core, ext, tmp);
+        } else {
+            tmp.clear();
+            tmp.push_back(c->decode_byte(core, ext));
         }
-        return tmp;
+        for (size_t i = 0; i < tmp.size(); i++)
+            if (dst_off + i < lim) arr[dst_off + i] = tmp[i];
+        return (int64_t)tmp.size();
     };
 
     if (!comp.no_ref && ref == nullptr) {
@@ -799,13 +897,10 @@ static void decode_seq(const CompHeader& comp, Block& core, ExtMap& ext,
         switch (op) {
             case 'S': {
                 if (cig_len) { r.cigar.emplace_back(cig_op, cig_len); cig_len = 0; }
-                const auto& sc = dec_bytes("SC");
-                for (size_t i = 0; i < sc.size(); i++)
-                    if (pos - 1 + (int64_t)i < (int64_t)r.seq.size())
-                        r.seq[pos - 1 + i] = sc[i];
-                r.cigar.emplace_back(4, (int64_t)sc.size());
+                int64_t nsc = dec_run_into("SC", (size_t)(pos - 1), false);
+                r.cigar.emplace_back(4, nsc);
                 cig_op = 4;
-                seq_pos += sc.size();
+                seq_pos += nsc;
                 break;
             }
             case 'X': {
@@ -836,13 +931,10 @@ static void decode_seq(const CompHeader& comp, Block& core, ExtMap& ext,
             }
             case 'I': {
                 flush_if(1);
-                const auto& ins = dec_bytes("IN");
-                for (size_t i = 0; i < ins.size(); i++)
-                    if (pos - 1 + (int64_t)i < (int64_t)r.seq.size())
-                        r.seq[pos - 1 + i] = ins[i];
+                int64_t nin = dec_run_into("IN", (size_t)(pos - 1), false);
                 cig_op = 1;
-                cig_len += ins.size();
-                seq_pos += ins.size();
+                cig_len += nin;
+                seq_pos += nin;
                 break;
             }
             case 'i': {
@@ -858,22 +950,16 @@ static void decode_seq(const CompHeader& comp, Block& core, ExtMap& ext,
             }
             case 'b': {
                 flush_if(0);
-                const auto& bb = dec_bytes("BB");
-                for (size_t i = 0; i < bb.size(); i++)
-                    if (pos - 1 + (int64_t)i < (int64_t)r.seq.size())
-                        r.seq[pos - 1 + i] = bb[i];
+                int64_t nbb = dec_run_into("BB", (size_t)(pos - 1), false);
                 cig_op = 0;
-                cig_len += bb.size();
-                seq_pos += bb.size();
-                ref_pos += bb.size();
+                cig_len += nbb;
+                seq_pos += nbb;
+                ref_pos += nbb;
                 break;
             }
             case 'q': {
                 flush_if(0);
-                const auto& qq = dec_bytes("QQ");
-                for (size_t i = 0; i < qq.size(); i++)
-                    if (pos - 1 + (int64_t)i < (int64_t)r.qual.size())
-                        r.qual[pos - 1 + i] = qq[i];
+                dec_run_into("QQ", (size_t)(pos - 1), true);
                 cig_op = 0;
                 break;
             }
@@ -1038,6 +1124,9 @@ static int reg2bin(int64_t beg, int64_t end) {
 
 // ASCII -> nt16 code ("=ACMGRSVTWYHKDBN"), unknown -> N(15), case-insensitive
 static uint8_t NT16[256];
+// (hi,lo) ASCII pair -> packed nt16 byte; one 64K-table load per output
+// byte instead of two lookups + shift in the seq-pack hot loop
+static uint8_t NT16_PAIR[65536];
 static bool nt16_init() {
     const char* s = "=ACMGRSVTWYHKDBN";
     for (int i = 0; i < 256; i++) NT16[i] = 15;
@@ -1045,12 +1134,15 @@ static bool nt16_init() {
         NT16[(uint8_t)s[i]] = (uint8_t)i;
         NT16[(uint8_t)tolower(s[i])] = (uint8_t)i;
     }
+    for (int a = 0; a < 256; a++)
+        for (int b = 0; b < 256; b++)
+            NT16_PAIR[(a << 8) | b] = (uint8_t)((NT16[a] << 4) | NT16[b]);
     return true;
 }
 static bool nt16_ready = nt16_init();
 
 static void to_bam(const Rec& r, const std::vector<std::string>& read_groups,
-                   std::vector<uint8_t>& out) {
+                   std::vector<uint8_t, NoInitAllocC<uint8_t>>& out) {
     const uint8_t* name = r.name.empty() ? (const uint8_t*)"?" : r.name.data();
     size_t name_len = r.name.empty() ? 1 : r.name.size();
     int l_read_name = (int)name_len + 1;
@@ -1090,9 +1182,12 @@ static void to_bam(const Rec& r, const std::vector<std::string>& read_groups,
         memcpy(p, &v, 4);
         p += 4;
     }
-    for (int64_t i = 0; i + 1 < l_seq; i += 2)
-        *p++ = (uint8_t)((NT16[r.seq[i]] << 4) | NT16[r.seq[i + 1]]);
-    if (l_seq & 1) *p++ = (uint8_t)(NT16[r.seq[l_seq - 1]] << 4);
+    {
+        const uint8_t* sq = r.seq.data();
+        for (int64_t i = 0; i + 1 < l_seq; i += 2)
+            *p++ = NT16_PAIR[((uint32_t)sq[i] << 8) | sq[i + 1]];
+        if (l_seq & 1) *p++ = (uint8_t)(NT16[sq[l_seq - 1]] << 4);
+    }
     if ((int64_t)r.qual.size() == l_seq) {
         memcpy(p, r.qual.data(), l_seq);
         p += l_seq;
@@ -1115,7 +1210,7 @@ static void to_bam(const Rec& r, const std::vector<std::string>& read_groups,
 // ---------------------------------------------------------------------------
 
 struct ContainerOut {
-    std::vector<uint8_t> blob;          // concatenated BAM records
+    std::vector<uint8_t, NoInitAllocC<uint8_t>> blob;  // concatenated records
     std::vector<int64_t> rec_sizes;     // per-record byte sizes
 };
 
@@ -1225,6 +1320,20 @@ static void decode_slice(const CompHeader& comp, Block& core, ExtMap& ext,
     }
 
     xref(recs);
+    // exact-size reservation: vector doubling would memcpy the ~GB blob
+    // an extra time over the whole file
+    size_t need = out.blob.size();
+    for (const Rec& r : recs) {
+        size_t name_len = r.name.empty() ? 1 : r.name.size();
+        size_t tag_extra = 0;
+        if (r.rg >= 0 && r.rg < (int)read_groups.size())
+            tag_extra = 3 + read_groups[r.rg].size() + 1;
+        need += 32 + name_len + 1 + 4 * r.cigar.size() +
+                (r.seq.size() + 1) / 2 + r.seq.size() + r.tags.size() +
+                tag_extra;
+    }
+    out.blob.reserve(need);
+    out.rec_sizes.reserve(out.rec_sizes.size() + recs.size());
     for (const Rec& r : recs) {
         size_t before = out.blob.size();
         to_bam(r, read_groups, out.blob);
@@ -1328,6 +1437,7 @@ static CramResult* decode_file(const char* path, const char* fasta_path,
                                const int64_t* offsets, int64_t n_offsets,
                                int n_threads) {
     // slurp the file
+    PhaseTimer tm_all("cram_decode_file");
     FILE* f = fopen(path, "rb");
     if (!f) return nullptr;
     fseek(f, 0, SEEK_END);
@@ -1429,6 +1539,7 @@ static CramResult* decode_file(const char* path, const char* fasta_path,
         }
 
         // decode containers across threads
+        PhaseTimer tm_dec("cram_container_decode");
         std::vector<ContainerOut> outs(conts.size());
         std::atomic<size_t> next{0};
         std::atomic<bool> failed{false};

@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <array>
 #include <atomic>
+#include <chrono>
 #include <unordered_map>
 #include <cstdint>
 #include <cstdio>
@@ -25,6 +26,7 @@
 #include <malloc.h>
 #include <mutex>
 #include <string>
+#include <sys/mman.h>
 #include <thread>
 #include <vector>
 
@@ -51,19 +53,172 @@ struct Buf {
   std::vector<uint8_t> data;
 };
 
+// Huge-buffer depot: GB-scale buffers (whole-file BAM images, CRAM handle
+// blobs) cycle through mmap'd MADV_HUGEPAGE slots that are RETAINED across
+// frees. glibc's heap cannot guarantee that a freed GB block's pages serve
+// the next GB malloc (arena/fragmentation ping-pong re-faults the whole
+// range — ~1s per load on this VM class); the depot makes reuse
+// deterministic: after the first load, prefault over a depot slot is a
+// no-op page walk.
+struct DepotSlot {
+  void* p;
+  size_t cap;
+};
+static std::mutex depot_mu;
+static std::vector<DepotSlot> depot_free_slots;
+static std::unordered_map<void*, size_t> depot_live;  // ptr -> true mmap cap
+static const size_t DEPOT_MIN = 64u << 20;   // route allocations >= 64 MB
+static const size_t DEPOT_KEEP = 4;          // retained free slots
+
+static void* depot_alloc(size_t bytes) {
+  size_t want = (bytes + (2u << 20) - 1) & ~(size_t)((2u << 20) - 1);
+  {
+    std::lock_guard<std::mutex> lk(depot_mu);
+    int best = -1;
+    for (int i = 0; i < (int)depot_free_slots.size(); ++i) {
+      if (depot_free_slots[i].cap >= want &&
+          (best < 0 || depot_free_slots[i].cap < depot_free_slots[best].cap))
+        best = i;
+    }
+    if (best >= 0) {
+      DepotSlot s = depot_free_slots[best];
+      depot_free_slots.erase(depot_free_slots.begin() + best);
+      depot_live[s.p] = s.cap;
+      return s.p;
+    }
+  }
+  void* p = mmap(nullptr, want, PROT_READ | PROT_WRITE,
+                 MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (p == MAP_FAILED) return nullptr;
+#ifdef MADV_HUGEPAGE
+  madvise(p, want, MADV_HUGEPAGE);
+#endif
+  std::lock_guard<std::mutex> lk(depot_mu);
+  depot_live[p] = want;
+  return p;
+}
+
+// Returns false if p was not depot-allocated (caller frees via the heap).
+static bool depot_free(void* p) {
+  std::lock_guard<std::mutex> lk(depot_mu);
+  auto it = depot_live.find(p);
+  if (it == depot_live.end()) return false;
+  size_t cap = it->second;
+  depot_live.erase(it);
+  if (depot_free_slots.size() < DEPOT_KEEP) {
+    depot_free_slots.push_back({p, cap});
+    return true;
+  }
+  // evict the smallest retained slot if this one is bigger (keep the
+  // biggest working set resident), else drop the incoming one
+  int smallest = 0;
+  for (int i = 1; i < (int)depot_free_slots.size(); ++i)
+    if (depot_free_slots[i].cap < depot_free_slots[smallest].cap)
+      smallest = i;
+  if (depot_free_slots[smallest].cap < cap) {
+    munmap(depot_free_slots[smallest].p, depot_free_slots[smallest].cap);
+    depot_free_slots[smallest] = {p, cap};
+  } else {
+    munmap(p, cap);
+  }
+  return true;
+}
+
+// Allocator that skips value-initialization: resize() on a GB-scale buffer
+// must not memset memory that the very next step overwrites in full.
+// Huge allocations come from the depot above.
+template <typename T>
+struct NoInitAlloc {
+  using value_type = T;
+  NoInitAlloc() = default;
+  template <class U>
+  NoInitAlloc(const NoInitAlloc<U>&) {}
+  T* allocate(size_t n) {
+    if (sizeof(T) == 1 && n >= DEPOT_MIN) {
+      void* p = depot_alloc(n);
+      if (p) return (T*)p;
+    }
+    return std::allocator<T>().allocate(n);
+  }
+  void deallocate(T* p, size_t n) {
+    if (sizeof(T) == 1 && n >= DEPOT_MIN && depot_free((void*)p)) return;
+    std::allocator<T>().deallocate(p, n);
+  }
+  template <class U>
+  void construct(U* p) noexcept {
+    ::new (static_cast<void*>(p)) U;
+  }
+  template <class U, class... Args>
+  void construct(U* p, Args&&... args) {
+    ::new (static_cast<void*>(p)) U(std::forward<Args>(args)...);
+  }
+  template <class U>
+  bool operator==(const NoInitAlloc<U>&) const {
+    return true;
+  }
+  template <class U>
+  bool operator!=(const NoInitAlloc<U>&) const {
+    return false;
+  }
+};
+using ByteBuf = std::vector<uint8_t, NoInitAlloc<uint8_t>>;
+
+// --- stage timing (LPS_TIMING=1 prints native phase walls to stderr) ------
+static bool lps_timing() {
+  static int v = -1;
+  if (v < 0) v = getenv("LPS_TIMING") ? 1 : 0;
+  return v == 1;
+}
+
+struct PhaseTimer {
+  const char* what;
+  std::chrono::steady_clock::time_point t0;
+  explicit PhaseTimer(const char* w)
+      : what(w), t0(std::chrono::steady_clock::now()) {}
+  ~PhaseTimer() {
+    if (!lps_timing()) return;
+    double ms = std::chrono::duration<double, std::milli>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count();
+    fprintf(stderr, "[lps_timing] %s: %.1f ms\n", what, ms);
+  }
+};
+
+// Ask the kernel for 2 MB THP backing on a large anonymous range: one fault
+// then populates 512 pages at once, so the fault count (the expensive part
+// on this VM class) drops 512x. No-op when THP is unavailable or the range
+// is small; the caller's per-4KB touch loop stays correct either way.
+static void madvise_huge(void* p, size_t n) {
+#ifdef MADV_HUGEPAGE
+  uintptr_t a = (uintptr_t)p;
+  uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
+  uintptr_t hi = (a + n) & ~(uintptr_t)4095;
+  if (hi > lo) madvise((void*)lo, hi - lo, MADV_HUGEPAGE);
+#else
+  (void)p;
+  (void)n;
+#endif
+}
+
 // Fault-in a heap block of ~n bytes across threads BEFORE a big vector
 // allocation: malloc doesn't touch pages, one write per page from N
 // threads faults them in parallel, and free keeps them resident (the
 // ctor above disables trim) so the vector's own allocation reuses them.
 // On this VM minor faults cost ~10us — a serial GB-sized resize() is
-// seconds of pure fault time without this.
+// seconds of pure fault time without this. THP (madvise_huge) cuts the
+// fault count itself 512x where available.
 static void prefault_parallel(size_t n) {
   if (n < (8u << 20)) return;  // not worth thread spawns below ~8 MB
+  static int off = -1;
+  if (off < 0) off = getenv("LPS_NO_PREFAULT") ? 1 : 0;
+  if (off) return;
   unsigned nt = std::thread::hardware_concurrency();
   if (nt < 2) return;
   if (nt > 8) nt = 8;
+  PhaseTimer tm("prefault_parallel");
   uint8_t* warm = (uint8_t*)malloc(n + 4096);
   if (!warm) return;
+  madvise_huge(warm, n + 4096);
   std::vector<std::thread> ts;
   size_t per = (n / nt + 4095) & ~(size_t)4095;
   for (unsigned t = 0; t < nt; ++t) {
@@ -74,6 +229,32 @@ static void prefault_parallel(size_t n) {
   }
   for (auto& th : ts) th.join();
   free(warm);
+}
+
+// Fault-in the EXACT buffer that will be filled (after reserve, before the
+// fill): no reliance on malloc handing back the same pages. Overwrites the
+// touched bytes with 0 — callers fill the whole range right after.
+static void prefault_range(uint8_t* p, size_t n) {
+  if (!p || n == 0) return;
+  madvise_huge(p, n);
+  static int off = -1;
+  if (off < 0) off = getenv("LPS_NO_PREFAULT") ? 1 : 0;
+  if (off || n < (8u << 20)) return;
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 2) {
+    return;
+  }
+  if (nt > 8) nt = 8;
+  PhaseTimer tm("prefault_range");
+  std::vector<std::thread> ts;
+  size_t per = (n / nt + 4095) & ~(size_t)4095;
+  for (unsigned t = 0; t < nt; ++t) {
+    ts.emplace_back([p, n, per, t]() {
+      size_t lo = t * per, hi = std::min(n, lo + per);
+      for (size_t q = lo; q < hi; q += 4096) p[q] = 0;
+    });
+  }
+  for (auto& th : ts) th.join();
 }
 
 // ---------------------------------------------------------------- BGZF ----
@@ -117,13 +298,13 @@ static bool inflate_block(const uint8_t* src, size_t src_len, size_t& consumed,
 
 // Parallel BGZF inflate: scan block boundaries + ISIZEs (cheap header reads),
 // prefix-sum uncompressed offsets, then inflate blocks across threads.
-static bool read_entire_bgzf(const char* path, std::vector<uint8_t>& out) {
+static bool read_entire_bgzf(const char* path, ByteBuf& out) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   fseek(f, 0, SEEK_END);
   long fsize = ftell(f);
   fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> raw((size_t)fsize);
+  ByteBuf raw((size_t)fsize);
   if (fread(raw.data(), 1, raw.size(), f) != raw.size()) {
     fclose(f);
     return false;
@@ -155,8 +336,9 @@ static bool read_entire_bgzf(const char* path, std::vector<uint8_t>& out) {
     total_u += isize;
     pos += bsize;
   }
-  prefault_parallel(total_u);
-  out.resize(total_u);
+  out.reserve(total_u);
+  out.resize(total_u);  // no memset: NoInitAlloc — blocks cover every byte
+  prefault_range(out.data(), total_u);
 
   unsigned n_threads = std::thread::hardware_concurrency();
   if (n_threads < 1) n_threads = 1;
@@ -586,7 +768,7 @@ void* lps_extract_phase(const char* bam_path, const char* chrom,
                         // reference window string
                         const char* ref_string, int64_t ref_len,
                         int32_t mapping_quality) {
-  std::vector<uint8_t> bam;
+  ByteBuf bam;
   if (!read_entire_bgzf(bam_path, bam)) return nullptr;
   if (bam.size() < 12 || memcmp(bam.data(), "BAM\1", 4) != 0) return nullptr;
   size_t p = 4;
@@ -847,7 +1029,7 @@ int64_t lps_bgzf_compress(const uint8_t* data, int64_t n, int level,
 
 // Inflate an entire BGZF file into one malloc'd buffer (parallel blocks).
 int64_t lps_bgzf_inflate_file(const char* path, uint8_t** out_p) {
-  std::vector<uint8_t> buf;
+  ByteBuf buf;
   if (!read_entire_bgzf(path, buf)) return -1;
   uint8_t* out = (uint8_t*)malloc(buf.size() ? buf.size() : 1);
   memcpy(out, buf.data(), buf.size());
@@ -1246,7 +1428,7 @@ extern "C" int64_t lps_vcf_rewrite(
 namespace {
 
 struct BamHandle {
-  std::vector<uint8_t> data;       // whole inflated BAM
+  ByteBuf data;                    // whole inflated BAM
   size_t header_off = 0;           // offset of l_text field
   size_t records_off = 0;          // offset of first alignment record
   std::vector<std::string> ref_names;
@@ -1386,7 +1568,7 @@ void* lps_bam_load(const char* path) {
     delete h;
     return nullptr;
   }
-  const std::vector<uint8_t>& d = h->data;
+  const ByteBuf& d = h->data;
   size_t p = 4;
   h->header_off = p;
   int32_t l_text = rd_i32(&d[p]);
@@ -1439,6 +1621,7 @@ void* lps_bam_load_unpacked(const char* header_text, int64_t header_len,
   size_t total = 12 + (size_t)header_len + names_total +
                  (size_t)rec_off[n_rec] + 4ull * n_rec;
   h->data.reserve(total);
+  prefault_range(h->data.data(), total);
   auto put_i32 = [&](int32_t v) {
     const uint8_t* p = (const uint8_t*)&v;
     h->data.insert(h->data.end(), p, p + 4);
@@ -1500,8 +1683,13 @@ extern "C" int64_t lps_cram_container(void* rp, int64_t i,
 
 void* lps_bam_load_cram(const char* path, const char* fasta_path,
                         int32_t n_threads) {
-  void* rp = lps_cram_decode(path, fasta_path, nullptr, 0, n_threads);
+  void* rp;
+  {
+    PhaseTimer tm("cram_decode");
+    rp = lps_cram_decode(path, fasta_path, nullptr, 0, n_threads);
+  }
   if (!rp) return nullptr;
+  PhaseTimer tm_all("cram_handle_build");
   const char* hdr = nullptr;
   int64_t hdr_len = lps_cram_header_text(rp, &hdr);
   int64_t n_ref = lps_cram_n_refs(rp);
@@ -1524,8 +1712,8 @@ void* lps_bam_load_cram(const char* path, const char* fasta_path,
   }
   size_t cap = 12 + (size_t)hdr_len + names_total + blob_total +
                4 * n_rec_total;
-  prefault_parallel(cap);
   h->data.reserve(cap);
+  prefault_range(h->data.data(), cap);
   h->rec_off.reserve(n_rec_total);
   h->rec_len.reserve(n_rec_total);
   auto put_i32 = [&](int32_t v) {
@@ -1579,9 +1767,13 @@ void* lps_bam_load_cram(const char* path, const char* fasta_path,
   if (nt > 8) nt = 8;
   // the pages were pre-faulted before reserve(); this memset runs at
   // memory speed and the parallel copies below never stall on faults
-  h->data.resize(total_size);
-  h->rec_off.resize((size_t)n_rec);
-  h->rec_len.resize((size_t)n_rec);
+  {
+    PhaseTimer tm("cram_handle_resize");
+    h->data.resize(total_size);
+    h->rec_off.resize((size_t)n_rec);
+    h->rec_len.resize((size_t)n_rec);
+  }
+  PhaseTimer tm_copy("cram_handle_copy+scan");
   std::atomic<int64_t> next_c{0};
   auto copier = [&]() {
     for (;;) {

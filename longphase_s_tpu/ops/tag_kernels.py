@@ -75,9 +75,16 @@ def device_min() -> int:
     if env:
         return int(env)
     try:
-        import jax
+        from jax._src import xla_bridge
 
-        if jax.devices()[0].platform == "axon":
+        # Never initialize a backend just to read the platform name:
+        # jax.devices() blocks indefinitely when the remote tunnel is sick,
+        # and the answer is knowable without it — the axon plugin registers
+        # a backend factory at import time.
+        if "axon" in getattr(xla_bridge, "_backend_factories", {}):
+            return 1 << 62
+        backends = getattr(xla_bridge, "_backends", {})
+        if backends and next(iter(backends)) == "axon":
             return 1 << 62
     except Exception:  # noqa: BLE001 — no backend: gate stays finite
         pass

@@ -53,16 +53,28 @@ def maybe_init_from_env() -> None:
     init_from_spec(os.environ.get("LPS_DIST", ""))
 
 
-def is_active() -> bool:
-    import jax
+def _dist_state():
+    """jax.distributed's global state WITHOUT initializing an XLA backend.
 
-    return jax.process_count() > 1
+    ``jax.process_count()`` triggers backend init, which blocks indefinitely
+    when the remote-TPU tunnel is sick — and every pipeline asks is_active()
+    even in plain single-process runs. The distributed service state answers
+    the question without touching any backend."""
+    from jax._src import distributed
+
+    return distributed.global_state
+
+
+def is_active() -> bool:
+    state = _dist_state()
+    if state.client is None:
+        return False
+    return (state.num_processes or 1) > 1
 
 
 def process_id() -> int:
-    import jax
-
-    return jax.process_index()
+    state = _dist_state()
+    return state.process_id or 0
 
 
 def is_writer() -> bool:
@@ -73,9 +85,8 @@ def is_writer() -> bool:
 def shard_contigs(contigs):
     """Round-robin contig shard for this process (stable across processes:
     everyone shards the same VCF-ordered contig list)."""
-    import jax
-
-    n, p = jax.process_count(), jax.process_index()
+    state = _dist_state()
+    n, p = (state.num_processes or 1), (state.process_id or 0)
     return [c for i, c in enumerate(contigs) if i % n == p]
 
 
