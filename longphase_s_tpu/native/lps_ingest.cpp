@@ -2695,15 +2695,103 @@ static void decode_mods_m(const uint8_t* rec, uint32_t rlen,
     }
   };
   bool reverse = (flag & 0x10) != 0;
-  // per-base positions of a target nt16 code, stored orientation
-  std::vector<int64_t> positions;
+  // Match bitmask over the stored seq for one target nt16 code: bit q set
+  // when base q matches. Built once per MM subtag (two LUT bits per seq
+  // byte), consumed by rank/select walks — replaces materializing a
+  // positions vector (the old per-nibble loop + push_back dominated the
+  // whole modcall walk).
+  static thread_local std::vector<uint64_t> match_bits;
+  int64_t n_words = 0;
+  bool match_all = false;
   auto fill_positions = [&](int target_nib) {
-    positions.clear();
-    for (int64_t q = 0; q < l_seq; ++q) {
-      int nib = (q & 1) ? (seq[q >> 1] & 0xF) : (seq[q >> 1] >> 4);
-      if (target_nib == -1 || nib == target_nib) positions.push_back(q);
+    match_all = target_nib == -1;
+    if (match_all) return;
+    uint8_t tbl[256];
+    for (int b = 0; b < 256; ++b)
+      tbl[b] = (uint8_t)(((b >> 4) == target_nib ? 1 : 0) |
+                         ((b & 0xF) == target_nib ? 2 : 0));
+    n_words = (l_seq + 63) >> 6;
+    if ((int64_t)match_bits.size() < n_words) match_bits.resize(n_words);
+    int64_t n_bytes = ((size_t)l_seq + 1) / 2;
+    uint64_t w = 0;
+    int64_t wi = 0;
+    int shift = 0;
+    for (int64_t k = 0; k < n_bytes; ++k) {
+      w |= (uint64_t)tbl[seq[k]] << shift;
+      shift += 2;
+      if (shift == 64) {
+        match_bits[wi++] = w;
+        w = 0;
+        shift = 0;
+      }
     }
-    if (reverse) std::reverse(positions.begin(), positions.end());
+    if (shift) match_bits[wi++] = w;
+    while (wi < n_words) match_bits[wi++] = 0;
+    if (l_seq & 1) {
+      // odd length: the final low nibble is padding, clear its bit
+      match_bits[(l_seq) >> 6] &= ~(1ull << (l_seq & 63));
+    }
+  };
+  // select cursor over the bitmask in STORED orientation; logical
+  // occurrence order is reversed for reverse-strand reads
+  int64_t sel_word = 0;        // forward cursor
+  uint64_t sel_cur = 0;
+  int64_t sel_rword = 0;       // reverse cursor (word index from top)
+  uint64_t sel_rcur = 0;
+  int64_t all_cursor = 0;      // match_all arithmetic cursor (logical idx)
+  auto sel_reset = [&]() {
+    all_cursor = 0;
+    if (match_all) return;
+    if (!reverse) {
+      sel_word = 0;
+      sel_cur = n_words ? match_bits[0] : 0;
+    } else {
+      sel_rword = n_words - 1;
+      sel_rcur = n_words ? match_bits[n_words - 1] : 0;
+    }
+  };
+  // skip `skip` occurrences, return stored-seq index of the next one
+  // (logical order), or -1 when exhausted
+  auto sel_next = [&](int64_t skip) -> int64_t {
+    if (match_all) {
+      int64_t logical = all_cursor + skip;
+      all_cursor = logical + 1;
+      if (logical >= l_seq) return -1;
+      return reverse ? l_seq - 1 - logical : logical;
+    }
+    if (!reverse) {
+      for (;;) {
+        if (sel_word >= n_words) return -1;
+        int c = __builtin_popcountll(sel_cur);
+        if (skip >= c) {
+          skip -= c;
+          if (++sel_word >= n_words) return -1;
+          sel_cur = match_bits[sel_word];
+          continue;
+        }
+        while (skip--) sel_cur &= sel_cur - 1;
+        int bit = __builtin_ctzll(sel_cur);
+        sel_cur &= sel_cur - 1;
+        return sel_word * 64 + bit;
+      }
+    }
+    for (;;) {
+      if (sel_rword < 0) return -1;
+      int c = __builtin_popcountll(sel_rcur);
+      if (skip >= c) {
+        skip -= c;
+        if (--sel_rword < 0) return -1;
+        sel_rcur = match_bits[sel_rword];
+        continue;
+      }
+      int bit;
+      for (;;) {
+        bit = 63 - __builtin_clzll(sel_rcur);
+        sel_rcur &= ~(1ull << bit);
+        if (skip-- == 0) break;
+      }
+      return sel_rword * 64 + bit;
+    }
   };
   auto nt16_of = [](char b) -> int {
     switch (b) {
@@ -2791,27 +2879,24 @@ static void decode_mods_m(const uint8_t* rec, uint32_t rlen,
       char target = reverse ? complement(base) : base;
       fill_positions(nt16_of(target));
     }
-    int64_t npos = (int64_t)positions.size();
+    sel_reset();
     if (!deltas.empty() && n_codes == 1) {
       if (single_m) {
-        int64_t idx = -1;
         for (size_t j = 0; j < deltas.size(); ++j) {
-          idx += deltas[j] + 1;
-          if (idx < npos)
-            out.emplace_back(positions[idx], ml_at(ml_idx + (int64_t)j));
+          int64_t posv = sel_next(deltas[j]);
+          if (posv >= 0)
+            out.emplace_back(posv, ml_at(ml_idx + (int64_t)j));
         }
       }
       ml_idx += (int64_t)deltas.size();
       continue;
     }
-    int64_t idx = -1;
     for (int64_t d : deltas) {
-      idx += d + 1;
-      if (idx >= npos) {
+      int64_t posv = sel_next(d);
+      if (posv < 0) {
         ml_idx += n_codes;
         continue;
       }
-      int64_t posv = positions[idx];
       for (int64_t c = 0; c < n_codes; ++c) {
         int32_t q = ml_at(ml_idx);
         ++ml_idx;
@@ -3034,18 +3119,22 @@ void* lps_modcall_walk(void* hp, int32_t tid, int64_t chrom_len,
     }
   };
 
-  unsigned n_threads = std::thread::hardware_concurrency();
-  if (n_threads < 1) n_threads = 1;
-  if (n_threads > 8) n_threads = 8;
-  if (R < 256) n_threads = 1;
-  size_t chunk = (R + n_threads - 1) / n_threads;
-  std::vector<std::thread> ts;
-  for (unsigned t = 1; t < n_threads; ++t) {
-    size_t b = t * chunk, e = std::min(R, (t + 1) * chunk);
-    if (b < e) ts.emplace_back(walk_range, b, e);
+  {
+    PhaseTimer tm("modcall_phase1_walk");
+    unsigned n_threads = std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    if (R < 256) n_threads = 1;
+    size_t chunk = (R + n_threads - 1) / n_threads;
+    std::vector<std::thread> ts;
+    for (unsigned t = 1; t < n_threads; ++t) {
+      size_t b = t * chunk, e = std::min(R, (t + 1) * chunk);
+      if (b < e) ts.emplace_back(walk_range, b, e);
+    }
+    walk_range(0, std::min(R, chunk));
+    for (auto& t : ts) t.join();
   }
-  walk_range(0, std::min(R, chunk));
-  for (auto& t : ts) t.join();
+  PhaseTimer tm_p2("modcall_phase2_replay");
 
   // ---- phase 2 (sequential, file order): order-sensitive replay of the
   //      per-position counters, variantType gate, and name interning ----
