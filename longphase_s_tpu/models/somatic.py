@@ -9,6 +9,7 @@ somatic flags -> optional _sc.vcf -> tag tumor BAM with HP:Z/PS:i/PQ:i.
 from __future__ import annotations
 
 import math
+import os
 import sys
 from dataclasses import dataclass, field
 
@@ -164,7 +165,22 @@ def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
             or any(tum_stored.get(c) is None for c in loop_chroms)):
         nor_nb, tum_nb = _native_bams(cfg)
 
-    with timer("extracting data from normal BAM"):
+    # Prefetch reference windows serially: FastaFile shares one file handle,
+    # so the overlapped passes below must not call fetch() concurrently.
+    nor_refs: dict[str, str] = {}
+    tum_refs: dict[str, str] = {}
+    for chrom in loop_chroms:
+        variants = chr_multi.get(chrom, {})
+        positions = sorted(variants)
+        if chrom in fasta.index and positions:
+            nor_refs[chrom] = fasta.fetch(
+                chrom, 0, _last_var_pos(positions, variants, NORMAL) + 6)
+            tum_refs[chrom] = fasta.fetch(
+                chrom, 0, _last_var_pos(positions, variants, TUMOR) + 6)
+        else:
+            nor_refs[chrom] = tum_refs[chrom] = ""
+
+    def run_normal():
         for chrom in loop_chroms:
             stored = nor_stored.get(chrom)
             if stored is not None:
@@ -172,22 +188,19 @@ def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
                 continue
             variants = chr_multi.get(chrom, {})
             positions = sorted(variants)
-            last = _last_var_pos(positions, variants, NORMAL)
-            ref_string = (fasta.fetch(chrom, 0, last + 6)
-                          if chrom in fasta.index and positions else "")
             if nor_nb is not None:
                 from ..core.somatic_fast import extract_normal_chromosome_fast
                 state.nor_base[chrom] = extract_normal_chromosome_fast(
                     nor_nb, chrom, chr_length.get(chrom), positions,
-                    variants, ref_string, sv_counts, cfg)
+                    variants, nor_refs[chrom], sv_counts, cfg)
             else:
                 state.nor_base[chrom] = extract_normal_chromosome(
                     cfg.bam_file, chrom, chr_length.get(chrom), positions,
-                    variants, ref_string, sv_counts, cfg, fasta=fasta)
+                    variants, nor_refs[chrom], sv_counts, cfg, fasta=fasta)
             if ckpt is not None:
                 ckpt.save(chrom, "nor", state.nor_base[chrom])
 
-    with timer("extracting data from tumor BAM"):
+    def run_tumor():
         for chrom in loop_chroms:
             stored = tum_stored.get(chrom)
             if stored is not None:
@@ -196,24 +209,53 @@ def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
                 continue
             variants = chr_multi.get(chrom, {})
             positions = sorted(variants)
-            last = _last_var_pos(positions, variants, TUMOR)
-            ref_string = (fasta.fetch(chrom, 0, last + 6)
-                          if chrom in fasta.index and positions else "")
             if tum_nb is not None:
                 from ..core.somatic_fast import extract_tumor_chromosome_fast
                 (state.somatic_info[chrom], state.read_hp_sets[chrom],
                  state.pos_read_corr[chrom]) = extract_tumor_chromosome_fast(
                     tum_nb, chrom, chr_length.get(chrom), positions,
-                    variants, ref_string, cfg)
+                    variants, tum_refs[chrom], cfg)
             else:
                 (state.somatic_info[chrom], state.read_hp_sets[chrom],
                  state.pos_read_corr[chrom]) = extract_tumor_chromosome(
                     cfg.tumor_bam_file, chrom, chr_length.get(chrom),
-                    positions, variants, ref_string, cfg, fasta=fasta)
+                    positions, variants, tum_refs[chrom], cfg, fasta=fasta)
             if ckpt is not None:
                 ckpt.save(chrom, "tum", (state.somatic_info[chrom],
                                          state.read_hp_sets[chrom],
                                          state.pos_read_corr[chrom]))
+
+    # The two passes touch disjoint state and different BAM handles, so with
+    # native handles they overlap: the tumor pass (the longer one — case
+    # classification + offset windows) runs on a worker thread while the
+    # normal pass runs here. Native walks drop the GIL; the big NumPy
+    # reductions mostly do too. The object fallback shares pysam-less
+    # readers/fasta in ways that are not thread-safe — keep it sequential.
+    overlap = nor_nb is not None and tum_nb is not None \
+        and not os.environ.get("LPS_NO_OVERLAP_EXTRACT")
+    if overlap:
+        import threading
+        errs: list[BaseException] = []
+
+        def guarded():
+            try:
+                run_tumor()
+            except BaseException as e:  # noqa: BLE001 — re-raised on main
+                errs.append(e)
+
+        th = threading.Thread(target=guarded, name="lps-extract-tumor")
+        th.start()
+        with timer("extracting data from normal BAM"):
+            run_normal()
+        with timer("extracting data from tumor BAM"):
+            th.join()
+        if errs:
+            raise errs[0]
+    else:
+        with timer("extracting data from normal BAM"):
+            run_normal()
+        with timer("extracting data from tumor BAM"):
+            run_tumor()
 
 
 def run_somatic_calling(cfg: SomaticConfig, chr_vec, chr_length, chr_multi,
