@@ -4,17 +4,26 @@ The scan (edgeConnectResult, PhasingGraph.cpp:286-474) is a true sequential
 dependency, but only the *direction* of each cast vote depends on the carry
 (the per-site haplotype decision). Everything else — edge-similarity
 rejection, vote weights, Onelongcase eligibility, small-total counters — is
-carry-independent, so it is precomputed as dense [S, W] planes in plain XLA
-(`precompute_vote_bands`) and the kernel reduces to a tight 128-lane ring
-recurrence:
+carry-independent, so it is folded into TWO precomputed vote planes in plain
+XLA (`precompute_vote_planes`):
 
-  per step t:  consume lane 0 of the vote ring -> decide hp/block,
-               cast sign-resolved votes into lanes d-1 (d = 1..W),
-               shift the ring left by one lane (static pltpu.roll).
+  plane1[t] = the (8, 128) ring increment if site t decides hp == 1
+  plane2[t] = the same increment if site t decides hp == 2
+              (rows: h1 votes, h2 votes, small-total counter,
+               onelong h1, onelong h2, 3 zero rows)
 
-VMEM footprint: 7 planes x S x 128 x 4B (~14 MB at S=4096) + a (8, 128)
-ring scratch. All shifts are static; no gathers, no dynamic lane indexing —
-the shape Mosaic compiles well.
+which reduces the kernel's sequential step to its bare critical path:
+
+  per step t:  read the 5 carry scalars from ring lane 0,
+               decide hp/block (scalar unit),
+               ring = roll(ring) * keep_last + select(hp, plane1, plane2),
+               store one packed scalar to SMEM out.
+
+Two (8, 128) tile loads + ~5 vector ops + scalar logic per step — no
+masked reductions, no per-step row composes; the max-connected-offset
+needed for the ``last_connect`` carry is precomputed per site
+(`dmax`, SMEM). VMEM: 2 planes x Sb x 4 KB (~32 MB at the 4096-site
+default block); longer site axes run as a carry-chained block sequence.
 
 Numerics are the same exact ×10 integer arithmetic as ops/vote_scan.py; the
 interpret-mode test proves element equality against the lax.scan engine.
@@ -34,12 +43,14 @@ I32 = jnp.int32
 LANES = 128
 
 
-def precompute_vote_bands(counts_hi, counts_lo, vtype, vtype_band, valid_band,
-                          edge_threshold_x10: float):
-    """Carry-independent per-(site, band-slot) planes, padded to 128 lanes.
+def precompute_vote_planes(counts_hi, counts_lo, vtype, vtype_band,
+                           valid_band, edge_threshold_x10: float):
+    """Carry-independent vote planes, padded to 128 lanes.
 
-    Returns int32 [S, 128] planes: conn_ok, weight, small (counter votes),
-    elig (Onelongcase eligibility), same (ref-allele-same-haplotype).
+    Returns (plane1 [S, 8, 128] i32, plane2 [S, 8, 128] i32,
+    dmax [S] i32) where plane{1,2} are the full ring increments for a
+    site that decides hp 1/2 and dmax is the largest connected band
+    offset (0 when none), feeding the last_connect carry.
     """
     S, W, _ = counts_hi.shape
     ch = counts_hi.astype(I32)
@@ -69,33 +80,43 @@ def precompute_vote_bands(counts_hi, counts_lo, vtype, vtype_band, valid_band,
     weight = jnp.where(big, 200, 10).astype(I32)
     weight = jnp.where(vt == T_DANGER, 1, weight)
 
-    small = conn_ok & (total <= 10)
-    elig = conn_ok & (total > 10) & (5 * mn < mx) & (weight >= 10) & \
-        (vt != T_INDEL)
-    same = s_para > s_cross
+    conn = conn_ok.astype(I32)
+    small = (conn_ok & (total <= 10)).astype(I32)
+    elig = (conn_ok & (total > 10) & (5 * mn < mx) & (weight >= 10) &
+            (vt != T_INDEL)).astype(I32)
+    same = (s_para > s_cross).astype(I32)
+    diff = 1 - same
 
-    def pad(x):
-        return jnp.pad(x.astype(I32), ((0, 0), (0, LANES - W)))
+    v1 = conn * weight * same      # h1 votes when caster decides hp == 1
+    v2 = conn * weight * diff
+    e1 = elig * weight * same
+    e2 = elig * weight * diff
+    zero = jnp.zeros_like(v1)
+    plane1 = jnp.stack([v1, v2, small, e1, e2, zero, zero, zero], axis=1)
+    plane2 = jnp.stack([v2, v1, small, e2, e1, zero, zero, zero], axis=1)
+    plane1 = jnp.pad(plane1, ((0, 0), (0, 0), (0, LANES - W)))
+    plane2 = jnp.pad(plane2, ((0, 0), (0, 0), (0, LANES - W)))
 
-    return (pad(conn_ok), pad(weight), pad(small), pad(elig), pad(same))
+    d_plus1 = jnp.arange(1, W + 1, dtype=I32)[None, :]
+    dmax = jnp.max(jnp.where(conn_ok, d_plus1, 0), axis=1).astype(I32)
+    return plane1, plane2, dmax
 
 
-def _scan_kernel(conn_ref, weight_ref, small_ref, elig_ref, same_ref,
-                 gap_ref, scal_in_ref, ring_in_ref, out_ref, ring_out_ref,
-                 scal_out_ref, ring, *, S: int, distance: int):
+def _scan_kernel(p1_ref, p2_ref, gap_ref, dmax_ref, scal_in_ref, ring_in_ref,
+                 out_ref, ring_out_ref, scal_out_ref, ring, *, S: int,
+                 distance: int):
     """Sequential ring recurrence. ``ring`` rows: 0 h1, 1 h2, 2 counter,
-    3 onelong-h1, 4 onelong-h2. Outputs: out[t] = (assigned, hp, bstart).
+    3 onelong-h1, 4 onelong-h2. out[t] packs (bstart+1) * 8 + hp * 2 +
+    assigned into one SMEM scalar.
 
     Carry-chained: ``scal_in`` = (t0, last_connect, block_start, 0) in
     GLOBAL ranks plus the incoming vote ring, so a long site axis can run
     as a sequence of VMEM-sized blocks (the blocked wrapper below) —
     bstart outputs are global ranks either way (t0 = 0 when unblocked)."""
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ring[...] = ring_in_ref[...]
     t0 = scal_in_ref[0]
-    lane0 = (jax.lax.broadcasted_iota(I32, (1, LANES), 1) == 0).astype(I32)
     keep_last = jnp.where(
         jax.lax.broadcasted_iota(I32, (8, LANES), 1) == LANES - 1, 0, 1)
 
@@ -103,12 +124,12 @@ def _scan_kernel(conn_ref, weight_ref, small_ref, elig_ref, same_ref,
         last_connect, block_start = carry
         tg = t + t0  # global site rank
 
-        # ---- consume lane 0 (site t) ---------------------------------
-        h1 = jnp.sum(ring[0:1, :] * lane0)
-        h2 = jnp.sum(ring[1:2, :] * lane0)
-        cnt = jnp.sum(ring[2:3, :] * lane0)
-        oh1 = jnp.sum(ring[3:4, :] * lane0)
-        oh2 = jnp.sum(ring[4:5, :] * lane0)
+        # ---- consume lane 0 (site t's accumulated votes) --------------
+        h1 = ring[0, 0]
+        h2 = ring[1, 0]
+        cnt = ring[2, 0]
+        oh1 = ring[3, 0]
+        oh2 = ring[4, 0]
         use_special = (cnt > 3) & jnp.logical_not((oh1 == 0) & (oh2 == 0))
         H1 = jnp.where(use_special, oh1, h1)
         H2 = jnp.where(use_special, oh2, h2)
@@ -125,34 +146,16 @@ def _scan_kernel(conn_ref, weight_ref, small_ref, elig_ref, same_ref,
         block_start = jnp.where(new_block, tg, block_start)
         bstart_out = jnp.where(assigned, block_start, -1)
 
-        # ---- cast votes (lane d-1 targets site t+d) ------------------
-        conn = conn_ref[pl.ds(t, 1), :] * assigned.astype(I32)
-        samev = same_ref[pl.ds(t, 1), :]
-        mapped1 = jnp.where(hp == 1, samev, 1 - samev)
-        w = weight_ref[pl.ds(t, 1), :]
-        add_h1 = conn * mapped1 * w
-        add_h2 = conn * (1 - mapped1) * w
-        add_cnt = small_ref[pl.ds(t, 1), :] * assigned.astype(I32)
-        elig = elig_ref[pl.ds(t, 1), :] * assigned.astype(I32)
-        add_w1 = elig * mapped1 * w
-        add_w2 = elig * (1 - mapped1) * w
-
-        d_plus1 = jax.lax.broadcasted_iota(I32, (1, LANES), 1) + 1
-        d_max = jnp.max(jnp.where(conn > 0, d_plus1, 0))
-        last_connect = jnp.where(d_max > 0, tg + d_max, last_connect)
-
-        # ---- shift ring left, then add the new votes -----------------
+        # ---- shift ring, add this site's sign-resolved votes ----------
+        plane = jnp.where(hp == 1, p1_ref[t], p2_ref[t])
         shifted = pltpu.roll(ring[...], shift=LANES - 1, axis=1) * keep_last
-        adds = jnp.concatenate(
-            [add_h1, add_h2, add_cnt, add_w1, add_w2,
-             jnp.zeros((3, LANES), I32)], axis=0)
-        ring[...] = shifted + adds
+        ring[...] = shifted + plane * assigned.astype(I32)
 
-        lanes = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-        row = jnp.where(lanes == 0, assigned.astype(I32),
-                        jnp.where(lanes == 1, hp,
-                                  jnp.where(lanes == 2, bstart_out, 0)))
-        out_ref[pl.ds(t, 1), :] = row
+        dmax = dmax_ref[t]
+        last_connect = jnp.where(assigned & (dmax > 0), tg + dmax,
+                                 last_connect)
+
+        out_ref[t] = (bstart_out + 1) * 8 + hp * 2 + assigned.astype(I32)
         return (last_connect, block_start)
 
     lc, bs = jax.lax.fori_loop(0, S, step,
@@ -164,36 +167,45 @@ def _scan_kernel(conn_ref, weight_ref, small_ref, elig_ref, same_ref,
     scal_out_ref[3] = jnp.int32(0)
 
 
-def _pallas_block_call(conn, weight, small, elig, same, gap, scal, ring,
-                       Sb: int, distance: int, interpret: bool):
+def _unpack(out):
+    assigned = (out & 1).astype(bool)
+    hp = (out >> 1) & 3
+    bstart = (out >> 3) - 1
+    return assigned, hp, bstart
+
+
+def _pallas_block_call(p1, p2, gap, dmax, scal, ring, Sb: int, distance: int,
+                       interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     return pl.pallas_call(
         partial(_scan_kernel, S=Sb, distance=distance),
-        out_shape=[jax.ShapeDtypeStruct((Sb, LANES), I32),
+        out_shape=[jax.ShapeDtypeStruct((Sb,), I32),
                    jax.ShapeDtypeStruct((8, LANES), I32),
                    jax.ShapeDtypeStruct((4,), I32)],
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
-        + [pl.BlockSpec(memory_space=pltpu.SMEM),
-           pl.BlockSpec(memory_space=pltpu.SMEM),
-           pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.VMEM((8, LANES), I32)],
         interpret=interpret,
-    )(conn, weight, small, elig, same, gap, scal, ring)
+    )(p1, p2, gap, dmax, scal, ring)
 
 
 def pallas_block_size() -> int:
-    """Sites per Pallas block. The kernel holds 7 [Sb, 128] i32 planes in
-    VMEM (~3.5 MB per 1024 sites); 8192 (~28 MB) leaves headroom under the
-    ~128 MB v5e VMEM. Chromosomes beyond this run as a carry-chained block
-    sequence (one jit, lax.scan over blocks)."""
+    """Sites per Pallas block. The kernel holds two [Sb, 8, 128] i32 vote
+    planes in VMEM (~8 KB per site, ~32 MB at 4096); chromosomes beyond
+    this run as a carry-chained block sequence (one jit, lax.scan over
+    blocks)."""
     import os
 
-    return int(os.environ.get("LPS_PALLAS_BLOCK", "8192"))
+    return int(os.environ.get("LPS_PALLAS_BLOCK", "4096"))
 
 
 def vote_scan_pallas(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
@@ -206,7 +218,7 @@ def vote_scan_pallas(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
     blocks (the scan is sequential anyway — blocking adds only per-block
     launch overhead, element-exact vs the single-shot kernel)."""
     S = counts_hi.shape[0]
-    conn, weight, small, elig, same = precompute_vote_bands(
+    p1, p2, dmax = precompute_vote_planes(
         counts_hi, counts_lo, vtype, vtype_band, valid_band,
         edge_threshold_x10)
     gap = gap.astype(I32)
@@ -216,9 +228,9 @@ def vote_scan_pallas(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
     blk = pallas_block_size()
     if S <= blk:
         out, _ring, _scal = _pallas_block_call(
-            conn, weight, small, elig, same, gap, zero_scal, zero_ring,
+            p1, p2, gap, dmax, zero_scal, zero_ring,
             Sb=S, distance=distance, interpret=interpret)
-        return out[:, 0].astype(bool), out[:, 1], out[:, 2]
+        return _unpack(out)
 
     if S % blk:
         raise ValueError(f"S={S} not a multiple of block {blk}")
@@ -226,21 +238,19 @@ def vote_scan_pallas(counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
 
     def body(carry, xs):
         ring, lc_bs = carry
-        conn_b, w_b, sm_b, el_b, sa_b, gap_b, t0 = xs
+        p1_b, p2_b, gap_b, dmax_b, t0 = xs
         scal = jnp.concatenate([t0[None], lc_bs, jnp.zeros(1, I32)])
         out, ring2, scal2 = _pallas_block_call(
-            conn_b, w_b, sm_b, el_b, sa_b, gap_b, scal, ring,
+            p1_b, p2_b, gap_b, dmax_b, scal, ring,
             Sb=blk, distance=distance, interpret=interpret)
         return (ring2, scal2[:2]), out
 
     t0s = (jnp.arange(B, dtype=I32) * blk)
-    xs = (conn.reshape(B, blk, LANES), weight.reshape(B, blk, LANES),
-          small.reshape(B, blk, LANES), elig.reshape(B, blk, LANES),
-          same.reshape(B, blk, LANES), gap.reshape(B, blk), t0s)
+    xs = (p1.reshape(B, blk, 8, LANES), p2.reshape(B, blk, 8, LANES),
+          gap.reshape(B, blk), dmax.reshape(B, blk), t0s)
     (_ring, _lc_bs), outs = jax.lax.scan(
         body, (zero_ring, jnp.array([-1, -1], I32)), xs)
-    out = outs.reshape(S, LANES)
-    return out[:, 0].astype(bool), out[:, 1], out[:, 2]
+    return _unpack(outs.reshape(S))
 
 
 
