@@ -87,6 +87,25 @@ def merge_observations(obs_pos, obs_allele, obs_qual, aln_offsets, names,
     upload of the unsorted stream."""
     sizes = np.diff(aln_offsets)
     obs_vtype, obs_q = _remap_qual(obs_allele, obs_qual)
+
+    merged = None
+    if len(obs_pos) > 8192:
+        from .. import native
+
+        if native.available():
+            merged = native.merge_obs(obs_pos, aln_offsets, names)
+    if merged is not None:
+        positions, rank, order, obs_read, obs_aln = merged
+        S = len(positions)
+        vtype = np.zeros(S, dtype=np.int8)
+        vtype[rank] = obs_vtype
+        m_read = obs_read[order]
+        m_rank = rank[order]
+        m_allele = obs_allele[order].astype(np.int64)
+        m_qok = obs_q[order] >= params.base_quality
+        m_aln = obs_aln[order]
+        return positions, vtype, rank, m_read, m_rank, m_allele, m_qok, m_aln
+
     positions = np.unique(obs_pos)
     S = len(positions)
     rank = np.searchsorted(positions, obs_pos).astype(np.int32)

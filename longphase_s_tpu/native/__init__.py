@@ -866,6 +866,45 @@ def filter_overlap(names: list[str], first_pos, last_pos,
     return keep.astype(bool)
 
 
+def merge_obs(obs_pos, aln_offsets, names: list[str]):
+    """Native merge_observations hot core: name-id assignment, position
+    dedupe + per-observation ranks, and the stable (read id, rank) sort
+    (semantics of np.unique(names, return_inverse) + np.unique(pos) +
+    np.searchsorted + np.lexsort). Returns (positions, rank, order,
+    obs_read, obs_aln) or None when the native library is unavailable."""
+    import ctypes as ct
+
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_mergeobs_bound", False):
+        lib._mergeobs_bound = True
+        lib.lps_merge_obs.restype = ct.c_int64
+        lib.lps_merge_obs.argtypes = [
+            ct.c_int64, ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_char_p,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_void_p]
+    A = len(names)
+    op = np.ascontiguousarray(obs_pos, np.int64)
+    No = len(op)
+    offs = np.ascontiguousarray(aln_offsets, np.int64)
+    blob = "".join(names).encode("latin-1")
+    noff = np.zeros(A + 1, np.int64)
+    np.cumsum([len(s) for s in names], out=noff[1:])
+    positions = np.empty(No, np.int64)
+    rank = np.empty(No, np.int32)
+    order = np.empty(No, np.int32)
+    obs_read = np.empty(No, np.int32)
+    obs_aln = np.empty(No, np.int32)
+    S = lib.lps_merge_obs(No, op.ctypes.data, A, offs.ctypes.data, blob,
+                          noff.ctypes.data, positions.ctypes.data,
+                          rank.ctypes.data, order.ctypes.data,
+                          obs_read.ctypes.data, obs_aln.ctypes.data)
+    if S <= 0:
+        return None
+    return positions[:S].copy(), rank, order, obs_read, obs_aln
+
+
 def _cram_writer_bind(lib):
     import ctypes as ct
     if getattr(lib, "_cramw_bound", False):

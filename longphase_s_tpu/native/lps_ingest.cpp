@@ -867,6 +867,137 @@ int64_t lps_filter_overlap(int64_t A, const char* blob, const int64_t* noff,
   return 0;
 }
 
+// merge_observations hot core (core/fastpath.merge_observations): name-sorted
+// read ids, observed-position dedupe + per-observation ranks, and the stable
+// (read id, rank) sort. Replaces the numpy np.unique(names) + np.unique(pos)
+// + np.lexsort trio (~100 ms per bench chromosome) with radix passes (~10 ms).
+// Semantics parity: read ids follow byte-lexicographic name order (np.unique
+// sort order == the reference's std::map<string, ReadVariant> merge order,
+// PhasingGraph.cpp:848); the sort is stable so duplicate (read, rank) pairs
+// keep original stream order exactly like np.lexsort.
+int64_t lps_merge_obs(int64_t No, const int64_t* obs_pos, int64_t A,
+                      const int64_t* aln_offsets, const char* blob,
+                      const int64_t* noff, int64_t* positions_out,
+                      int32_t* rank_out, int32_t* order_out,
+                      int32_t* obs_read_out, int32_t* obs_aln_out) {
+  if (No <= 0 || A <= 0) return 0;
+  // ---- name-sorted read ids per alignment -------------------------------
+  std::vector<int32_t> aln_read((size_t)A);
+  {
+    std::vector<int32_t> idx((size_t)A);
+    for (int64_t i = 0; i < A; ++i) idx[(size_t)i] = (int32_t)i;
+    auto sv = [&](int32_t i) {
+      return std::string_view(blob + noff[i], (size_t)(noff[i + 1] - noff[i]));
+    };
+    std::sort(idx.begin(), idx.end(),
+              [&](int32_t a, int32_t b) { return sv(a) < sv(b); });
+    int32_t rid = -1;
+    std::string_view prev;
+    for (int64_t k = 0; k < A; ++k) {
+      std::string_view s = sv(idx[(size_t)k]);
+      if (rid < 0 || s != prev) {
+        ++rid;
+        prev = s;
+      }
+      aln_read[(size_t)idx[(size_t)k]] = rid;
+    }
+  }
+  // ---- per-observation alignment index + read id ------------------------
+  for (int64_t a = 0; a < A; ++a) {
+    for (int64_t o = aln_offsets[a]; o < aln_offsets[a + 1]; ++o) {
+      obs_aln_out[o] = (int32_t)a;
+      obs_read_out[o] = aln_read[(size_t)a];
+    }
+  }
+  // ---- observed-position dedupe + ranks via one (pos, idx) radix sort ---
+  // positions fit u32 in practice; fall back to std::sort otherwise
+  int64_t pmax = 0;
+  for (int64_t i = 0; i < No; ++i) pmax = std::max(pmax, obs_pos[i]);
+  struct PI {
+    uint32_t pos;
+    uint32_t idx;
+  };
+  std::vector<int64_t> S_holder;
+  int64_t S = 0;
+  if (pmax < (int64_t)UINT32_MAX) {
+    std::vector<PI> v((size_t)No), tmp((size_t)No);
+    for (int64_t i = 0; i < No; ++i)
+      v[(size_t)i] = {(uint32_t)obs_pos[i], (uint32_t)i};
+    for (int shift = 0; shift < 32; shift += 16) {
+      if ((pmax >> shift) == 0) break;
+      size_t cnt[65536] = {0};
+      for (int64_t i = 0; i < No; ++i)
+        cnt[(v[(size_t)i].pos >> shift) & 0xffff]++;
+      size_t run = 0;
+      for (size_t d = 0; d < 65536; ++d) {
+        size_t c = cnt[d];
+        cnt[d] = run;
+        run += c;
+      }
+      for (int64_t i = 0; i < No; ++i)
+        tmp[cnt[(v[(size_t)i].pos >> shift) & 0xffff]++] = v[(size_t)i];
+      std::swap(v, tmp);
+    }
+    uint32_t prev_pos = 0;
+    for (int64_t i = 0; i < No; ++i) {
+      if (i == 0 || v[(size_t)i].pos != prev_pos) {
+        positions_out[S] = (int64_t)v[(size_t)i].pos;
+        ++S;
+        prev_pos = v[(size_t)i].pos;
+      }
+      rank_out[v[(size_t)i].idx] = (int32_t)(S - 1);
+    }
+  } else {
+    std::vector<int64_t> idx((size_t)No);
+    for (int64_t i = 0; i < No; ++i) idx[(size_t)i] = i;
+    std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+      return obs_pos[a] < obs_pos[b];
+    });
+    int64_t prev_pos = INT64_MIN;
+    for (int64_t k = 0; k < No; ++k) {
+      int64_t i = idx[(size_t)k];
+      if (obs_pos[i] != prev_pos) {
+        positions_out[S] = obs_pos[i];
+        ++S;
+        prev_pos = obs_pos[i];
+      }
+      rank_out[i] = (int32_t)(S - 1);
+    }
+  }
+  // ---- stable radix sort by (read id, rank) ------------------------------
+  {
+    struct KI {
+      uint64_t key;
+      uint32_t idx;
+    };
+    std::vector<KI> v((size_t)No), tmp((size_t)No);
+    uint64_t kmax = 0;
+    for (int64_t i = 0; i < No; ++i) {
+      uint64_t key = ((uint64_t)(uint32_t)obs_read_out[i] << 32) |
+                     (uint32_t)rank_out[i];
+      v[(size_t)i] = {key, (uint32_t)i};
+      kmax = std::max(kmax, key);
+    }
+    for (int shift = 0; shift < 64; shift += 16) {
+      if (shift && (kmax >> shift) == 0) break;
+      size_t cnt[65536] = {0};
+      for (int64_t i = 0; i < No; ++i)
+        cnt[(v[(size_t)i].key >> shift) & 0xffff]++;
+      size_t run = 0;
+      for (size_t d = 0; d < 65536; ++d) {
+        size_t c = cnt[d];
+        cnt[d] = run;
+        run += c;
+      }
+      for (int64_t i = 0; i < No; ++i)
+        tmp[cnt[(v[(size_t)i].key >> shift) & 0xffff]++] = v[(size_t)i];
+      std::swap(v, tmp);
+    }
+    for (int64_t i = 0; i < No; ++i) order_out[i] = (int32_t)v[(size_t)i].idx;
+  }
+  return S;
+}
+
 int64_t lps_result_sizes(void* handle, int64_t* n_obs, int64_t* n_aln,
                          int64_t* names_len, int64_t* n_clip) {
   auto* r = (ExtractResult*)handle;
