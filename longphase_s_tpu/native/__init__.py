@@ -482,7 +482,7 @@ class NativeBam:
             lib.lps_modcall_free(handle)
 
     def tag_write(self, header_text: str, rec_indices, mode, hp_int, ps, pq,
-                  hp_strs, out_path: str, level: int = 1) -> bool:
+                  hp_strs, out_path: str, level: int = 3) -> bool:
         """Write a BAM with per-record tag surgery (modes: 0 passthrough,
         1 strip, 2 germline HP:i/PS:i/PQ:i, 3 somatic HP:Z[/PS:i]/PQ:i)."""
         rec_indices = np.ascontiguousarray(rec_indices, np.int64)
@@ -1255,7 +1255,7 @@ def _tagw_bind(lib):
 
 
 def tagw_open(header_text: str, references, lengths, out_path: str,
-              level: int = 1):
+              level: int = 3):
     lib = _load()
     if lib is None:
         return None
@@ -1439,7 +1439,7 @@ class StreamingBam:
         return out
 
     def tag_write(self, header_text, rec_indices, mode, hp_int, ps, pq,
-                  hp_strs, out_path, level: int = 1) -> bool:
+                  hp_strs, out_path, level: int = 3) -> bool:
         """Replay the walked window sequence (same deterministic scan) and
         feed each window's decision slice to the streaming writer. The
         decision arrays must be in walk order (they are: the tag pipelines

@@ -2460,7 +2460,13 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
   static const int64_t CHUNK = 512;      // records per chunk
   static const size_t IN_FLIGHT = 8;     // assembled-chunk window
   int64_t n_chunks = (n_out + CHUNK - 1) / CHUNK;
-  std::vector<std::vector<uint8_t>> bufs((size_t)n_chunks);
+  // compressed-output ring: the IN_FLIGHT window bounds how far any worker
+  // can run ahead of the writer, so chunk ci may safely reuse slot
+  // ci % IN_FLIGHT — its previous occupant (ci - IN_FLIGHT) has been
+  // written by the time the window wait releases. Reusing capacity (vs a
+  // fresh vector per chunk) keeps the whole pipeline inside a few warm
+  // buffers instead of page-faulting ~output-size of new memory.
+  std::vector<std::vector<uint8_t>> bufs(IN_FLIGHT);
   std::vector<uint8_t> chunk_done((size_t)n_chunks, 0);
   std::mutex mu;
   std::condition_variable cv;
@@ -2483,6 +2489,11 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
   // write at one core's deflate throughput), then fwrite in order
   std::atomic<int64_t> next_chunk{0};
   auto assembler = [&]() {
+    // per-worker assembly buffer: capacity persists across the ~n_chunks/nt
+    // chunks this worker handles, so the ~raw-BAM-sized assembly traffic
+    // lands in a handful of warm, already-faulted buffers (a fresh vector
+    // per chunk costs more in page faults than the level-3 deflate itself)
+    std::vector<uint8_t> body;
     for (;;) {
       int64_t ci = next_chunk.fetch_add(1);
       if (ci >= n_chunks) return;
@@ -2491,7 +2502,7 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
         std::unique_lock<std::mutex> lk(mu);
         cv.wait(lk, [&] { return ci - write_cursor < (int64_t)IN_FLIGHT; });
       }
-      std::vector<uint8_t> body;
+      body.clear();
       int64_t b = ci * CHUNK, e = std::min(n_out, (ci + 1) * CHUNK);
       for (int64_t oi = b; oi < e; ++oi) {
         size_t rec_start = body.size();
@@ -2501,8 +2512,9 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
         int32_t bsz = (int32_t)(body.size() - rec_start - 4);
         memcpy(&body[rec_start], &bsz, 4);
       }
-      bgzf_compress_serial(body.data(), body.size(), level,
-                           bufs[(size_t)ci]);
+      std::vector<uint8_t>& out = bufs[(size_t)(ci % (int64_t)IN_FLIGHT)];
+      out.clear();
+      bgzf_compress_serial(body.data(), body.size(), level, out);
       {
         std::lock_guard<std::mutex> lk(mu);
         chunk_done[(size_t)ci] = 1;
@@ -2522,13 +2534,14 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
       std::unique_lock<std::mutex> lk(mu);
       cv.wait(lk, [&] { return chunk_done[(size_t)ci] != 0; });
     }
-    const std::vector<uint8_t>& comp = bufs[(size_t)ci];
+    const std::vector<uint8_t>& comp =
+        bufs[(size_t)(ci % (int64_t)IN_FLIGHT)];
     if (fwrite(comp.data(), 1, comp.size(), f) != comp.size()) ok = false;
     total_comp += (int64_t)comp.size();
-    std::vector<uint8_t>().swap(bufs[(size_t)ci]);  // release eagerly
     {
       std::lock_guard<std::mutex> lk(mu);
-      write_cursor = ci + 1;
+      write_cursor = ci + 1;  // frees slot ci % IN_FLIGHT for chunk
+                              // ci + IN_FLIGHT (its window wait releases)
     }
     cv.notify_all();
   }
