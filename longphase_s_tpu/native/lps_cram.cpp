@@ -62,6 +62,26 @@ struct PhaseTimer {
     }
 };
 
+// Cross-thread core-time accumulators (LPS_TIMING=1): decode sub-stage
+// split, summed over the container pool and reported by lps_cram_decode.
+static std::atomic<int64_t> acc_rans_us{0}, acc_gzip_us{0}, acc_recon_us{0},
+    acc_fields_us{0}, acc_tobam_us{0};
+
+struct AccumTimer {
+    std::atomic<int64_t>* acc;
+    std::chrono::steady_clock::time_point t0;
+    explicit AccumTimer(std::atomic<int64_t>& a)
+        : acc(lps_timing() ? &a : nullptr),
+          t0(acc ? std::chrono::steady_clock::now()
+                 : std::chrono::steady_clock::time_point()) {}
+    ~AccumTimer() {
+        if (!acc) return;
+        acc->fetch_add(std::chrono::duration_cast<std::chrono::microseconds>(
+                           std::chrono::steady_clock::now() - t0)
+                           .count());
+    }
+};
+
 // Allocator that skips value-initialization (same trick as lps_ingest's
 // ByteBuf): to_bam overwrites every byte it resizes into, so the default
 // zero-fill is a pure memset tax on the ~GB concatenated blob.
@@ -325,10 +345,11 @@ static void gzip_decompress(const uint8_t* d, size_t n, size_t raw_size,
     out.resize(raw_size);
 #ifdef USE_LIBDEFLATE
     if (n >= 2 && d[0] == 0x1f && d[1] == 0x8b) {
-        struct libdeflate_decompressor* z = libdeflate_alloc_decompressor();
+        // one decompressor per pool thread, reused across every block
+        thread_local struct libdeflate_decompressor* z =
+            libdeflate_alloc_decompressor();
         size_t actual = 0;
         auto r = libdeflate_gzip_decompress(z, d, n, out.data(), raw_size, &actual);
-        libdeflate_free_decompressor(z);
         if (r == LIBDEFLATE_SUCCESS) { out.resize(actual); return; }
     }
 #endif
@@ -380,8 +401,16 @@ static size_t read_block(const uint8_t* buf, size_t n, size_t off, Block& b) {
     off += 4;  // CRC32 (not verified; parity with Python reader)
     switch (b.method) {
         case RAW: b.data.assign(d, d + comp_size); break;
-        case M_GZIP: gzip_decompress(d, comp_size, raw_size, b.data); break;
-        case M_RANS: rans_decode(d, comp_size, b.data); break;
+        case M_GZIP: {
+            AccumTimer at(acc_gzip_us);
+            gzip_decompress(d, comp_size, raw_size, b.data);
+            break;
+        }
+        case M_RANS: {
+            AccumTimer at(acc_rans_us);
+            rans_decode(d, comp_size, b.data);
+            break;
+        }
         default: throw DecodeError("unsupported block method");  // bzip2/lzma
     }
     return off;
@@ -1231,6 +1260,8 @@ static void decode_slice(const CompHeader& comp, Block& core, ExtMap& ext,
     std::vector<Rec> recs(nrec);
     int64_t last_apos = s_ref_start;
     std::vector<uint8_t> tmp;
+    {
+    AccumTimer at_fields(acc_fields_us);
     for (int64_t idx = 0; idx < nrec; idx++) {
         Rec& r = recs[idx];
         r.flags = (int32_t)dec_int_req("BF", 0x4, true);
@@ -1319,6 +1350,8 @@ static void decode_slice(const CompHeader& comp, Block& core, ExtMap& ext,
             std::reverse(r.qual.begin(), r.qual.end());
     }
 
+    }
+    AccumTimer at_bam(acc_tobam_us);
     xref(recs);
     // exact-size reservation: vector doubling would memcpy the ~GB blob
     // an extra time over the whole file
@@ -1411,8 +1444,11 @@ static size_t walk_container(const FileCtx& fc, size_t off, ContainerOut* out,
                 ext[blocks[k].content_id] = &blocks[k];
         }
         if (!core) throw DecodeError("missing core block");
-        decode_slice(comp, *core, ext, s_ref_id, s_ref_start, s_nrec,
-                     fc.fasta, fc.read_groups, *out);
+        {
+            AccumTimer at(acc_recon_us);
+            decode_slice(comp, *core, ext, s_ref_id, s_ref_start, s_nrec,
+                         fc.fasta, fc.read_groups, *out);
+        }
         i += 1 + s_nblocks;
     }
     return off;
@@ -1564,6 +1600,16 @@ static CramResult* decode_file(const char* path, const char* fasta_path,
             for (auto& t : th) t.join();
         }
         if (failed.load()) return nullptr;
+        if (lps_timing()) {
+            fprintf(stderr,
+                    "[lps_timing] cram core-seconds: rans=%.2f gzip=%.2f "
+                    "recon_total=%.2f fields=%.2f to_bam=%.2f\n",
+                    acc_rans_us.exchange(0) / 1e6,
+                    acc_gzip_us.exchange(0) / 1e6,
+                    acc_recon_us.exchange(0) / 1e6,
+                    acc_fields_us.exchange(0) / 1e6,
+                    acc_tobam_us.exchange(0) / 1e6);
+        }
 
         auto* res = new CramResult();
         res->header_text = std::move(header_text_keep);
