@@ -907,7 +907,8 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
     sv_counts = nor_info.read_sv_hap_count
 
     all_rec, all_mode, all_ps, all_pq = [], [], [], []
-    hp_strs: list[str] = []
+    all_hp: list[np.ndarray] = []
+    hp_strs: list[str] = []  # sharded mode only (string gather)
     segs: list[tuple[int, int]] = []  # (chr_vec index, n records) per chrom
     loop = chr_vec if my_chroms is None else my_chroms
 
@@ -1042,8 +1043,10 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
         all_mode.append(mode)
         all_ps.append(ps)
         all_pq.append(pq)
-        hp_strs.extend(READ_HP_STR[int(h)] if m == 3 else ""
-                       for h, m in zip(hp, mode))
+        all_hp.append(hp)
+        if my_chroms is not None:
+            hp_strs.extend(READ_HP_STR[int(h)] if m == 3 else ""
+                           for h, m in zip(hp, mode))
         segs.append((chr_vec.index(chrom), len(walk["rec_idx"])))
 
     if my_chroms is not None:
@@ -1058,10 +1061,30 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
     out_path = cfg.result_prefix + (".cram" if cfg.output_cram else ".bam")
     if all_rec:
         rec = np.concatenate(all_rec)
-        ok = writer(header, rec, np.concatenate(all_mode),
+        mode_all = np.concatenate(all_mode)
+        if my_chroms is None:
+            # vectorized HP:Z blob: per-record string = READ_HP_STR[hp]
+            # when mode == 3, else empty (a python per-read loop here costs
+            # more than the whole native write dispatch)
+            hp_all = np.concatenate(all_hp).astype(np.int64)
+            lut_len = np.zeros(16, np.int64)
+            lut_chr = np.zeros((16, 4), np.uint8)
+            for k, s in READ_HP_STR.items():
+                lut_len[k] = len(s)
+                lut_chr[k, :len(s)] = np.frombuffer(s.encode(), np.uint8)
+            sel_len = np.where(mode_all == 3, lut_len[hp_all], 0)
+            off = np.zeros(len(rec) + 1, np.int64)
+            np.cumsum(sel_len, out=off[1:])
+            rep_cls = np.repeat(hp_all, sel_len)
+            pos_in = np.arange(int(off[-1]), dtype=np.int64) - \
+                np.repeat(off[:-1], sel_len)
+            hp_payload = (lut_chr[rep_cls, pos_in].tobytes(), off)
+        else:
+            hp_payload = hp_strs
+        ok = writer(header, rec, mode_all,
                     np.zeros(len(rec), np.int32),
                     np.concatenate(all_ps), np.concatenate(all_pq),
-                    hp_strs, out_path)
+                    hp_payload, out_path)
     else:
         ok = writer(header, np.zeros(0, np.int64),
                     np.zeros(0, np.uint8), np.zeros(0, np.int32),

@@ -484,15 +484,15 @@ class NativeBam:
     def tag_write(self, header_text: str, rec_indices, mode, hp_int, ps, pq,
                   hp_strs, out_path: str, level: int = 3) -> bool:
         """Write a BAM with per-record tag surgery (modes: 0 passthrough,
-        1 strip, 2 germline HP:i/PS:i/PQ:i, 3 somatic HP:Z[/PS:i]/PQ:i)."""
+        1 strip, 2 germline HP:i/PS:i/PQ:i, 3 somatic HP:Z[/PS:i]/PQ:i).
+        ``hp_strs`` is a list[str] or a precomputed (blob bytes, off int64)
+        pair."""
         rec_indices = np.ascontiguousarray(rec_indices, np.int64)
         mode = np.ascontiguousarray(mode, np.uint8)
         hp_int = np.ascontiguousarray(hp_int, np.int32)
         ps = np.ascontiguousarray(ps, np.int64)
         pq = np.ascontiguousarray(pq, np.int32)
-        blob = "".join(hp_strs).encode("ascii")
-        off = np.zeros(len(hp_strs) + 1, np.int64)
-        np.cumsum([len(s) for s in hp_strs], out=off[1:])
+        blob, off = _hp_blob(hp_strs)
         hdr = header_text.encode("ascii")
         n = self._lib.lps_tag_write(
             self._h, hdr, len(hdr), len(rec_indices),
@@ -510,9 +510,7 @@ class NativeBam:
         hp_int = np.ascontiguousarray(hp_int, np.int32)
         ps = np.ascontiguousarray(ps, np.int64)
         pq = np.ascontiguousarray(pq, np.int32)
-        blob = "".join(hp_strs).encode("ascii")
-        off = np.zeros(len(hp_strs) + 1, np.int64)
-        np.cumsum([len(s) for s in hp_strs], out=off[1:])
+        blob, off = _hp_blob(hp_strs)
         hdr = header_text.encode("ascii")
         n = self._lib.lps_tag_write_cram(
             self._h, hdr, len(hdr), len(rec_indices),
@@ -520,6 +518,18 @@ class NativeBam:
             ps.ctypes.data, pq.ctypes.data, blob, off.ctypes.data,
             out_path.encode())
         return n == 0
+
+
+def _hp_blob(hp_strs):
+    """Normalize an HP:Z payload: list[str] -> joined blob + int64 offsets;
+    a precomputed (blob bytes, off) pair passes through."""
+    if isinstance(hp_strs, tuple):
+        blob, off = hp_strs
+        return blob, np.ascontiguousarray(off, np.int64)
+    blob = "".join(hp_strs).encode("ascii")
+    off = np.zeros(len(hp_strs) + 1, np.int64)
+    np.cumsum([len(s) for s in hp_strs], out=off[1:])
+    return blob, off
 
 
 _bam_cache: dict[str, tuple[float, "NativeBam"]] = {}
@@ -1279,9 +1289,7 @@ def tagw_feed(w, window_nb: "NativeBam", rec_indices, mode, hp_int, ps, pq,
     hp_int = np.ascontiguousarray(hp_int, np.int32)
     ps = np.ascontiguousarray(ps, np.int64)
     pq = np.ascontiguousarray(pq, np.int32)
-    blob = "".join(hp_strs).encode("ascii")
-    off = np.zeros(len(hp_strs) + 1, np.int64)
-    np.cumsum([len(s) for s in hp_strs], out=off[1:])
+    blob, off = _hp_blob(hp_strs)
     return lib.lps_tagw_feed(
         w, window_nb._h, len(rec_indices), rec_indices.ctypes.data,
         mode.ctypes.data, hp_int.ctypes.data, ps.ctypes.data, pq.ctypes.data,
@@ -1470,9 +1478,15 @@ class StreamingBam:
                     break
                 try:
                     sl = slice(cursor, cursor + n)
+                    if isinstance(hp_strs, tuple):
+                        blob, off = hp_strs
+                        base = int(off[cursor])
+                        hp_sl = (blob[base:int(off[cursor + n])],
+                                 off[cursor:cursor + n + 1] - base)
+                    else:
+                        hp_sl = hp_strs[cursor:cursor + n]
                     ok = tagw_feed(w, wnb, local, mode[sl], hp_int[sl],
-                                   ps[sl], pq[sl],
-                                   hp_strs[cursor:cursor + n]) and ok
+                                   ps[sl], pq[sl], hp_sl) and ok
                 finally:
                     wnb.close()
                 cursor += n
