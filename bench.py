@@ -243,7 +243,8 @@ def bench_haplotag_cram(results):
         from longphase_s_tpu.io.cram import CramWriter
 
         br = BamReader(meta["bam"])
-        w = CramWriter(cram, br.header_text, br.references, br.lengths)
+        w = CramWriter(cram, br.header_text, br.references, br.lengths,
+                       fasta_path=meta["fasta"])
         for rec in br:
             w.write(rec)
         w.close()

@@ -1413,13 +1413,19 @@ _CID_TAG_BASE = _CID_RN + 1
 
 
 class CramWriter:
-    """CRAM 3.0 writer (referenceless: RR=false, every base stored verbatim
-    via 'b'/'S'/'I' features), readable by htslib. API mirrors BamWriter."""
+    """CRAM 3.0 writer, readable by htslib. API mirrors BamWriter.
+
+    With ``fasta_path`` (native encoder only) sequences are encoded
+    reference-based — mismatches as X substitution features against the
+    fasta (RR=true) — typically shrinking the file ~5x on long reads.
+    Without it every base is stored verbatim via 'b'/'S'/'I' features
+    (RR=false); the pure-Python fallback always writes referenceless."""
 
     RECORDS_PER_CONTAINER = 10000
     BASES_PER_CONTAINER = 32 << 20  # cap container size for long reads
 
-    def __init__(self, path, header_text, references, lengths):
+    def __init__(self, path, header_text, references, lengths,
+                 fasta_path=None):
         self._path = path
         self._recs = []
         self._bases = 0
@@ -1431,7 +1437,8 @@ class CramWriter:
         try:
             from .. import native
 
-            self._nw = native.cram_writer_open(path, header_text)
+            self._nw = native.cram_writer_open(path, header_text,
+                                               fasta_path or "")
         except Exception:  # noqa: BLE001 — no native library
             self._nw = None
         if self._nw is not None:

@@ -1343,7 +1343,7 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
                f"\tCL:{cfg.command}\n")
     if cfg.output_cram:
         out = CramWriter(cfg.result_prefix + ".cram", header, bam.references,
-                         bam.lengths)
+                         bam.lengths, fasta_path=cfg.fasta_file)
     else:
         out = BamWriter(cfg.result_prefix + ".bam", header, bam.references,
                         bam.lengths)

@@ -276,7 +276,7 @@ def _tag_bind(lib):
     lib.lps_tag_write_cram.argtypes = [
         ct.c_void_p, ct.c_char_p, ct.c_int64, ct.c_int64, ct.c_void_p,
         ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_char_p,
-        ct.c_void_p, ct.c_char_p]
+        ct.c_void_p, ct.c_char_p, ct.c_char_p]
     lib.lps_tag_write.restype = ct.c_int64
     lib.lps_tag_write.argtypes = [
         ct.c_void_p, ct.c_char_p, ct.c_int64,
@@ -324,6 +324,7 @@ class NativeBam:
         if not self._h:
             raise RuntimeError(f"native load failed for {path}")
         self.path = path
+        self._fasta_path = fasta_path or ""
 
     def close(self):
         if self._h:
@@ -516,7 +517,7 @@ class NativeBam:
             self._h, hdr, len(hdr), len(rec_indices),
             rec_indices.ctypes.data, mode.ctypes.data, hp_int.ctypes.data,
             ps.ctypes.data, pq.ctypes.data, blob, off.ctypes.data,
-            out_path.encode())
+            out_path.encode(), self._fasta_path.encode())
         return n == 0
 
 
@@ -921,7 +922,8 @@ def _cram_writer_bind(lib):
         return
     lib._cramw_bound = True
     lib.lps_cram_writer_open.restype = ct.c_void_p
-    lib.lps_cram_writer_open.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_int64]
+    lib.lps_cram_writer_open.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_int64,
+                                         ct.c_char_p]
     lib.lps_cram_writer_container.restype = ct.c_int64
     lib.lps_cram_writer_container.argtypes = [ct.c_void_p, ct.c_char_p,
                                              ct.c_void_p, ct.c_int64,
@@ -930,13 +932,14 @@ def _cram_writer_bind(lib):
     lib.lps_cram_writer_close.argtypes = [ct.c_void_p]
 
 
-def cram_writer_open(path: str, header_text: str):
+def cram_writer_open(path: str, header_text: str, fasta_path: str = ""):
     lib = _load()
     if lib is None or os.environ.get("LPS_NO_NATIVE_CRAM"):
         return None
     _cram_writer_bind(lib)
     hdr = header_text.encode("latin-1")
-    w = lib.lps_cram_writer_open(path.encode(), hdr, len(hdr))
+    w = lib.lps_cram_writer_open(path.encode(), hdr, len(hdr),
+                                 (fasta_path or "").encode())
     return w or None
 
 

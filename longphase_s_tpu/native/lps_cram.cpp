@@ -909,10 +909,33 @@ static void decode_seq(const CompHeader& comp, Block& core, ExtMap& ext,
     };
 
     const Codec* FC = comp.get("FC");
+    const Codec* FPc = comp.get("FP");
+    const Codec* BSc = comp.get("BS");
+    // direct stream pointers for the dominant all-external feature codecs:
+    // the generic path pays three hash lookups per feature, which at
+    // reference-based mismatch densities (hundreds of X features per long
+    // read) dominates the whole container decode
+    auto ext_blk = [&](const Codec* c) -> Block* {
+        if (!c || c->kind != E_EXTERNAL) return nullptr;
+        auto it = ext.find(c->content_id);
+        return it == ext.end() ? nullptr : it->second;
+    };
+    Block* fcb = ext_blk(FC);
+    Block* fpb = ext_blk(FPc);
+    Block* bsb = ext_blk(BSc);
     for (int64_t fi = 0; fi < fn; fi++) {
         if (!FC) throw DecodeError("missing FC");
-        char op = (char)FC->decode_byte(core, ext);
-        int64_t pos = dec_int("FP", 0) + prev_pos;
+        char op;
+        if (fcb) {
+            if (fcb->byte >= fcb->data.size())
+                throw DecodeError("external eof");
+            op = (char)fcb->data[fcb->byte++];
+        } else {
+            op = (char)FC->decode_byte(core, ext);
+        }
+        int64_t pos = (fpb ? itf8_get(fpb->data.data(), fpb->data.size(),
+                                      fpb->byte)
+                           : dec_int("FP", 0)) + prev_pos;
         prev_pos = pos;
         if (pos > seq_pos) {
             int64_t span = pos - seq_pos;
@@ -934,9 +957,15 @@ static void decode_seq(const CompHeader& comp, Block& core, ExtMap& ext,
             }
             case 'X': {
                 flush_if(0);
-                const Codec* BS = comp.get("BS");
-                if (!BS) throw DecodeError("missing BS");
-                int base_code = BS->decode_byte(core, ext);
+                if (!BSc) throw DecodeError("missing BS");
+                int base_code;
+                if (bsb) {
+                    if (bsb->byte >= bsb->data.size())
+                        throw DecodeError("external eof");
+                    base_code = bsb->data[bsb->byte++];
+                } else {
+                    base_code = BSc->decode_byte(core, ext);
+                }
                 int ref_idx = 4;
                 if (use_ref && ref_pos < (int64_t)ref_len && ref_pos >= 0)
                     ref_idx = BASE_IDX[(uint8_t)(*ref)[ref_pos]];
@@ -1853,24 +1882,31 @@ static void encode_block(int method, int ctype, int64_t content_id,
     out.insert(out.end(), (uint8_t*)&crc, (uint8_t*)&crc + 4);
 }
 
-// series layout mirrors io/cram.py _SERIES/_CID
+// series layout mirrors io/cram.py _SERIES/_CID (+ BS for reference-based
+// substitution features, appended so existing indices stay put)
 static const char* SERIES[] = {"BF", "CF", "RI", "RL", "AP", "MF", "NS",
                                "NP", "TS", "TL", "FN", "FC", "FP", "DL",
                                "RS", "PD", "HC", "MQ", "BA", "SC", "BB",
-                               "IN", "QS"};
-static const int N_SERIES = 23;
-// cid: series i -> i+1; SC_len/BB_len/IN_len -> 24,25,26; RN -> 27; tags 28+
+                               "IN", "QS", "BS"};
+static const int N_SERIES = 24;
+// cid: series i -> i+1; SC_len/BB_len/IN_len -> 25,26,27; RN -> 28; tags 29+
 static int cid_of(int series_idx) { return series_idx + 1; }
-static const int CID_SC_LEN = 24, CID_BB_LEN = 25, CID_IN_LEN = 26;
-static const int CID_RN = 27, CID_TAG_BASE = 28;
+static const int CID_SC_LEN = 25, CID_BB_LEN = 26, CID_IN_LEN = 27;
+static const int CID_RN = 28, CID_TAG_BASE = 29;
 enum { S_BF, S_CF, S_RI, S_RL, S_AP, S_MF, S_NS, S_NP, S_TS, S_TL, S_FN,
        S_FC, S_FP, S_DL, S_RS, S_PD, S_HC, S_MQ, S_BA, S_SC, S_BB, S_IN,
-       S_QS };
+       S_QS, S_BS };
 
 struct CramWriterN {
     FILE* f = nullptr;
     std::string path;
     int64_t counter = 0;
+    // reference-based sequence encoding (X substitution features against
+    // the fasta) when a reference is supplied; falls back to verbatim 'b'
+    // runs per segment whenever a base pair is not expressible in the
+    // ACGTN substitution matrix
+    FastaRef fasta;
+    bool use_ref = false;
     struct CraiEntry {
         int64_t tid, start, span, coff, soff, ssz;
     };
@@ -1968,7 +2004,7 @@ static const char SEQ_NT16_STR[] = "=ACMGRSVTWYHKDBN";
 extern "C" {
 
 void* lps_cram_writer_open(const char* path, const char* header_text,
-                           int64_t header_len) {
+                           int64_t header_len, const char* fasta_path) {
     using namespace lps_cram;
     auto* w = new CramWriterN();
     w->path = path;
@@ -1976,6 +2012,26 @@ void* lps_cram_writer_open(const char* path, const char* header_text,
     if (!w->f) {
         delete w;
         return nullptr;
+    }
+    if (fasta_path && fasta_path[0]) {
+        // tid -> contig name order comes from the SAM header @SQ lines
+        std::string hdr(header_text, (size_t)header_len);
+        size_t lp = 0;
+        while (lp < hdr.size()) {
+            size_t le = hdr.find('\n', lp);
+            if (le == std::string::npos) le = hdr.size();
+            if (hdr.compare(lp, 3, "@SQ") == 0) {
+                size_t sp = hdr.find("SN:", lp);
+                if (sp != std::string::npos && sp < le) {
+                    size_t se = hdr.find('\t', sp);
+                    if (se == std::string::npos || se > le) se = le;
+                    w->fasta.names.push_back(hdr.substr(sp + 3, se - sp - 3));
+                }
+            }
+            lp = le + 1;
+        }
+        w->fasta.load_fai(fasta_path);
+        w->use_ref = w->fasta.usable && !w->fasta.names.empty();
     }
     // magic + 20-byte file id (tail of the path, NUL-padded)
     fwrite("CRAM\x03\x00", 1, 6, w->f);
@@ -2005,6 +2061,15 @@ static int64_t encode_write_container(lps_cram::CramWriterN* w,
     using namespace lps_cram;
     std::vector<uint8_t> ext[N_SERIES];
     std::vector<uint8_t> rn, sc_len, bb_len, in_len;
+    // reference chromosome for X-substitution encoding (one fetch per
+    // container; all records share the tid)
+    std::shared_ptr<std::string> ref_seq =
+        (w->use_ref && tid >= 0) ? w->fasta.get(tid) : nullptr;
+    const char* refp = ref_seq ? ref_seq->data() : nullptr;
+    int64_t ref_n = ref_seq ? (int64_t)ref_seq->size() : 0;
+    // OTHERS[r][c] = decoded base for substitution code c against ref row r
+    // (identity SM, matching the 0x1B matrix written in the comp header)
+    static const char* OTHERS[5] = {"CGTN", "AGTN", "ACTN", "ACGN", "ACGT"};
     std::vector<std::vector<std::pair<std::string, char>>> tag_lists;
     std::map<std::string, std::pair<std::vector<uint8_t>,
                                     std::vector<uint8_t>>> tag_streams;
@@ -2129,14 +2194,45 @@ static int64_t encode_write_container(lps_cram::CramWriterN* w,
             int op = cv & 0xF;
             int64_t ln = cv >> 4;
             switch (op) {
-                case 0: case 7: case 8:
-                    feats.emplace_back('b', qpos + 1);
-                    ext[S_BB].insert(ext[S_BB].end(), seq.begin() + qpos,
-                                     seq.begin() + qpos + ln);
-                    itf8_put(ln, bb_len);
+                case 0: case 7: case 8: {
+                    // reference-based: only mismatches become X features
+                    // (code vs the identity substitution matrix); any base
+                    // pair outside ACGTN semantics reverts the whole
+                    // segment to a verbatim 'b' run
+                    int64_t rstart = (int64_t)pos + ref_adv;
+                    bool enc_ok = refp != nullptr && rstart >= 0 &&
+                                  rstart + ln <= ref_n;
+                    size_t feats_mark = feats.size();
+                    size_t bs_mark = ext[S_BS].size();
+                    if (enc_ok) {
+                        for (int64_t i = 0; i < ln; i++) {
+                            uint8_t rc = seq[qpos + i];
+                            uint8_t fc2 = (uint8_t)refp[rstart + i];
+                            if (NT16[rc] == NT16[fc2]) continue;
+                            int ridx = BASE_IDX[fc2];
+                            int code = -1;
+                            for (int c4 = 0; c4 < 4; c4++)
+                                if ((uint8_t)OTHERS[ridx][c4] == rc) {
+                                    code = c4;
+                                    break;
+                                }
+                            if (code < 0) { enc_ok = false; break; }
+                            feats.emplace_back('X', qpos + 1 + i);
+                            ext[S_BS].push_back((uint8_t)code);
+                        }
+                    }
+                    if (!enc_ok) {
+                        feats.resize(feats_mark);
+                        ext[S_BS].resize(bs_mark);
+                        feats.emplace_back('b', qpos + 1);
+                        ext[S_BB].insert(ext[S_BB].end(), seq.begin() + qpos,
+                                         seq.begin() + qpos + ln);
+                        itf8_put(ln, bb_len);
+                    }
                     qpos += ln;
                     ref_adv += ln;
                     break;
+                }
                 case 4:
                     feats.emplace_back('S', qpos + 1);
                     ext[S_SC].insert(ext[S_SC].end(), seq.begin() + qpos,
@@ -2189,13 +2285,17 @@ static int64_t encode_write_container(lps_cram::CramWriterN* w,
 
     // ---- compression header --------------------------------------------
     std::vector<uint8_t> pres_body;
-    itf8_put(4, pres_body);  // 4 preservation entries
+    itf8_put(5, pres_body);  // 5 preservation entries
     const uint8_t rn_e[] = {'R', 'N', 1};
     const uint8_t ap_e[] = {'A', 'P', 0};
-    const uint8_t rr_e[] = {'R', 'R', 0};
+    const uint8_t rr_e[] = {'R', 'R',
+                            (uint8_t)(w->use_ref && ref_seq ? 1 : 0)};
+    // identity substitution matrix (0x1B rows): OTHERS[r][c] order
+    const uint8_t sm_e[] = {'S', 'M', 0x1B, 0x1B, 0x1B, 0x1B, 0x1B};
     pres_body.insert(pres_body.end(), rn_e, rn_e + 3);
     pres_body.insert(pres_body.end(), ap_e, ap_e + 3);
     pres_body.insert(pres_body.end(), rr_e, rr_e + 3);
+    pres_body.insert(pres_body.end(), sm_e, sm_e + 7);
     std::vector<uint8_t> td_blob;
     for (auto& key : tag_lists) {
         for (auto& t : key)

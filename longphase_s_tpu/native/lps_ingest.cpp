@@ -2677,7 +2677,8 @@ int64_t lps_tagw_close(void* wp) {
 // flushed on tid change (mirrors io/cram.py CramWriter batching).
 extern "C" void* lps_cram_writer_open(const char* path,
                                       const char* header_text,
-                                      int64_t header_len);
+                                      int64_t header_len,
+                                      const char* fasta_path);
 extern "C" int64_t lps_cram_writer_container(void* w, const uint8_t* blob,
                                              const int64_t* rec_off,
                                              int64_t n_rec, int32_t tid);
@@ -2688,9 +2689,11 @@ int64_t lps_tag_write_cram(void* hp, const char* header_text,
                            const int64_t* rec_indices, const uint8_t* mode,
                            const int32_t* hp_int, const int64_t* ps,
                            const int32_t* pq, const char* hp_str_blob,
-                           const int64_t* hp_str_off, const char* out_path) {
+                           const int64_t* hp_str_off, const char* out_path,
+                           const char* fasta_path) {
   auto* h = (BamHandle*)hp;
-  void* w = lps_cram_writer_open(out_path, header_text, header_len);
+  void* w = lps_cram_writer_open(out_path, header_text, header_len,
+                                 fasta_path);
   if (!w) return -1;
   static const int64_t RECS_PER = 10000;
   static const int64_t BASES_PER = 32ll << 20;
