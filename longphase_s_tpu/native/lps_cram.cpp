@@ -30,7 +30,12 @@
 #include <unordered_map>
 #include <vector>
 
+#include <sys/mman.h>
 #include <zlib.h>
+
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 #ifdef USE_LIBDEFLATE
 #include <libdeflate.h>
 #endif
@@ -1199,6 +1204,48 @@ static bool nt16_init() {
 }
 static bool nt16_ready = nt16_init();
 
+#if defined(__x86_64__)
+// ASCII base pairs -> BAM nibbles, 32 chars -> 16 bytes per step. Only the
+// unambiguous alphabet {ACGTNacgtn} is handled vectorially; the low-nibble
+// code lookup is validated by reconstructing the canonical uppercase char,
+// and the first 32-chunk containing anything else (IUPAC codes, '=')
+// returns early so the scalar pair-table loop finishes the record.
+__attribute__((target("avx2")))
+static int64_t pack_nibbles_avx2(const uint8_t* sq, int64_t n, uint8_t* out) {
+    const __m256i lut = _mm256_setr_epi8(
+        0, 1, 0, 2, 8, 0, 0, 4, 0, 0, 0, 0, 0, 0, 15, 0,
+        0, 1, 0, 2, 8, 0, 0, 4, 0, 0, 0, 0, 0, 0, 15, 0);
+    const __m256i rev = _mm256_setr_epi8(
+        0, 0x41, 0x43, 0, 0x47, 0, 0, 0, 0x54, 0, 0, 0, 0, 0, 0, 0x4E,
+        0, 0x41, 0x43, 0, 0x47, 0, 0, 0, 0x54, 0, 0, 0, 0, 0, 0, 0x4E);
+    const __m256i low_mask = _mm256_set1_epi8(0x0F);
+    const __m256i up_mask = _mm256_set1_epi8((char)0xDF);
+    const __m256i mul = _mm256_set1_epi16(0x0110);  // (c0 * 16 + c1) pairs
+    int64_t i = 0;
+    for (; i + 32 <= n; i += 32) {
+        __m256i ch = _mm256_loadu_si256((const __m256i*)(sq + i));
+        __m256i code = _mm256_shuffle_epi8(lut,
+                                           _mm256_and_si256(ch, low_mask));
+        __m256i ok = _mm256_cmpeq_epi8(_mm256_shuffle_epi8(rev, code),
+                                       _mm256_and_si256(ch, up_mask));
+        if (_mm256_movemask_epi8(ok) != -1) break;
+        __m256i sums = _mm256_maddubs_epi16(code, mul);
+        __m256i packed = _mm256_packus_epi16(sums, _mm256_setzero_si256());
+        _mm_storel_epi64((__m128i*)out, _mm256_castsi256_si128(packed));
+        _mm_storel_epi64((__m128i*)(out + 8),
+                         _mm256_extracti128_si256(packed, 1));
+        out += 16;
+    }
+    return i;
+}
+
+static bool cpu_avx2() {
+    static int v = -1;
+    if (v < 0) v = __builtin_cpu_supports("avx2") ? 1 : 0;
+    return v == 1;
+}
+#endif
+
 static void to_bam(const Rec& r, const std::vector<std::string>& read_groups,
                    std::vector<uint8_t, NoInitAllocC<uint8_t>>& out) {
     const uint8_t* name = r.name.empty() ? (const uint8_t*)"?" : r.name.data();
@@ -1242,7 +1289,14 @@ static void to_bam(const Rec& r, const std::vector<std::string>& read_groups,
     }
     {
         const uint8_t* sq = r.seq.data();
-        for (int64_t i = 0; i + 1 < l_seq; i += 2)
+        int64_t done = 0;
+#if defined(__x86_64__)
+        if (l_seq >= 32 && cpu_avx2()) {
+            done = pack_nibbles_avx2(sq, l_seq & ~int64_t(1), p);
+            p += done / 2;
+        }
+#endif
+        for (int64_t i = done; i + 1 < l_seq; i += 2)
             *p++ = NT16_PAIR[((uint32_t)sq[i] << 8) | sq[i + 1]];
         if (l_seq & 1) *p++ = (uint8_t)(NT16[sq[l_seq - 1]] << 4);
     }
