@@ -442,6 +442,72 @@ def extract_normal_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     return variant_base
 
 
+def _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt, h2_cnt, h3_cnt,
+                     ps_triples, tsp_idx, read_hp_result_set,
+                     tumor_pos_read_corr):
+    """Per-alignment ReadVarHpCount records + pos->read->hp map for the
+    calling-stage filters (SomaticVarCaller.cpp:462-518)."""
+    names = walk["names"]
+    noff = walk["name_off"]
+    tsp_aln_b = np.zeros(A, bool)
+    tsp_aln_b[al[tsp_idx]] = True
+    aln_ids = np.flatnonzero(tsp_aln_b)
+    voted = base_hp != 0
+
+    # pos_hp_pairs source: voted observations presorted by (aln, pos, hp)
+    # so each alignment's pair list comes out already sorted (the obs
+    # stream is aln-major, so within an alignment this equals the old
+    # sorted() over its voted obs)
+    v_idx = np.flatnonzero(voted)
+    v_order = v_idx[np.lexsort((base_hp[v_idx], t["pos"][vi[v_idx]],
+                                al[v_idx]))]
+    v_ptr = np.searchsorted(al[v_order], np.arange(A + 1)).tolist()
+    v_pos1 = (t["pos"][vi[v_order]] + 1).tolist()
+    v_hp = base_hp[v_order].tolist()
+
+    # bulk scalar conversions for the rename/record loop
+    h1_l = h1_cnt[aln_ids].tolist()
+    h2_l = h2_cnt[aln_ids].tolist()
+    h3_l = h3_cnt[aln_ids].tolist()
+    hp_l = hp[aln_ids].tolist()
+    start_l = (walk["pos"][aln_ids] + 1).tolist()
+    endr_l = walk["end_ref_pos"][aln_ids].tolist()
+    endq_l = walk["end_query_pos"][aln_ids].tolist()
+    somatic_like = (RH_H1_1, RH_H2_1, RH_H3)
+    germ_like = (RH_UNTAG, RH_H1, RH_H2)
+    rid_by_aln: dict[int, str] = {}
+    for j, a in enumerate(aln_ids.tolist()):
+        read_id = names[noff[a]:noff[a + 1]]
+        prev = read_hp_result_set.get(read_id)
+        if prev is not None:
+            prev.read_id_count += 1
+            read_id = f"{read_id}-{prev.read_id_count}"
+        hp_res = hp_l[j]
+        r = ReadVarHpCount(
+            hp1=h1_l[j], hp2=h2_l[j], hp3=h3_l[j],
+            hp4=0, nor_count_ps=nor_ps_dict(ps_triples, a),
+            start_pos=start_l[j], end_pos=endr_l[j],
+            read_length=endq_l[j], hp_result=hp_res)
+        if hp_res in somatic_like or (h3_l[j] > 0 and hp_res in germ_like):
+            lo, hi = v_ptr[a], v_ptr[a + 1]
+            r.pos_hp_pairs = list(zip(v_pos1[lo:hi], v_hp[lo:hi]))
+        read_hp_result_set[read_id] = r
+        rid_by_aln[a] = read_id
+
+    # tumor_pos_read_corr: grouped construction from the tsp observation
+    # stream (consumers access it keyed / accumulate commutatively, so the
+    # pos-key insertion order is immaterial)
+    c_pos0 = t["pos"][vi[tsp_idx]].tolist()
+    c_aln = al[tsp_idx].tolist()
+    c_hp = base_hp[tsp_idx].tolist()
+    corr_get = tumor_pos_read_corr.get
+    for p, a, hv in zip(c_pos0, c_aln, c_hp):
+        d = corr_get(p)
+        if d is None:
+            d = tumor_pos_read_corr[p] = {}
+        d[rid_by_aln[a]] = hv
+
+
 def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
                                   ref_string, cfg):
     """Native+vectorized ExtractTumData pass. Same contract as
@@ -639,65 +705,11 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
             lst.extend(zip(so_l[s:e], sb_l[s:e]))
 
     # per-alignment sequential block: read_hp_result_set + tumor_pos_read_corr
-    names = walk["names"]
-    noff = walk["name_off"]
-    tsp_aln_b = np.zeros(A, bool)
-    tsp_aln_b[al[tsp_idx]] = True
-    aln_ids = np.flatnonzero(tsp_aln_b)
-    voted = base_hp != 0
-
-    # pos_hp_pairs source: voted observations presorted by (aln, pos, hp)
-    # so each alignment's pair list comes out already sorted (the obs
-    # stream is aln-major, so within an alignment this equals the old
-    # sorted() over its voted obs)
-    v_idx = np.flatnonzero(voted)
-    v_order = v_idx[np.lexsort((base_hp[v_idx], t["pos"][vi[v_idx]],
-                                al[v_idx]))]
-    v_ptr = np.searchsorted(al[v_order], np.arange(A + 1)).tolist()
-    v_pos1 = (t["pos"][vi[v_order]] + 1).tolist()
-    v_hp = base_hp[v_order].tolist()
-
-    # bulk scalar conversions for the rename/record loop
-    h1_l = h1_cnt[aln_ids].tolist()
-    h2_l = h2_cnt[aln_ids].tolist()
-    h3_l = h3_cnt[aln_ids].tolist()
-    hp_l = hp[aln_ids].tolist()
-    start_l = (walk["pos"][aln_ids] + 1).tolist()
-    endr_l = walk["end_ref_pos"][aln_ids].tolist()
-    endq_l = walk["end_query_pos"][aln_ids].tolist()
-    somatic_like = (RH_H1_1, RH_H2_1, RH_H3)
-    germ_like = (RH_UNTAG, RH_H1, RH_H2)
-    rid_by_aln: dict[int, str] = {}
-    for j, a in enumerate(aln_ids.tolist()):
-        read_id = names[noff[a]:noff[a + 1]]
-        prev = read_hp_result_set.get(read_id)
-        if prev is not None:
-            prev.read_id_count += 1
-            read_id = f"{read_id}-{prev.read_id_count}"
-        hp_res = hp_l[j]
-        r = ReadVarHpCount(
-            hp1=h1_l[j], hp2=h2_l[j], hp3=h3_l[j],
-            hp4=0, nor_count_ps=nor_ps_dict(ps_triples, a),
-            start_pos=start_l[j], end_pos=endr_l[j],
-            read_length=endq_l[j], hp_result=hp_res)
-        if hp_res in somatic_like or (h3_l[j] > 0 and hp_res in germ_like):
-            lo, hi = v_ptr[a], v_ptr[a + 1]
-            r.pos_hp_pairs = list(zip(v_pos1[lo:hi], v_hp[lo:hi]))
-        read_hp_result_set[read_id] = r
-        rid_by_aln[a] = read_id
-
-    # tumor_pos_read_corr: grouped construction from the tsp observation
-    # stream (consumers access it keyed / accumulate commutatively, so the
-    # pos-key insertion order is immaterial)
-    c_pos0 = t["pos"][vi[tsp_idx]].tolist()
-    c_aln = al[tsp_idx].tolist()
-    c_hp = base_hp[tsp_idx].tolist()
-    corr_get = tumor_pos_read_corr.get
-    for p, a, hv in zip(c_pos0, c_aln, c_hp):
-        d = corr_get(p)
-        if d is None:
-            d = tumor_pos_read_corr[p] = {}
-        d[rid_by_aln[a]] = hv
+    # (calling-stage filters only — estimate_purity skips building them)
+    if getattr(cfg, "collect_read_sets", True):
+        _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt,
+                         h2_cnt, h3_cnt, ps_triples, tsp_idx,
+                         read_hp_result_set, tumor_pos_read_corr)
 
     # postProcess (SomaticVarCaller.cpp:520-603)
     from .somatic_types import _imbalance

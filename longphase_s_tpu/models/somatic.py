@@ -70,6 +70,10 @@ class SomaticConfig:
     # only the DenseAlt filter in the calling stage), so its extraction
     # skips collecting them; outputs are unaffected
     collect_offset_windows: bool = True
+    # estimate_purity reads only nor_base + somatic_info; the per-read
+    # ReadVarHpCount set and pos->read->hp map feed the calling stage
+    # filters, so its extraction skips building them too
+    collect_read_sets: bool = True
 
 
 def _last_var_pos(variants_sorted, variants, genome_sample):
@@ -1534,6 +1538,7 @@ def run_estimate_purity(cfg: SomaticConfig) -> float:
     from ..parallel import distributed as dist
 
     cfg.collect_offset_windows = False  # purity never reads offset_bases
+    cfg.collect_read_sets = False       # ...nor the per-read hp record set
     dist.init_from_spec(cfg.dist)
     dist.maybe_init_from_env()
     timer = StageTimer()

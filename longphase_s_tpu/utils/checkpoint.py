@@ -64,6 +64,7 @@ def somatic_fingerprint(cfg) -> str:
         # purity-mode extraction omits the offset windows: its checkpoints
         # must not feed a somatic_haplotag resume (which needs them)
         f"win={getattr(cfg, 'collect_offset_windows', True)}",
+        f"rs={getattr(cfg, 'collect_read_sets', True)}",
     ]
     return hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
 
