@@ -200,13 +200,35 @@ fused_phase_jit = jax.jit(
                      "use_pallas", "interpret"))
 
 
-def _mxu_phase(bits, gap, vtype, vtype_band, valid_band, positions,
-               S, window, distance, edge_threshold_x10, use_pallas,
-               interpret):
+def _mxu_phase(bits_nib, vtype, positions, S, window, distance,
+               edge_threshold_x10, use_pallas, interpret):
     """MXU-pack variant of _fused_phase up to block assembly (read
     correction runs on host from the merged stream — the whole observation
-    stream never ships to the device on this path)."""
+    stream never ships to the device on this path).
+
+    ``bits_nib`` is the [T, R, ceil(L/2)] nibble-packed tile plane (two
+    3-bit entries per byte, upload halved for the tunnel); the site gap
+    and the vtype/valid bands are derived on device from positions/vtype
+    rather than shipped."""
     from .mxu_pack import mxu_pair_counts
+
+    # unpack nibbles -> [T, R, L] (entry 2i in the high nibble)
+    L = 128 + window
+    bits = jnp.stack([bits_nib >> 4, bits_nib & 0xF],
+                     axis=-1).reshape(*bits_nib.shape[:-1], -1)[..., :L]
+
+    S_pad = positions.shape[0]
+    gap = jnp.where(
+        jnp.arange(S_pad) < S - 1,
+        jnp.concatenate([positions[1:] - positions[:-1],
+                         jnp.zeros(1, positions.dtype)]),
+        jnp.int32(np.iinfo(np.int32).max)).astype(jnp.int32)
+    tgt = jnp.arange(S_pad, dtype=I32)[:, None] + \
+        jnp.arange(1, window + 1, dtype=I32)[None, :]
+    valid_band = tgt < S
+    vtype_band = jnp.where(valid_band,
+                           vtype[jnp.minimum(tgt, S - 1)],
+                           jnp.int8(0))
 
     counts_hi, counts_lo = mxu_pair_counts(bits, window)
     if use_pallas:
@@ -314,40 +336,59 @@ def _run_mxu_phase(m_read, m_rank, m_allele, m_qok, m_aln, positions, vtype,
     """WGS-scale path: MXU tile pack + scan + assembly on device, read
     correction on host. Returns (ps, ori) or None when the stream violates
     the tile-pack assumptions (caller uses the scatter pack)."""
+    import os as _os
+    import time as _time
+
     from .mxu_pack import build_tiles, host_read_correction_merged
+    _timing = bool(_os.environ.get("LPS_TIMING"))
+    _marks = [("t0", _time.perf_counter())]
 
     W = params.connect_adjacent
     bits = build_tiles(m_read, m_rank, m_allele, m_qok, S_pad, W)
     if bits is None:
         return None
+    _marks.append(("tiles", _time.perf_counter()))
 
-    gap = np.full(S_pad, np.iinfo(np.int32).max, dtype=np.int32)
-    if S > 1:
-        gap[:S - 1] = np.minimum(np.diff(positions),
-                                 np.iinfo(np.int32).max).astype(np.int32)
-    ranks = np.arange(S)
-    tgt = ranks[:, None] + np.arange(1, W + 1)[None, :]
-    valid_band = np.zeros((S_pad, W), dtype=bool)
-    valid_band[:S] = tgt < S
-    vtype_band = np.zeros((S_pad, W), dtype=np.int8)
-    vtype_band[:S] = np.where(tgt < S, vtype[np.minimum(tgt, S - 1)], 0)
+    # nibble-pack the tile plane (two 3-bit entries per byte): the upload
+    # is the dominant cost through the tunnel, and the device unpack is two
+    # cheap VPU ops
+    L = bits.shape[-1]
+    if L % 2:
+        bits = np.concatenate(
+            [bits, np.zeros((*bits.shape[:-1], 1), np.uint8)], axis=-1)
+    bits_nib = (bits[..., 0::2] << 4) | bits[..., 1::2]
+
     vtype_p = np.zeros(S_pad, dtype=np.int8)
     vtype_p[:S] = vtype
     positions_p = np.zeros(S_pad, dtype=np.int32)
     positions_p[:S] = positions
 
-    out = np.array(mxu_phase_jit(
-        jnp.asarray(bits), jnp.asarray(gap), jnp.asarray(vtype_p),
-        jnp.asarray(vtype_band), jnp.asarray(valid_band),
-        jnp.asarray(positions_p),
+    _marks.append(("bands", _time.perf_counter()))
+    dev_in = [jnp.asarray(bits_nib), jnp.asarray(vtype_p),
+              jnp.asarray(positions_p)]
+    if _timing:
+        jax.block_until_ready(dev_in)
+        _marks.append(("upload", _time.perf_counter()))
+    dev = mxu_phase_jit(
+        *dev_in,
         S=S, window=W, distance=params.distance,
         edge_threshold_x10=float(params.edge_threshold) * 10.0,
-        use_pallas=use_pallas, interpret=interpret))
+        use_pallas=use_pallas, interpret=interpret)
+    _marks.append(("dispatch", _time.perf_counter()))
+    out = np.array(dev)
+    _marks.append(("device+download", _time.perf_counter()))
     ps = out[0, :S].astype(np.int64)
     ori = out[1, :S].astype(np.int8)
     new_ps, new_ori = host_read_correction_merged(
         ps, ori, vtype, m_rank, m_allele, m_aln, n_aln,
         params.read_confidence, params.snp_confidence)
+    _marks.append(("read_correction", _time.perf_counter()))
+    if _timing:
+        import sys as _sys
+        parts = " ".join(
+            f"{name}={1000 * (t - _marks[i][1]):.0f}ms"
+            for i, (name, t) in enumerate(_marks[1:]))
+        print(f"[lps_timing] mxu_phase: {parts}", file=_sys.stderr)
     return new_ps.astype(np.int64), new_ori.astype(np.int8)
 
 
