@@ -521,6 +521,40 @@ class NativeBam:
         return n == 0
 
 
+def read_correction_merged(ps, ori, vtype, m_rank, m_allele, m_aln, A: int,
+                           read_confidence: float, snp_confidence: float):
+    """Native two-pass read correction over the merged stream; returns
+    (new_ps, new_ori) or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ct = ctypes
+    if not getattr(lib, "_rc_bound", False):
+        lib._rc_bound = True
+        lib.lps_read_correction.restype = ct.c_int64
+        lib.lps_read_correction.argtypes = [
+            ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64,
+            ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_double,
+            ct.c_double, ct.c_void_p, ct.c_void_p]
+    m_rank = np.ascontiguousarray(m_rank, np.int32)
+    m_allele = np.ascontiguousarray(m_allele, np.int8)
+    m_aln = np.ascontiguousarray(m_aln, np.int32)
+    ps = np.ascontiguousarray(ps, np.int64)
+    ori = np.ascontiguousarray(ori, np.int8)
+    vtype = np.ascontiguousarray(vtype, np.int8)
+    S = len(ps)
+    new_ps = np.empty(S, np.int64)
+    new_ori = np.empty(S, np.int8)
+    r = lib.lps_read_correction(
+        len(m_rank), m_rank.ctypes.data, m_allele.ctypes.data,
+        m_aln.ctypes.data, S, int(A), ps.ctypes.data, ori.ctypes.data,
+        vtype.ctypes.data, float(read_confidence), float(snp_confidence),
+        new_ps.ctypes.data, new_ori.ctypes.data)
+    if r != 0:
+        return None
+    return new_ps, new_ori
+
+
 def _hp_blob(hp_strs):
     """Normalize an HP:Z payload: list[str] -> joined blob + int64 offsets;
     a precomputed (blob bytes, off) pair passes through."""

@@ -3495,4 +3495,96 @@ int64_t lps_modcall_fill(void* rp, int64_t* name_off, char* names,
 
 void lps_modcall_free(void* rp) { delete (ModcallResult*)rp; }
 
+// Read correction over the merged observation stream (PhasingGraph.cpp:
+// 891-1029 semantics; float64 ratio compares exactly like the numpy mirror
+// ops/mxu_pack.py:host_read_correction_merged it replaces on the hot
+// path). Two passes over the stream, each sharded across threads with
+// private accumulators (no atomics).
+int64_t lps_read_correction(int64_t no, const int32_t* m_rank,
+                            const int8_t* m_allele, const int32_t* m_aln,
+                            int64_t S, int64_t A, const int64_t* ps,
+                            const int8_t* ori, const int8_t* vtype,
+                            double read_confidence, double snp_confidence,
+                            int64_t* new_ps, int8_t* new_ori) {
+  // vtype weights: SNP(0)/SV(1)=10, INDEL(3)/DANGER(4)=1, MOD(2)=0
+  static const int64_t WEIGHT[5] = {10, 10, 0, 1, 1};
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (no < (int64_t)1 << 17) nt = 1;
+
+  // pass A: per-alignment ref10/alt10 (weight by vtype, phased sites only)
+  std::vector<std::vector<int64_t>> refs(nt), alts(nt);
+  auto passA = [&](unsigned t) {
+    std::vector<int64_t>& ref10 = refs[t];
+    std::vector<int64_t>& alt10 = alts[t];
+    ref10.assign((size_t)A, 0);
+    alt10.assign((size_t)A, 0);
+    int64_t b = no * t / nt, e = no * (t + 1) / nt;
+    for (int64_t i = b; i < e; ++i) {
+      int32_t r = m_rank[i];
+      int8_t vt = vtype[r];
+      int64_t w = (vt >= 0 && vt < 5) ? WEIGHT[vt] : 0;
+      if (w == 0 || ps[r] == 0) continue;
+      int hap = m_allele[i] == 0 ? ori[r] : 1 - ori[r];
+      (hap == 0 ? ref10 : alt10)[(size_t)m_aln[i]] += w;
+    }
+  };
+  {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < nt; ++t) th.emplace_back(passA, t);
+    passA(0);
+    for (auto& t : th) t.join();
+  }
+  std::vector<int64_t>& ref10 = refs[0];
+  std::vector<int64_t>& alt10 = alts[0];
+  for (unsigned t = 1; t < nt; ++t)
+    for (int64_t a = 0; a < A; ++a) {
+      ref10[a] += refs[t][a];
+      alt10[a] += alts[t][a];
+    }
+  // confident alignments + belonged haplotype
+  std::vector<uint8_t> conf_belong((size_t)A);  // 0 not confident; 1/2 = hap0/1
+  for (int64_t a = 0; a < A; ++a) {
+    int64_t rf = ref10[a], al = alt10[a], tot = rf + al;
+    bool confident = tot > 10 &&
+                     (double)(rf > al ? rf : al) / (double)tot >
+                         read_confidence;
+    conf_belong[a] = confident ? (rf > al ? 1 : 2) : 0;
+  }
+
+  // pass B: per-site votes from confident alignments' 0/1-allele obs
+  std::vector<std::vector<int64_t>> cnts(nt);
+  auto passB = [&](unsigned t) {
+    std::vector<int64_t>& c = cnts[t];
+    c.assign((size_t)S * 4, 0);
+    int64_t b = no * t / nt, e = no * (t + 1) / nt;
+    for (int64_t i = b; i < e; ++i) {
+      uint8_t cb = conf_belong[(size_t)m_aln[i]];
+      int8_t al = m_allele[i];
+      if (cb == 0 || (al != 0 && al != 1)) continue;
+      c[(size_t)((cb - 1) * 2 + al) * S + m_rank[i]] += 1;
+    }
+  };
+  {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < nt; ++t) th.emplace_back(passB, t);
+    passB(0);
+    for (auto& t : th) t.join();
+  }
+  std::vector<int64_t>& c0 = cnts[0];
+  for (unsigned t = 1; t < nt; ++t)
+    for (int64_t k = 0; k < S * 4; ++k) c0[k] += cnts[t][k];
+  for (int64_t s = 0; s < S; ++s) {
+    int64_t r1 = c0[0 * S + s] + c0[3 * S + s];
+    int64_t r2 = c0[2 * S + s] + c0[1 * S + s];
+    int64_t tot = r1 + r2;
+    bool keep = tot > 0 && r1 != r2 &&
+                (double)(r1 > r2 ? r1 : r2) / (double)tot > snp_confidence;
+    new_ps[s] = keep ? ps[s] : 0;
+    new_ori[s] = (int8_t)(r1 > r2 ? 0 : 1);
+  }
+  return 0;
+}
+
 }  // extern "C"

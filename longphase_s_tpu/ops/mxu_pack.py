@@ -149,12 +149,21 @@ def mxu_pair_counts(bits, window: int):
 
 def host_read_correction_merged(ps, ori, vtype, m_rank, m_allele, m_aln,
                                 A: int, read_confidence, snp_confidence):
-    """NumPy mirror of the read correction over the merged stream
-    (PhasingGraph.cpp:891-1029 semantics) — float64 ratio compares exactly
-    like the reference and the host packer path. The MXU path runs this on
-    host so the observation stream never ships to the device; it is also
-    stricter than ops.fused.device_read_correction's f32 compares, whose
-    TPU division is not IEEE-rounded at exact-threshold ratios."""
+    """Read correction over the merged stream (PhasingGraph.cpp:891-1029
+    semantics) — float64 ratio compares exactly like the reference and the
+    host packer path. The MXU path runs this on host so the observation
+    stream never ships to the device; it is also stricter than
+    ops.fused.device_read_correction's f32 compares, whose TPU division is
+    not IEEE-rounded at exact-threshold ratios. Dispatches to the native
+    two-pass kernel (lps_ingest.cpp:lps_read_correction, ~6x the numpy
+    mirror below, element-identical) when the library is available."""
+    from .. import native
+    nat = native.read_correction_merged(ps, ori, vtype, m_rank, m_allele,
+                                        m_aln, A, read_confidence,
+                                        snp_confidence)
+    if nat is not None:
+        return nat
+
     from ..core.phase_algo import T_DANGER, T_INDEL, T_MOD, T_SNP, T_SV
 
     rank = m_rank.astype(np.int64)
