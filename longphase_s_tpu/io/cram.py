@@ -10,6 +10,10 @@ codec parameter blocks, rANS 4x8, canonical-Huffman bit codes).
 Reader strategy: decode each slice eagerly into raw BAM-format record
 bytes and wrap them in :class:`~longphase_s_tpu.io.bam.BamRecord`, so every
 downstream consumer (haplotag walkers, somatic extraction) works unchanged.
+
+Writer strategy: reference-based X-substitution encoding against the fasta
+when one is given (native encoder; ~5x smaller on long reads), verbatim
+'b'-run encoding otherwise (and always in the pure-Python fallback).
 """
 
 from __future__ import annotations
