@@ -60,6 +60,8 @@ struct Buf {
 // range — ~1s per load on this VM class); the depot makes reuse
 // deterministic: after the first load, prefault over a depot slot is a
 // no-op page walk.
+static bool thp_worth_it();
+
 struct DepotSlot {
   void* p;
   size_t cap;
@@ -91,7 +93,7 @@ static void* depot_alloc(size_t bytes) {
                  MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
   if (p == MAP_FAILED) return nullptr;
 #ifdef MADV_HUGEPAGE
-  madvise(p, want, MADV_HUGEPAGE);
+  if (thp_worth_it()) madvise(p, want, MADV_HUGEPAGE);
 #endif
   std::lock_guard<std::mutex> lk(depot_mu);
   depot_live[p] = want;
@@ -188,8 +190,44 @@ struct PhaseTimer {
 // then populates 512 pages at once, so the fault count (the expensive part
 // on this VM class) drops 512x. No-op when THP is unavailable or the range
 // is small; the caller's per-4KB touch loop stays correct either way.
+// THP is only a win when hugepage faults are actually cheap. Under some
+// hypervisors MADV_HUGEPAGE faulting runs an order of magnitude SLOWER
+// than plain 4K demand faulting (synchronous per-2MB compaction, ~11 ms a
+// page measured on this VM class: 0.2 GB/s vs 1.8 GB/s) — probe once with
+// an 8 MB touch of each kind and only advise when huge wins.
+// LPS_THP=1 forces on, LPS_THP=0 forces off.
+static bool thp_worth_it() {
+#ifdef MADV_HUGEPAGE
+  static int v = -1;
+  if (v >= 0) return v;
+  const char* env = getenv("LPS_THP");
+  if (env) return (v = (env[0] == '1'));
+  const size_t n = 8u << 20;
+  auto probe = [&](bool huge) -> double {
+    void* p = mmap(nullptr, n, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) return 0.0;
+    if (huge) madvise(p, n, MADV_HUGEPAGE);
+    auto t0 = std::chrono::steady_clock::now();
+    for (size_t q = 0; q < n; q += 4096) ((volatile char*)p)[q] = 0;
+    double dt = std::chrono::duration<double>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count();
+    munmap(p, n);
+    return dt;
+  };
+  double plain = probe(false);
+  double huge = probe(true);
+  v = (plain > 0 && huge > 0 && huge < plain * 1.5) ? 1 : 0;
+  return v;
+#else
+  return false;
+#endif
+}
+
 static void madvise_huge(void* p, size_t n) {
 #ifdef MADV_HUGEPAGE
+  if (!thp_worth_it()) return;
   uintptr_t a = (uintptr_t)p;
   uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
   uintptr_t hi = (a + n) & ~(uintptr_t)4095;
