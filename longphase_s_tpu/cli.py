@@ -17,6 +17,8 @@ def _add_phase_parser(sub):
     # shortopts "h:" (Phasing.cpp:53,85)
     p = sub.add_parser("phase", help="run phasing algorithm", add_help=False)
     p.add_argument("--help", action="help")
+    # reference phase accepts --version (Phasing.cpp:62)
+    p.add_argument("--version", action="version", version=__version__)
     p.add_argument("-s", "--snp-file", required=True)
     p.add_argument("-b", "--bam-file", action="append", required=True)
     p.add_argument("-r", "--reference", required=True)
@@ -103,7 +105,7 @@ def _validate_files(program, required, optional=()):
         sys.exit(1)
 
 
-def main(argv=None):
+def build_parser():
     parser = argparse.ArgumentParser(prog="longphase-s-tpu")
     parser.add_argument("--version", action="version", version=__version__)
     sub = parser.add_subparsers(dest="command")
@@ -157,7 +159,10 @@ def main(argv=None):
         sp.add_argument("--checkpoint", default="", metavar="DIR")
         sp.add_argument("--dist", default="", metavar="HOST:PORT,NPROCS,PID")
     mc = sub.add_parser("modcall", help="5mC methylation calling")
-    mc.add_argument("-b", "--bam-file", action="append", required=True)
+    # the reference's long form is --methylbamfile (ModCall.cpp:49);
+    # --bam-file kept as an ours-only convenience alias
+    mc.add_argument("-b", "--methylbamfile", "--bam-file", dest="bam_file",
+                    action="append", required=True)
     mc.add_argument("-r", "--reference", required=True)
     mc.add_argument("-s", "--snp-file", default="")
     mc.add_argument("-o", "--out-prefix", default="modcall_result")
@@ -165,7 +170,10 @@ def main(argv=None):
     mc.add_argument("-m", "--modThreshold", type=float, default=0.8)
     mc.add_argument("-u", "--unModThreshold", type=float, default=0.2)
     mc.add_argument("-e", "--heterRatio", type=float, default=0.6)
-    mc.add_argument("-n", "--noiseRatio", type=float, default=0.2)
+    # reference short form is -i (ModCall.cpp shortopts "s:o:t:r:b:m:u:e:i:");
+    # -n kept as an ours-only alias
+    mc.add_argument("-i", "-n", "--noiseRatio", dest="noiseRatio",
+                    type=float, default=0.2)
     mc.add_argument("-a", "--connectAdjacent", type=int, default=20)
     mc.add_argument("-c", "--connectConfidence", type=float, default=0.9)
     mc.add_argument("-k", "--iterCount", type=int, default=2)
@@ -174,7 +182,11 @@ def main(argv=None):
     # and multi-host contig sharding (SURVEY.md §2.6)
     mc.add_argument("--checkpoint", default="", metavar="DIR")
     mc.add_argument("--dist", default="", metavar="HOST:PORT,NPROCS,PID")
+    return parser
 
+
+def main(argv=None):
+    parser = build_parser()
     args = parser.parse_args(argv)
     if args.command == "phase":
         _validate_files("phase",

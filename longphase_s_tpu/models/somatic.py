@@ -1076,6 +1076,9 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
             for k, s in READ_HP_STR.items():
                 lut_len[k] = len(s)
                 lut_chr[k, :len(s)] = np.frombuffer(s.encode(), np.uint8)
+            # mask before indexing: non-somatic records (mode != 3) carry
+            # whatever hp the judge left, which need not be a valid LUT key
+            hp_all = np.where(mode_all == 3, hp_all, 0)
             sel_len = np.where(mode_all == 3, lut_len[hp_all], 0)
             off = np.zeros(len(rec) + 1, np.int64)
             np.cumsum(sel_len, out=off[1:])

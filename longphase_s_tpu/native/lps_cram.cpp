@@ -798,6 +798,20 @@ struct FastaRef {
         cache[tid] = sp;
         return sp;
     }
+
+    // like get(), but drops every other contig from the cache first.
+    // Writers flush containers per tid, so only the active contig needs to
+    // stay resident; without eviction a WGS reference-based write would
+    // accumulate ~3 GB of reference sequence over the writer's lifetime.
+    std::shared_ptr<std::string> get_only(int tid) {
+        {
+            std::lock_guard<std::mutex> g(mu);
+            for (auto it = cache.begin(); it != cache.end();)
+                if (it->first == tid) ++it;
+                else it = cache.erase(it);
+        }
+        return get(tid);
+    }
 };
 
 // ---------------------------------------------------------------------------
@@ -938,8 +952,8 @@ static void decode_seq(const CompHeader& comp, Block& core, ExtMap& ext,
         } else {
             op = (char)FC->decode_byte(core, ext);
         }
-        int64_t pos = (fpb ? itf8_get(fpb->data.data(), fpb->data.size(),
-                                      fpb->byte)
+        int64_t pos = (fpb ? itf8_get_signed(fpb->data.data(),
+                                             fpb->data.size(), fpb->byte)
                            : dec_int("FP", 0)) + prev_pos;
         prev_pos = pos;
         if (pos > seq_pos) {
@@ -1215,9 +1229,13 @@ static int64_t pack_nibbles_avx2(const uint8_t* sq, int64_t n, uint8_t* out) {
     const __m256i lut = _mm256_setr_epi8(
         0, 1, 0, 2, 8, 0, 0, 4, 0, 0, 0, 0, 0, 0, 15, 0,
         0, 1, 0, 2, 8, 0, 0, 4, 0, 0, 0, 0, 0, 0, 15, 0);
+    // rev[0] = 0x01 so code-0 bytes can never validate: ch&0xDF == 0x01
+    // forces ch's low nibble to 1, whose lut code is 1, not 0. This keeps
+    // NUL/space bytes (e.g. unfilled reference-based seq) on the scalar
+    // NT16 path, which maps them to 'N' like the non-AVX2 build.
     const __m256i rev = _mm256_setr_epi8(
-        0, 0x41, 0x43, 0, 0x47, 0, 0, 0, 0x54, 0, 0, 0, 0, 0, 0, 0x4E,
-        0, 0x41, 0x43, 0, 0x47, 0, 0, 0, 0x54, 0, 0, 0, 0, 0, 0, 0x4E);
+        1, 0x41, 0x43, 1, 0x47, 1, 1, 1, 0x54, 1, 1, 1, 1, 1, 1, 0x4E,
+        1, 0x41, 0x43, 1, 0x47, 1, 1, 1, 0x54, 1, 1, 1, 1, 1, 1, 0x4E);
     const __m256i low_mask = _mm256_set1_epi8(0x0F);
     const __m256i up_mask = _mm256_set1_epi8((char)0xDF);
     const __m256i mul = _mm256_set1_epi16(0x0110);  // (c0 * 16 + c1) pairs
@@ -2118,7 +2136,7 @@ static int64_t encode_write_container(lps_cram::CramWriterN* w,
     // reference chromosome for X-substitution encoding (one fetch per
     // container; all records share the tid)
     std::shared_ptr<std::string> ref_seq =
-        (w->use_ref && tid >= 0) ? w->fasta.get(tid) : nullptr;
+        (w->use_ref && tid >= 0) ? w->fasta.get_only(tid) : nullptr;
     const char* refp = ref_seq ? ref_seq->data() : nullptr;
     int64_t ref_n = ref_seq ? (int64_t)ref_seq->size() : 0;
     // OTHERS[r][c] = decoded base for substitution code c against ref row r

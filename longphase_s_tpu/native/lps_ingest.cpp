@@ -195,13 +195,20 @@ struct PhaseTimer {
 // than plain 4K demand faulting (synchronous per-2MB compaction, ~11 ms a
 // page measured on this VM class: 0.2 GB/s vs 1.8 GB/s) — probe once with
 // an 8 MB touch of each kind and only advise when huge wins.
-// LPS_THP=1 forces on, LPS_THP=0 forces off.
+// LPS_THP: any value other than "0" forces on, "0" forces off.
 static bool thp_worth_it() {
 #ifdef MADV_HUGEPAGE
-  static int v = -1;
+  // atomic memo: depot_alloc callers can probe concurrently (a duplicate
+  // probe is harmless, a torn read of a plain int is formally a race)
+  static std::atomic<int> memo{-1};
+  int v = memo.load(std::memory_order_relaxed);
   if (v >= 0) return v;
   const char* env = getenv("LPS_THP");
-  if (env) return (v = (env[0] == '1'));
+  if (env) {
+    v = (env[0] != '0');
+    memo.store(v, std::memory_order_relaxed);
+    return v;
+  }
   const size_t n = 8u << 20;
   auto probe = [&](bool huge) -> double {
     void* p = mmap(nullptr, n, PROT_READ | PROT_WRITE,
@@ -219,6 +226,7 @@ static bool thp_worth_it() {
   double plain = probe(false);
   double huge = probe(true);
   v = (plain > 0 && huge > 0 && huge < plain * 1.5) ? 1 : 0;
+  memo.store(v, std::memory_order_relaxed);
   return v;
 #else
   return false;
