@@ -3,10 +3,15 @@
 
 Emits one JSON line per pipeline:
     {"metric": "<name>_reads_per_s", "value": N, "unit": "alignments/s",
-     "vs_baseline": ours_throughput / reference_throughput}
+     "vs_baseline": median per-rep speedup, "ratio_spread": [min, max],
+     "reps": N}
 followed by a final aggregate line (geometric mean of the per-pipeline
-vs_baseline ratios) — the driver records the tail, so all six lines land in
-BENCH_r{N}.json.
+vs_baseline ratios, plus "floor" = geomean of per-pipeline worst-rep
+ratios) — the driver records the tail, so all lines land in BENCH_r{N}.json.
+
+Protocol: per pipeline, one warm-up on each side, then LPS_BENCH_REPS
+(default 5) interleaved reference/ours pairs; the per-rep ratio pairs
+adjacent runs so machine-load noise cancels (VERDICT r4 weak #6).
 
 Workloads (cached under .bench_cache, reference baselines cached alongside
 and re-measured whenever the binary is present):
@@ -155,38 +160,67 @@ def get_phased_somatic_vcf(som_meta):
     return vcf
 
 
-def _best_of(fn, n=3):
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.monotonic()
-        fn()
-        best = min(best, time.monotonic() - t0)
-    return best
+REPS = int(os.environ.get("LPS_BENCH_REPS", "5"))
 
 
-def _measure_reference(name, cmd, cache_key):
-    """Best-of-3 reference run; cached so bench works without the binary."""
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _measure_pair(name, ours_fn, ref_cmd, cache_key, reps=None):
+    """Interleaved ours/reference measurement (VERDICT r4 weak #6: best-of-3
+    in separate phases cannot resolve a 4.95-vs-5.0 question against a +-30%
+    reference-side spread).
+
+    Each rep runs reference then ours back-to-back, so a slow-machine moment
+    hits both sides of the same ratio; vs_baseline is the MEDIAN of the
+    per-rep ratios and the min/max ratio spread is recorded alongside.
+    Without the binary, cached per-rep reference times are reused and the
+    ratio is median-vs-median (pairing is meaningless across sessions).
+
+    Returns (ours_median_s, ref_median_s|None, ratios list).
+    """
+    reps = reps or REPS
     cache = os.path.join(BENCH_DIR, f"baseline_{name}.json")
-    if os.path.exists(REF_BIN):
-        # warm-up + best-of-3, the same protocol as our side: the first
-        # reference run after fixture creation pays cold page-cache reads
-        # and can be 2x slower than steady state
-        subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
-        elapsed = float("inf")
-        for _ in range(3):
-            t0 = time.monotonic()
-            subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
-            elapsed = min(elapsed, time.monotonic() - t0)
+    have_ref = os.path.exists(REF_BIN)
+
+    def run_ref():
+        t0 = time.monotonic()
+        subprocess.run(ref_cmd, check=True, capture_output=True, timeout=3600)
+        return time.monotonic() - t0
+
+    def run_ours():
+        t0 = time.monotonic()
+        ours_fn()
+        return time.monotonic() - t0
+
+    # warm-up both sides: page cache, jit compile; first run after fixture
+    # creation can be 2x slower than steady state
+    if have_ref:
+        run_ref()
+    run_ours()
+    ref_times, ours_times = [], []
+    for _ in range(reps):
+        if have_ref:
+            ref_times.append(run_ref())
+        ours_times.append(run_ours())
+    ours_med = _median(ours_times)
+    if have_ref:
         with open(cache, "w") as f:
-            json.dump({"elapsed_s": elapsed, "threads": NTHREADS,
+            json.dump({"elapsed_s": _median(ref_times),
+                       "elapsed_list": ref_times, "threads": NTHREADS,
                        "key": cache_key}, f)
-        return elapsed
+        ratios = [r / o for r, o in zip(ref_times, ours_times)]
+        return ours_med, _median(ref_times), ratios
     if os.path.exists(cache):
         with open(cache) as f:
             data = json.load(f)
         if data.get("key") == cache_key:
-            return data["elapsed_s"]
-    return None
+            ref_med = _median(data.get("elapsed_list", [data["elapsed_s"]]))
+            return ours_med, ref_med, [ref_med / ours_med]
+    return ours_med, None, []
 
 
 def bench_phase(results):
@@ -198,15 +232,13 @@ def bench_phase(results):
     cfg = PhaseConfig(snp_file=meta["vcf"], bam_files=[meta["bam"]],
                       fasta_file=meta["fasta"], result_prefix=out,
                       engine="tpu", params=PhaseParams())
-    run_phase(cfg)  # warm-up: jit compile + page cache
-    ours_s = _best_of(lambda: run_phase(cfg))
-    ref_s = _measure_reference(
-        "phase",
+    ours_s, ref_s, ratios = _measure_pair(
+        "phase", lambda: run_phase(cfg),
         [REF_BIN, "phase", "--pb", "-s", meta["vcf"], "-b", meta["bam"],
          "-r", meta["fasta"], "-o", os.path.join(BENCH_DIR, "golden_phase"),
          "-t", str(NTHREADS)],
         json.dumps(PHASE_CFG, sort_keys=True))
-    results.append(("phase", meta["n_reads"], ours_s, ref_s))
+    results.append(("phase", meta["n_reads"], ours_s, ref_s, ratios))
 
 
 def bench_haplotag(results):
@@ -218,15 +250,13 @@ def bench_haplotag(results):
     cfg = HaplotagConfig(snp_file=phased, bam_file=meta["bam"],
                          fasta_file=meta["fasta"], result_prefix=out,
                          num_threads=NTHREADS)
-    run_haplotag(cfg)  # warm-up
-    ours_s = _best_of(lambda: run_haplotag(cfg))
-    ref_s = _measure_reference(
-        "haplotag",
+    ours_s, ref_s, ratios = _measure_pair(
+        "haplotag", lambda: run_haplotag(cfg),
         [REF_BIN, "haplotag", "-s", phased, "-b", meta["bam"],
          "-r", meta["fasta"], "-o", os.path.join(BENCH_DIR, "golden_haplotag"),
          "-t", str(NTHREADS)],
         json.dumps(PHASE_CFG, sort_keys=True))
-    results.append(("haplotag", meta["n_reads"], ours_s, ref_s))
+    results.append(("haplotag", meta["n_reads"], ours_s, ref_s, ratios))
 
 
 def bench_haplotag_cram(results):
@@ -262,16 +292,14 @@ def bench_haplotag_cram(results):
         _nat.drain_bam_cache()
         run_haplotag(cfg)
 
-    run_cold_decode()  # warm-up
-    ours_s = _best_of(run_cold_decode)
-    ref_s = _measure_reference(
-        "haplotag_cram",
+    ours_s, ref_s, ratios = _measure_pair(
+        "haplotag_cram", run_cold_decode,
         [REF_BIN, "haplotag", "-s", phased, "-b", cram,
          "-r", meta["fasta"], "-o",
          os.path.join(BENCH_DIR, "golden_haplotag_cram"),
          "-t", str(NTHREADS)],
         json.dumps(PHASE_CFG, sort_keys=True))
-    results.append(("haplotag_cram", meta["n_reads"], ours_s, ref_s))
+    results.append(("haplotag_cram", meta["n_reads"], ours_s, ref_s, ratios))
 
 
 def bench_somatic(results):
@@ -285,17 +313,16 @@ def bench_somatic(results):
                         tumor_bam_file=meta["tumor_bam"],
                         fasta_file=meta["fasta"], result_prefix=out,
                         num_threads=NTHREADS)
-    run_somatic_haplotag(cfg)  # warm-up
-    ours_s = _best_of(lambda: run_somatic_haplotag(cfg), n=2)
-    ref_s = _measure_reference(
-        "somatic_haplotag",
+    ours_s, ref_s, ratios = _measure_pair(
+        "somatic_haplotag", lambda: run_somatic_haplotag(cfg),
         [REF_BIN, "somatic_haplotag", "-s", phased,
          "--tumor-snv-file", meta["tumor_vcf"], "-b", meta["normal_bam"],
          "--tumor-bam-file", meta["tumor_bam"], "-r", meta["fasta"],
          "-o", os.path.join(BENCH_DIR, "golden_somatic"),
          "-t", str(NTHREADS)],
         json.dumps(SOMATIC_CFG, sort_keys=True))
-    results.append(("somatic_haplotag", meta["n_alignments"], ours_s, ref_s))
+    results.append(("somatic_haplotag", meta["n_alignments"], ours_s, ref_s,
+                    ratios))
 
 
 def bench_purity(results):
@@ -310,17 +337,16 @@ def bench_purity(results):
                         fasta_file=meta["fasta"], result_prefix=out,
                         quality_threshold=20, tag_supplementary=True,
                         num_threads=NTHREADS)
-    run_estimate_purity(cfg)  # warm-up
-    ours_s = _best_of(lambda: run_estimate_purity(cfg), n=2)
-    ref_s = _measure_reference(
-        "estimate_purity",
+    ours_s, ref_s, ratios = _measure_pair(
+        "estimate_purity", lambda: run_estimate_purity(cfg),
         [REF_BIN, "estimate_purity", "-s", phased,
          "--tumor-snv-file", meta["tumor_vcf"], "-b", meta["normal_bam"],
          "--tumor-bam-file", meta["tumor_bam"], "-r", meta["fasta"],
          "-o", os.path.join(BENCH_DIR, "golden_purity"),
          "-t", str(NTHREADS)],
         json.dumps(SOMATIC_CFG, sort_keys=True))
-    results.append(("estimate_purity", meta["n_alignments"], ours_s, ref_s))
+    results.append(("estimate_purity", meta["n_alignments"], ours_s, ref_s,
+                    ratios))
 
 
 def bench_modcall(results):
@@ -331,15 +357,13 @@ def bench_modcall(results):
     cfg = ModCallConfig(bam_files=[meta["bam"]], fasta_file=meta["fasta"],
                         snp_file=meta["vcf"], result_prefix=out,
                         num_threads=NTHREADS)
-    run_modcall(cfg)  # warm-up
-    ours_s = _best_of(lambda: run_modcall(cfg), n=2)
-    ref_s = _measure_reference(
-        "modcall",
+    ours_s, ref_s, ratios = _measure_pair(
+        "modcall", lambda: run_modcall(cfg),
         [REF_BIN, "modcall", "-b", meta["bam"], "-r", meta["fasta"],
          "-s", meta["vcf"], "-o", os.path.join(BENCH_DIR, "golden_modcall"),
          "-t", str(NTHREADS)],
         json.dumps(METH_CFG, sort_keys=True))
-    results.append(("modcall", meta["n_alignments"], ours_s, ref_s))
+    results.append(("modcall", meta["n_alignments"], ours_s, ref_s, ratios))
 
 
 def device_metrics(lines):
@@ -546,7 +570,7 @@ def main():
         except Exception as e:  # one broken pipeline must not hide the rest
             print(f"bench {fn.__name__} failed: {e!r}", file=sys.stderr)
             results.append((fn.__name__.replace("bench_", ""), 0,
-                            float("nan"), None))
+                            float("nan"), None, []))
 
     lines = []
     try:
@@ -555,21 +579,31 @@ def main():
         print(f"bench device_metrics failed: {e!r}", file=sys.stderr)
         lines.append({"metric": "pallas_compiled_ok", "value": 0,
                       "unit": "bool", "vs_baseline": None})
-    ratios = []
-    for name, n_units, ours_s, ref_s in results:
+    med_ratios, min_ratios = [], []
+    for name, n_units, ours_s, ref_s, reps in results:
         value = round(n_units / ours_s, 2) if ours_s and ours_s == ours_s else None
         vs = None
-        if ref_s and ours_s and ours_s == ours_s:
-            vs = round(ref_s / ours_s, 4)
-            ratios.append(vs)
-        lines.append({"metric": f"{name}_reads_per_s", "value": value,
-                      "unit": "alignments/s", "vs_baseline": vs})
-    geo = None
-    if ratios:
+        line = {"metric": f"{name}_reads_per_s", "value": value,
+                "unit": "alignments/s", "vs_baseline": vs}
+        if reps and ours_s and ours_s == ours_s:
+            vs = round(_median(reps), 4)
+            med_ratios.append(vs)
+            min_ratios.append(min(reps))
+            line["vs_baseline"] = vs
+            line["ratio_spread"] = [round(min(reps), 4), round(max(reps), 4)]
+            line["reps"] = len(reps)
+        lines.append(line)
+
+    def _geo(rs):
         import math
-        geo = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4)
+        return round(math.exp(sum(math.log(r) for r in rs) / len(rs)), 4)
+
+    geo = _geo(med_ratios) if med_ratios else None
     lines.append({"metric": "overall_speedup_geomean", "value": geo,
-                  "unit": "x_vs_reference", "vs_baseline": geo})
+                  "unit": "x_vs_reference", "vs_baseline": geo,
+                  # worst-rep geomean: the noise-band floor (VERDICT r4 #2 —
+                  # "min ratio across reps" recorded so 5x is defensible)
+                  "floor": _geo(min_ratios) if min_ratios else None})
     for line in lines:
         print(json.dumps(line))
 
