@@ -373,11 +373,14 @@ def device_metrics(lines):
     lax.scan engine on device (the hermetic suite only proves interpret
     mode; a Mosaic regression must be loud in BENCH_r*.json, VERDICT r2 #8).
 
-    phase_kernel_util: measured per-call time of the fused phase kernel
-    (device-resident inputs, amortized over pipelined dispatches) against
+    phase_kernel_util: measured per-call time of the PRODUCTION phase
+    device path (_mxu_phase: MXU pair-pack + Pallas scan + block assembly,
+    device-resident inputs, amortized over K in-jit dispatches) against
     the roofline model documented in ARCHITECTURE.md 'Speed of light':
-    HBM traffic for pack+correction at 819 GB/s (v5e) plus the sequential
-    scan's S x ~30-cycle critical path at 940 MHz (VERDICT r2 #4)."""
+    HBM traffic for the bit plane + plane/count handoffs at 819 GB/s
+    (v5e) plus the sequential scan's S x ~30-cycle critical path at
+    940 MHz (VERDICT r2 #4, re-based in r5 when the loop-hoisting flaw
+    of the old measurement was found)."""
     import numpy as np
 
     import jax
@@ -437,33 +440,50 @@ def device_metrics(lines):
     lines.append({"metric": "pallas_compiled_ok", "value": int(ok),
                   "unit": "bool", "vs_baseline": None})
 
-    # amortize the tunnel RPC: run K kernel iterations inside ONE jit (the
-    # qok xor with a loop-dependent predicate defeats CSE/hoisting), then
-    # difference K=33 vs K=1 so per-call time is pure on-device kernel time
+    # Per-call time of the PRODUCTION phase device path (_mxu_phase: nibble
+    # unpack -> int8 Gram pair-pack -> reshape-skew band -> Pallas scan ->
+    # gather-free block assembly). K iterations inside ONE jit amortize the
+    # tunnel RPC; the input is xor-perturbed with a MOVING one-hot each
+    # iteration — a provably loop-dependent value. (The old `i < 0`
+    # predicate trick was unsound: XLA's range analysis sometimes folded
+    # it and hoisted whole stages, which is how the 35 ms scatter pack hid
+    # behind an 829 us reading in r4.)
     from functools import partial as _partial
 
-    from longphase_s_tpu.ops.fused import _fused_phase
+    from longphase_s_tpu.ops.fused import _mxu_phase
+
+    TILE = 128
+    L = TILE + W
+    T = S_pad // TILE
+    R = 64  # ~30x coverage / 128-rank tile span
+    bits = rng.integers(0, 5, (T, R, (L + 1) // 2)).astype(np.uint8)
+    bits_d = jax.device_put(bits)
+    pos_d = jax.device_put(positions)
+    vt_d = jax.device_put(vtype)
+    mkw = dict(S=S, window=W, distance=params.distance,
+               edge_threshold_x10=kw["edge_threshold_x10"],
+               use_pallas=True, interpret=False)
 
     @_partial(jax.jit, static_argnames=("K",))
-    def loop(a0, a1, a2, a3, a4, a5, a6, a7, a8, a9, K):
+    def loop(b, K):
+        C = b.shape[2]
         def body(i, acc):
-            q = a3 != (i < 0)
-            out = _fused_phase(a0, a1, a2, q, a4, a5, a6, a7, a8, a9,
-                               use_pallas=True, **kw)
-            return acc + out[0, 0]
+            oh = (jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
+                  == (i % C)).astype(jnp.uint8)
+            return acc + _mxu_phase(b ^ oh, vt_d, pos_d, **mkw)[0, 0]
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
     def timed(K):
-        int(loop(*args, K=K))  # compile (int() forces the tunnel sync;
+        int(loop(bits_d, K=K))  # compile (int() forces the tunnel sync;
         # block_until_ready alone returns early on the axon client)
         best = float("inf")
         for _ in range(3):
             t0 = time.monotonic()
-            int(loop(*args, K=K))
+            int(loop(bits_d, K=K))
             best = min(best, time.monotonic() - t0)
         return best
 
-    per_call = (timed(33) - timed(1)) / 32
+    per_call = (timed(129) - timed(1)) / 128
 
     # device tag kernels: correctness + per-call wall on a synthetic walk
     # (the throughput pipelines only offload above LPS_TAG_DEVICE_MIN, so
@@ -519,13 +539,18 @@ def device_metrics(lines):
         lines.append({"metric": "tag_kernel_device_ok", "value": 0,
                       "unit": "bool", "vs_baseline": None})
 
-    # roofline (v5e): minimal HBM traffic + sequential-scan critical path
+    # roofline (v5e), see ARCHITECTURE.md "Speed of light": bits upload read
+    # once + the XLA->Pallas plane handoff through HBM (write + read) + the
+    # para/cross pair-sum handoff (write + read) + the sequential scan's
+    # critical path. Gram materialization (~30 us today) is avoidable in
+    # principle, so it is charged against us, not the bound.
     HBM_BPS = 819e9
     CLOCK = 0.94e9
     SCAN_CYCLES_PER_STEP = 30
-    pack_bytes = No_pad * 10 + 2 * S_pad * W * 4 * 4
-    corr_bytes = No_pad * 12 + S_pad * 24
-    t_bw = (pack_bytes + corr_bytes) / HBM_BPS
+    bits_bytes = T * R * ((L + 1) // 2)
+    plane_bytes = 2 * S_pad * 8 * 128 * 4
+    pc_bytes = 2 * 2 * S_pad * W * 4
+    t_bw = (bits_bytes + plane_bytes + pc_bytes) / HBM_BPS
     t_scan = S_pad * SCAN_CYCLES_PER_STEP / CLOCK
     sol = t_bw + t_scan
     util = sol / per_call

@@ -93,24 +93,35 @@ def device_assemble_blocks(assigned, hp, bstart, positions, S: int):
     S_pad = assigned.shape[0]
     idx = jnp.arange(S_pad, dtype=I32)
     member = assigned & (idx != S - 1) & (idx < S)
-    midx = jnp.where(member, idx, I32(-1))
-    prev_incl = jax.lax.cummax(midx)
+    # Gather-free neighbor lookups (a data-dependent gather costs ~100
+    # elements/us on v5e — five of them dominated this stage): the previous
+    # member's hp rides a cummax of (idx << 2 | hp), strictly increasing
+    # over members so cummax = most recent; bstart is non-decreasing over
+    # members (the scan's block_start carry only moves forward), so its
+    # masked cummax IS the previous member's value.
+    packed = jnp.where(member, (idx << 2) | hp, -1)
+    prev_incl = jax.lax.cummax(packed)
     prev_excl = jnp.concatenate([jnp.full((1,), -1, I32), prev_incl[:-1]])
     has_prev = prev_excl >= 0
-    pe = jnp.maximum(prev_excl, 0)
-    same_run = member & has_prev & (bstart[pe] == bstart[idx])
-    flip = same_run & (hp[pe] != hp[idx])
+    hp_prev = prev_excl & 3
+    pb_incl = jax.lax.cummax(jnp.where(member, bstart, -1))
+    pb_excl = jnp.concatenate([jnp.full((1,), -1, I32), pb_incl[:-1]])
+    same_run = member & has_prev & (pb_excl == bstart)
+    flip = same_run & (hp_prev != hp)
     run_start = member & ~same_run
     cums = jnp.cumsum(flip.astype(I32))
-    rs_idx = jax.lax.cummax(jnp.where(run_start, idx, I32(-1)))
-    ori = jnp.where(member, (cums - cums[jnp.maximum(rs_idx, 0)]) % 2, 0)
-    # next member's same_run flag decides whether a run start survives
-    rev_midx = jnp.where(member, idx, I32(S_pad))[::-1]
-    next_incl = jax.lax.cummin(rev_midx)[::-1]
-    next_excl = jnp.concatenate([next_incl[1:], jnp.full((1,), S_pad, I32)])
-    has_next = next_excl < S_pad
-    ne = jnp.minimum(next_excl, S_pad - 1)
-    next_same = has_next & same_run[ne]
+    # cums is non-decreasing, so forward-filling its run-start samples is
+    # again a masked cummax; every member has a run start at or before it
+    ffc = jax.lax.cummax(jnp.where(run_start, cums, -1))
+    ori = jnp.where(member, (cums - jnp.maximum(ffc, 0)) % 2, 0)
+    # next member's same_run flag decides whether a run start survives:
+    # reversed masked cummax of ((S_pad - idx) << 1 | same_run) finds the
+    # nearest member after i and carries its flag in the low bit
+    npacked = jnp.where(member, ((S_pad - idx) << 1) | same_run.astype(I32),
+                        -1)
+    rev = jax.lax.cummax(npacked[::-1])[::-1]
+    next_excl = jnp.concatenate([rev[1:], jnp.full((1,), -1, I32)])
+    next_same = (next_excl >= 0) & ((next_excl & 1) == 1)
     keep = member & (same_run | next_same)
     ps = jnp.where(keep, positions[jnp.maximum(bstart, 0)] + 1, 0)
     return ps.astype(I32), ori.astype(jnp.int8)
@@ -226,21 +237,28 @@ def _mxu_phase(bits_nib, vtype, positions, S, window, distance,
     tgt = jnp.arange(S_pad, dtype=I32)[:, None] + \
         jnp.arange(1, window + 1, dtype=I32)[None, :]
     valid_band = tgt < S
-    vtype_band = jnp.where(valid_band,
-                           vtype[jnp.minimum(tgt, S - 1)],
-                           jnp.int8(0))
+    # banded vtype lookup as W static shifted slices — a take/gather here
+    # costs ~1.4 ms per 4096-site block on v5e (serialized gather) vs ~10 us
+    # for the slice stack
+    vpad = jnp.concatenate([vtype, jnp.zeros(window, jnp.int8)])
+    vtype_band = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(vpad, d, S_pad) for d in
+         range(1, window + 1)], axis=1)
+    vtype_band = jnp.where(valid_band, vtype_band, jnp.int8(0))
 
-    counts_hi, counts_lo = mxu_pair_counts(bits, window)
     if use_pallas:
-        from .pallas_scan import vote_scan_pallas
+        from .mxu_pack import mxu_pc_counts
+        from .pallas_scan import vote_scan_pallas_pc
 
-        assigned, hp, bstart = vote_scan_pallas(
-            counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
+        s_para10, s_cross10 = mxu_pc_counts(bits, window)
+        assigned, hp, bstart = vote_scan_pallas_pc(
+            s_para10, s_cross10, gap, vtype, vtype_band, valid_band,
             window=window, distance=distance,
             edge_threshold_x10=edge_threshold_x10, interpret=interpret)
     else:
         from .vote_scan import vote_scan_core
 
+        counts_hi, counts_lo = mxu_pair_counts(bits, window)
         assigned, hp, bstart = vote_scan_core(
             counts_hi, counts_lo, gap, vtype, vtype_band, valid_band,
             window=window, distance=distance,
