@@ -194,6 +194,22 @@ def _bgzf_bind(lib):
     lib.lps_gzip.restype = ct.c_int64
     lib.lps_gzip.argtypes = [ct.c_char_p, ct.c_int64, ct.c_int32,
                              ct.POINTER(ct.c_void_p)]
+    lib.lps_last_tagw_wall_ms.restype = ct.c_double
+    lib.lps_last_tagw_wall_ms.argtypes = []
+    lib.lps_last_tagw_payload.restype = ct.c_int64
+    lib.lps_last_tagw_payload.argtypes = []
+
+
+def last_tag_write_stats() -> tuple[float, int] | None:
+    """(wall_ms, uncompressed payload bytes) of the most recent native
+    tag-writer session — assembly + parallel BGZF + fwrite, the denominator
+    of bench.py's bam_writer_util roofline."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bgzf_bind(lib)
+    return (float(lib.lps_last_tagw_wall_ms()),
+            int(lib.lps_last_tagw_payload()))
 
 
 def bgzf_compress(data: bytes, level: int = 6) -> bytes:

@@ -2470,12 +2470,23 @@ static void assemble_tagged_record(const BamHandle* h, int64_t ri, uint8_t m,
   }
 }
 
+// Observability for bench.py's bam_writer_util roofline: wall + uncompressed
+// payload bytes of the most recent tag-writer session (either the one-shot
+// lps_tag_write or a tagw_open..close stream). The roofline divides a pure
+// parallel-deflate wall over the same payload by this wall.
+static std::atomic<int64_t> g_tagw_wall_us{0};
+static std::atomic<int64_t> g_tagw_payload{0};
+double lps_last_tagw_wall_ms() { return g_tagw_wall_us.load() / 1000.0; }
+int64_t lps_last_tagw_payload() { return g_tagw_payload.load(); }
+
 int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
                       int64_t n_out, const int64_t* rec_indices,
                       const uint8_t* mode, const int32_t* hp_int,
                       const int64_t* ps, const int32_t* pq,
                       const char* hp_str_blob, const int64_t* hp_str_off,
                       const char* out_path, int32_t level) {
+  auto t_start = std::chrono::steady_clock::now();
+  std::atomic<int64_t> payload_bytes{0};
   auto* h = (BamHandle*)hp;
   // header block
   std::vector<uint8_t> head;
@@ -2558,6 +2569,8 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
         int32_t bsz = (int32_t)(body.size() - rec_start - 4);
         memcpy(&body[rec_start], &bsz, 4);
       }
+      payload_bytes.fetch_add((int64_t)body.size(),
+                              std::memory_order_relaxed);
       std::vector<uint8_t>& out = bufs[(size_t)(ci % (int64_t)IN_FLIGHT)];
       out.clear();
       bgzf_compress_serial(body.data(), body.size(), level, out);
@@ -2598,6 +2611,11 @@ int64_t lps_tag_write(void* hp, const char* header_text, int64_t header_len,
       0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
   ok = ok && fwrite(EOF_BLOCK, 1, 28, f) == 28;
   fclose(f);
+  g_tagw_wall_us.store((int64_t)std::chrono::duration_cast<
+                           std::chrono::microseconds>(
+                           std::chrono::steady_clock::now() - t_start)
+                           .count());
+  g_tagw_payload.store(payload_bytes.load() + (int64_t)head.size());
   return ok ? total_comp : -1;
 }
 
@@ -2637,10 +2655,13 @@ struct TagWriterStream {
   std::vector<uint8_t> stage;
   int64_t total = 0;
   bool ok = true;
+  int64_t payload = 0;  // uncompressed bytes staged (bam_writer_util)
+  int64_t active_us = 0;  // wall spent inside feed/flush/close
 };
 
 static bool tagw_flush(TagWriterStream* w) {
   if (w->stage.empty()) return true;
+  w->payload += (int64_t)w->stage.size();
   uint8_t* comp = nullptr;
   int64_t n = lps_bgzf_compress(w->stage.data(), (int64_t)w->stage.size(),
                                 w->level, &comp);
@@ -2691,6 +2712,7 @@ int64_t lps_tagw_feed(void* wp, void* hp, int64_t n_out,
                       const int64_t* hp_str_off) {
   auto* w = (TagWriterStream*)wp;
   auto* h = (BamHandle*)hp;
+  auto t0 = std::chrono::steady_clock::now();
   static const size_t STAGE = 32u << 20;
   for (int64_t oi = 0; oi < n_out && w->ok; ++oi) {
     size_t rec_start = w->stage.size();
@@ -2701,11 +2723,16 @@ int64_t lps_tagw_feed(void* wp, void* hp, int64_t n_out,
     memcpy(&w->stage[rec_start], &bsz, 4);
     if (w->stage.size() >= STAGE) w->ok = tagw_flush(w) && w->ok;
   }
+  w->active_us += (int64_t)std::chrono::duration_cast<
+                      std::chrono::microseconds>(
+                      std::chrono::steady_clock::now() - t0)
+                      .count();
   return w->ok ? 0 : -1;
 }
 
 int64_t lps_tagw_close(void* wp) {
   auto* w = (TagWriterStream*)wp;
+  auto t0 = std::chrono::steady_clock::now();
   bool ok = tagw_flush(w) && w->ok;
   static const uint8_t EOF_BLOCK[28] = {
       0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
@@ -2713,6 +2740,12 @@ int64_t lps_tagw_close(void* wp) {
       0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
   ok = ok && fwrite(EOF_BLOCK, 1, 28, w->f) == 28;
   fclose(w->f);
+  w->active_us += (int64_t)std::chrono::duration_cast<
+                      std::chrono::microseconds>(
+                      std::chrono::steady_clock::now() - t0)
+                      .count();
+  g_tagw_wall_us.store(w->active_us);
+  g_tagw_payload.store(w->payload);
   int64_t total = w->total;
   delete w;
   return ok ? total : -1;
