@@ -25,8 +25,9 @@ import numpy as np
 
 from .bam import SEQ_NT16, BamRecord, _reg2bin
 
-# block compression methods
+# block compression methods (CRAM 3.0; 3.1 adds RANS_PR/ARITH/FQZ/TOK3)
 RAW, GZIP, BZIP2, LZMA, RANS = 0, 1, 2, 3, 4
+RANS_PR, ARITH, FQZ, TOK3 = 5, 6, 7, 8
 # block content types
 CT_FILE_HEADER, CT_COMP_HEADER, CT_SLICE_HEADER, CT_EXTERNAL, CT_CORE = \
     0, 1, 2, 4, 5
@@ -454,6 +455,12 @@ def _uncompress(method, data, raw_size):
         return lzma.decompress(data)
     if method == RANS:
         return rans_decode(data)
+    if method == RANS_PR:
+        from .rans_nx16 import rans16_decode
+        return rans16_decode(data)
+    if method == TOK3:
+        from .rans_nx16 import tok3_decode
+        return tok3_decode(data)
     raise ValueError(f"unknown CRAM block compression method {method}")
 
 

@@ -338,10 +338,549 @@ static void rans_decode(const uint8_t* d, size_t n, std::vector<uint8_t>& out) {
 }
 
 // ---------------------------------------------------------------------------
+// CRAM 3.1 codecs: rANS Nx16 (block method 5) and the tok3 name tokeniser
+// (method 8). Same stream layouts as io/rans_nx16.py (the portable Python
+// fallback); both are validated against htslib-written 3.1 files via the
+// tools/bam2cram31.c interop oracle. 16-bit renormalisation, lower bound
+// 2^15; 12-bit order-0 freqs, 12-or-10-bit order-1. The X32 interleave is
+// rejected (htslib's CRAM encoder never emits it inside blocks).
+// ---------------------------------------------------------------------------
+
+static uint32_t uint7_get(const uint8_t* d, size_t n, size_t& off) {
+    uint32_t v = 0;
+    while (off < n) {
+        uint8_t c = d[off++];
+        v = (v << 7) | (c & 0x7f);
+        if (!(c & 0x80)) return v;
+    }
+    throw DecodeError("nx16 uint7 eof");
+}
+
+static void nx16_alphabet(const uint8_t* d, size_t n, size_t& off,
+                          std::vector<int>& syms) {
+    if (off >= n) throw DecodeError("nx16 alphabet eof");
+    int rle = 0;
+    int j = d[off++];
+    while (true) {
+        syms.push_back(j);
+        if (!rle && off + 1 < n && d[off] == j + 1) {
+            j = d[off];
+            rle = d[off + 1];
+            off += 2;
+        } else if (rle) {
+            rle--;
+            j++;
+            if (j > 255) throw DecodeError("nx16 alphabet run");
+        } else {
+            if (off >= n) throw DecodeError("nx16 alphabet eof");
+            j = d[off++];
+        }
+        if (j == 0) break;
+    }
+}
+
+static void nx16_norm(std::vector<uint32_t>& freqs, uint32_t total,
+                      uint32_t target) {
+    if (total == 0 || total == target) return;
+    int shift = 0;
+    while (total < target) {
+        total *= 2;
+        shift++;
+    }
+    for (auto& f : freqs) f <<= shift;
+}
+
+// cumulative slot table over [0, 2^precision); built in ascending symbol
+// order (the spec iterates contexts/symbols by value)
+static void nx16_build(std::vector<std::pair<int, uint32_t>>& sf,
+                       int precision, std::vector<RansCell>& cell) {
+    uint32_t size = 1u << precision;
+    cell.assign(size, RansCell{0, 0, 0});
+    std::sort(sf.begin(), sf.end());
+    uint32_t x = 0;
+    for (auto& p : sf) {
+        uint32_t f = p.second;
+        if (!f) continue;
+        if (f > size - x) throw DecodeError("nx16 freq overflow");
+        for (uint32_t y = 0; y < f; y++) {
+            cell[x + y].sym = (uint8_t)p.first;
+            cell[x + y].freq = (uint16_t)f;
+            cell[x + y].base = (uint16_t)y;
+        }
+        x += f;
+    }
+    if (x != size) throw DecodeError("nx16 freq total");
+}
+
+// order-0 core: freq table + 4 interleaved states, 16-bit renorm; decodes
+// exactly out_sz bytes, advancing off past the consumed stream bytes
+static void nx16_o0(const uint8_t* d, size_t n, size_t& off, size_t out_sz,
+                    uint8_t* out) {
+    std::vector<int> syms;
+    nx16_alphabet(d, n, off, syms);
+    std::vector<std::pair<int, uint32_t>> sf(syms.size());
+    uint32_t tot = 0;
+    std::vector<uint32_t> freqs(syms.size());
+    for (size_t s = 0; s < syms.size(); s++) {
+        freqs[s] = uint7_get(d, n, off);
+        tot += freqs[s];
+    }
+    nx16_norm(freqs, tot, 1u << 12);
+    for (size_t s = 0; s < syms.size(); s++) sf[s] = {syms[s], freqs[s]};
+    std::vector<RansCell> cell;
+    nx16_build(sf, 12, cell);
+    if (off + 16 > n) throw DecodeError("nx16 states eof");
+    uint32_t R[4];
+    memcpy(R, d + off, 16);
+    off += 16;
+    const RansCell* cells = cell.data();
+    for (size_t i = 0; i < out_sz; i++) {
+        uint32_t& x = R[i & 3];
+        const RansCell& c = cells[x & 0xfff];
+        out[i] = c.sym;
+        x = (uint32_t)c.freq * (x >> 12) + c.base;
+        if (x < (1u << 15) && off + 1 < n) {
+            x = (x << 16) | d[off] | ((uint32_t)d[off + 1] << 8);
+            off += 2;
+        }
+    }
+}
+
+// order-1 core: per-previous-symbol tables (optionally themselves order-0
+// compressed), output quarters per state, state 3 finishing the remainder
+static void nx16_o1(const uint8_t* d, size_t n, size_t off, size_t out_sz,
+                    uint8_t* out) {
+    if (off >= n) throw DecodeError("nx16 o1 eof");
+    int b0 = d[off];
+    int shift = b0 >> 4;
+    bool comp = (b0 & 1) != 0;
+    off++;
+    if (shift < 1 || shift > 12) throw DecodeError("nx16 o1 shift");
+    std::vector<uint8_t> tbuf;
+    const uint8_t* td = d;
+    size_t tn = n, toff = off;
+    if (comp) {
+        uint32_t u_sz = uint7_get(d, n, off);
+        uint32_t c_sz = uint7_get(d, n, off);
+        if (off + c_sz > n) throw DecodeError("nx16 o1 table eof");
+        tbuf.resize(u_sz);
+        size_t so = 0;
+        nx16_o0(d + off, c_sz, so, u_sz, tbuf.data());
+        td = tbuf.data();
+        tn = u_sz;
+        toff = 0;
+        off += c_sz;
+    }
+    std::vector<int> present;
+    nx16_alphabet(td, tn, toff, present);
+    std::sort(present.begin(), present.end());
+    present.erase(std::unique(present.begin(), present.end()),
+                  present.end());
+    std::vector<std::unique_ptr<std::vector<RansCell>>> store;
+    const RansCell* tmap[256] = {nullptr};
+    for (int i : present) {
+        std::vector<std::pair<int, uint32_t>> sf(present.size());
+        std::vector<uint32_t> freqs(present.size());
+        uint32_t tot = 0;
+        int dz = 0;
+        for (size_t jj = 0; jj < present.size(); jj++) {
+            uint32_t f;
+            if (dz) {
+                f = 0;
+                dz--;
+            } else {
+                f = uint7_get(td, tn, toff);
+                if (f == 0) {
+                    if (toff >= tn) throw DecodeError("nx16 o1 dz eof");
+                    dz = td[toff++];
+                }
+            }
+            freqs[jj] = f;
+            tot += f;
+        }
+        if (!tot) continue;
+        nx16_norm(freqs, tot, 1u << shift);
+        for (size_t jj = 0; jj < present.size(); jj++)
+            sf[jj] = {present[jj], freqs[jj]};
+        auto t = std::make_unique<std::vector<RansCell>>();
+        nx16_build(sf, shift, *t);
+        tmap[i & 0xff] = t->data();
+        store.push_back(std::move(t));
+    }
+    static std::vector<RansCell> nx16_empty(4096, RansCell{0, 0, 0});
+    for (int s = 0; s < 256; s++)
+        if (!tmap[s]) tmap[s] = nx16_empty.data();
+    if (!comp) off = toff;
+    if (off + 16 > n) throw DecodeError("nx16 o1 states eof");
+    uint32_t R[4];
+    memcpy(R, d + off, 16);
+    off += 16;
+    const uint32_t mask = (1u << shift) - 1;
+    size_t isz4 = out_sz >> 2;
+    uint8_t ctx[4] = {0, 0, 0, 0};
+    size_t pos[4] = {0, isz4, 2 * isz4, 3 * isz4};
+    for (size_t it = 0; it < isz4; it++) {
+        for (int k = 0; k < 4; k++) {
+            uint32_t& x = R[k];
+            const RansCell& c = tmap[ctx[k]][x & mask];
+            out[pos[k]] = c.sym;
+            x = (uint32_t)c.freq * (x >> shift) + c.base;
+            if (x < (1u << 15) && off + 1 < n) {
+                x = (x << 16) | d[off] | ((uint32_t)d[off + 1] << 8);
+                off += 2;
+            }
+            ctx[k] = c.sym;
+            pos[k]++;
+        }
+    }
+    int k = 3;
+    while (pos[k] < out_sz) {
+        uint32_t& x = R[k];
+        const RansCell& c = tmap[ctx[k]][x & mask];
+        out[pos[k]] = c.sym;
+        x = (uint32_t)c.freq * (x >> shift) + c.base;
+        if (x < (1u << 15) && off + 1 < n) {
+            x = (x << 16) | d[off] | ((uint32_t)d[off + 1] << 8);
+            off += 2;
+        }
+        ctx[k] = c.sym;
+        pos[k]++;
+    }
+}
+
+static void ransnx16_decode(const uint8_t* d, size_t n, int64_t out_hint,
+                            std::vector<uint8_t>& out) {
+    if (n == 0) throw DecodeError("nx16 empty");
+    uint8_t flags = d[0];
+
+    if (flags & 0x08) {  // STRIPE: N rotated sub-streams, NOSZ inside
+        size_t off = 1;
+        uint32_t ulen = uint7_get(d, n, off);
+        if (off >= n) throw DecodeError("nx16 stripe eof");
+        unsigned N = d[off++];
+        if (N < 1) throw DecodeError("nx16 stripe N");
+        std::vector<uint32_t> clen(N);
+        for (unsigned i = 0; i < N; i++) clen[i] = uint7_get(d, n, off);
+        out.resize(ulen);
+        std::vector<uint8_t> sub;
+        for (unsigned i = 0; i < N; i++) {
+            uint32_t ul = ulen / N + ((ulen % N) > i ? 1 : 0);
+            if (off + clen[i] > n) throw DecodeError("nx16 stripe data eof");
+            ransnx16_decode(d + off, clen[i], ul, sub);
+            if (sub.size() != ul) throw DecodeError("nx16 stripe sub size");
+            for (uint32_t l = 0; l < ul; l++) out[i + (size_t)l * N] = sub[l];
+            off += clen[i];
+        }
+        return;
+    }
+
+    size_t off = 1;
+    bool order1 = (flags & 1) != 0;
+    if (flags & 0x04) throw DecodeError("nx16 X32 unsupported");
+    uint32_t osz;
+    if (flags & 0x10) {  // NOSZ
+        if (out_hint < 0) throw DecodeError("nx16 NOSZ without size");
+        osz = (uint32_t)out_hint;
+    } else {
+        osz = uint7_get(d, n, off);
+    }
+    size_t stage = osz;
+
+    bool do_unpack = false;
+    uint8_t pvals[16] = {0};
+    int np = 0;
+    if (flags & 0x80) {  // PACK
+        if (off >= n) throw DecodeError("nx16 pack eof");
+        int cnt = d[off];
+        if (cnt == 0) cnt = 256;
+        if (cnt > 16) {
+            off += 1;  // >16 symbols: stored unpacked
+        } else {
+            np = cnt;
+            if (off + 1 + (size_t)cnt > n) throw DecodeError("nx16 pack map");
+            memcpy(pvals, d + off + 1, cnt);
+            off += 1 + cnt;
+            do_unpack = true;
+        }
+        stage = uint7_get(d, n, off);
+    }
+
+    bool do_rle = false;
+    std::vector<uint8_t> rmeta;
+    const uint8_t* meta_p = nullptr;
+    size_t meta_n = 0;
+    if (flags & 0x40) {  // RLE
+        do_rle = true;
+        uint32_t u_meta = uint7_get(d, n, off);
+        uint32_t rle_len = uint7_get(d, n, off);
+        if (u_meta & 1) {
+            meta_n = u_meta / 2;
+            if (off + meta_n > n) throw DecodeError("nx16 rle meta eof");
+            meta_p = d + off;
+            off += meta_n;
+        } else {
+            uint32_t c_meta = uint7_get(d, n, off);
+            if (off + c_meta > n) throw DecodeError("nx16 rle cmeta eof");
+            rmeta.resize(u_meta / 2);
+            size_t so = 0;
+            nx16_o0(d + off, c_meta, so, u_meta / 2, rmeta.data());
+            meta_p = rmeta.data();
+            meta_n = u_meta / 2;
+            off += c_meta;
+        }
+        stage = rle_len;
+    }
+
+    std::vector<uint8_t> tmp(stage);
+    if (flags & 0x20) {  // CAT
+        if (off + stage > n) throw DecodeError("nx16 cat eof");
+        memcpy(tmp.data(), d + off, stage);
+    } else if (order1) {
+        nx16_o1(d, n, off, stage, tmp.data());
+    } else {
+        size_t so = off;
+        nx16_o0(d, n, so, stage, tmp.data());
+    }
+
+    if (do_rle) {
+        if (meta_n < 1) throw DecodeError("nx16 rle meta short");
+        size_t nsyms = meta_p[0] ? meta_p[0] : 256;
+        if (meta_n < 1 + nsyms) throw DecodeError("nx16 rle meta short");
+        const uint8_t* run = meta_p + 1 + nsyms;
+        size_t run_n = meta_n - (1 + nsyms);
+        bool saved[256] = {false};
+        for (size_t i = 0; i < nsyms; i++) saved[meta_p[1 + i]] = true;
+        std::vector<uint8_t> lit;
+        lit.swap(tmp);
+        size_t cap = do_unpack ? stage * 8 + 8 : (size_t)osz;
+        tmp.reserve(cap < (size_t)osz ? osz : cap);
+        size_t roff = 0;
+        for (uint8_t b : lit) {
+            if (saved[b]) {
+                uint32_t rl = uint7_get(run, run_n, roff);
+                tmp.insert(tmp.end(), rl + 1, b);
+            } else {
+                tmp.push_back(b);
+            }
+            if (tmp.size() > cap) throw DecodeError("nx16 rle overrun");
+        }
+    }
+
+    if (do_unpack) {
+        out.resize(osz);
+        const uint8_t* src = tmp.data();
+        size_t sn = tmp.size();
+        if (np <= 1) {
+            memset(out.data(), pvals[0], osz);
+        } else if (np <= 2) {
+            for (size_t i = 0; i < osz; i++) {
+                size_t bi = i >> 3;
+                if (bi >= sn) throw DecodeError("nx16 unpack eof");
+                out[i] = pvals[(src[bi] >> (i & 7)) & 1];
+            }
+        } else if (np <= 4) {
+            for (size_t i = 0; i < osz; i++) {
+                size_t bi = i >> 2;
+                if (bi >= sn) throw DecodeError("nx16 unpack eof");
+                out[i] = pvals[(src[bi] >> ((i & 3) * 2)) & 3];
+            }
+        } else {
+            for (size_t i = 0; i < osz; i++) {
+                size_t bi = i >> 1;
+                if (bi >= sn) throw DecodeError("nx16 unpack eof");
+                out[i] = pvals[(i & 1) ? (src[bi] >> 4) : (src[bi] & 15)];
+            }
+        }
+    } else {
+        out.swap(tmp);
+    }
+    if (out.size() != osz) throw DecodeError("nx16 size mismatch");
+}
+
+// --- tok3 name tokeniser ---------------------------------------------------
+
+enum {
+    TK_TYPE = 0, TK_ALPHA, TK_CHAR, TK_DIGITS0, TK_DZLEN, TK_DUP, TK_DIFF,
+    TK_DIGITS, TK_DDELTA, TK_DDELTA0, TK_MATCH, TK_NOP, TK_END
+};
+
+struct Tok3Tok {
+    uint8_t type;
+    uint32_t iv;     // integer payload (CHAR byte / DIGITS value)
+    uint32_t so, sl; // ALPHA: offset+len into the output stream; DIGITS0: sl=width
+};
+
+static void tok3_decode(const uint8_t* d, size_t n,
+                        std::vector<uint8_t>& out) {
+    if (n < 9) throw DecodeError("tok3 short");
+    uint32_t ulen = (uint32_t)d[0] | ((uint32_t)d[1] << 8) |
+                    ((uint32_t)d[2] << 16) | ((uint32_t)d[3] << 24);
+    uint32_t nreads = (uint32_t)d[4] | ((uint32_t)d[5] << 8) |
+                      ((uint32_t)d[6] << 16) | ((uint32_t)d[7] << 24);
+    if (d[8]) throw DecodeError("tok3 arith unsupported");
+    const int MAXT = 128;
+    std::vector<std::vector<uint8_t>> bufs(MAXT << 4);
+    std::vector<size_t> pos(MAXT << 4, 0);
+    size_t o = 9;
+    int tnum = -1;
+    while (o < n) {
+        uint8_t tt = d[o++];
+        if (tt & 64) {  // duplicate of an earlier stream
+            if (o + 1 >= n) throw DecodeError("tok3 dup eof");
+            int j = (d[o] << 4) + d[o + 1];
+            o += 2;
+            if (tt & 128) tnum++;
+            if (tnum < 0 || tnum >= MAXT) throw DecodeError("tok3 tnum");
+            if ((tt & 15) && (tt & 128)) {
+                auto& tb = bufs[tnum << 4];
+                tb.assign(nreads, (uint8_t)TK_MATCH);
+                if (nreads) tb[0] = tt & 15;
+            }
+            int i = (tnum << 4) | (tt & 15);
+            if (j >= i) throw DecodeError("tok3 dup forward");
+            bufs[i] = bufs[j];
+            continue;
+        }
+        if (tt & 128) tnum++;
+        if (tnum < 0 || tnum >= MAXT) throw DecodeError("tok3 tnum");
+        if ((tt & 15) && (tt & 128)) {
+            auto& tb = bufs[tnum << 4];
+            tb.assign(nreads, (uint8_t)TK_MATCH);
+            if (nreads) tb[0] = tt & 15;
+        }
+        int i = (tnum << 4) | (tt & 15);
+        uint32_t clen = uint7_get(d, n, o);
+        if (o + clen > n) throw DecodeError("tok3 stream eof");
+        ransnx16_decode(d + o, clen, -1, bufs[i]);
+        o += clen;
+    }
+
+    auto u8 = [&](int id) -> int {
+        if (pos[id] >= bufs[id].size()) return -1;
+        return bufs[id][pos[id]++];
+    };
+    auto u32 = [&](int id) -> uint32_t {
+        if (pos[id] + 4 > bufs[id].size())
+            throw DecodeError("tok3 stream exhausted");
+        const uint8_t* p = bufs[id].data() + pos[id];
+        pos[id] += 4;
+        return (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+               ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+    };
+
+    out.clear();
+    out.reserve(ulen + 64);
+    std::vector<std::vector<Tok3Tok>> toks;
+    std::vector<std::pair<uint32_t, uint32_t>> nm;  // (offset, len) in out
+    toks.reserve(nreads);
+    char numbuf[24];
+    while (pos[0] < bufs[0].size() && nm.size() < nreads) {
+        uint32_t cnum = (uint32_t)nm.size();
+        int t0 = u8(0);
+        if (t0 < 0) break;
+        uint32_t dist = u32(t0);
+        uint32_t pnum = dist > cnum ? 0 : cnum - dist;
+        if (t0 == TK_DUP) {
+            if (pnum == cnum) throw DecodeError("tok3 self dup");
+            auto prev = nm[pnum];
+            uint32_t so = (uint32_t)out.size();
+            out.resize(so + prev.second + 1);  // then copy: self-insert
+            memcpy(out.data() + so, out.data() + prev.first, prev.second);
+            out[so + prev.second] = 0;
+            nm.push_back({so, prev.second});
+            toks.push_back(toks[pnum]);
+            continue;
+        }
+        uint32_t so = (uint32_t)out.size();
+        std::vector<Tok3Tok> tl;
+        tl.push_back({TK_TYPE, 0, 0, 0});  // token 0 unused
+        for (int ntok = 1; ntok < MAXT; ntok++) {
+            int tok = u8(ntok << 4);
+            if (tok == TK_CHAR) {
+                int c = u8((ntok << 4) | TK_CHAR);
+                if (c < 0) throw DecodeError("tok3 char eof");
+                out.push_back((uint8_t)c);
+                tl.push_back({TK_CHAR, (uint32_t)c, 0, 0});
+            } else if (tok == TK_ALPHA) {
+                int id = (ntok << 4) | TK_ALPHA;
+                uint32_t aso = (uint32_t)out.size();
+                int c;
+                while ((c = u8(id)) > 0) out.push_back((uint8_t)c);
+                tl.push_back({TK_ALPHA, 0, aso,
+                              (uint32_t)out.size() - aso});
+            } else if (tok == TK_DIGITS0) {
+                int vl = u8((ntok << 4) | TK_DZLEN);
+                if (vl < 0) throw DecodeError("tok3 dzlen eof");
+                uint32_t v = u32((ntok << 4) | TK_DIGITS0);
+                int ln = snprintf(numbuf, sizeof numbuf, "%0*u", vl, v);
+                out.insert(out.end(), numbuf, numbuf + ln);
+                tl.push_back({TK_DIGITS0, v, 0, (uint32_t)vl});
+            } else if (tok == TK_DDELTA0) {
+                int dv = u8((ntok << 4) | TK_DDELTA0);
+                if (dv < 0) throw DecodeError("tok3 ddelta0 eof");
+                const Tok3Tok& pt = toks[pnum].at(ntok);
+                uint32_t v = pt.iv + (uint32_t)dv;
+                int ln = snprintf(numbuf, sizeof numbuf, "%0*u",
+                                  (int)pt.sl, v);
+                out.insert(out.end(), numbuf, numbuf + ln);
+                tl.push_back({TK_DIGITS0, v, 0, pt.sl});
+            } else if (tok == TK_DIGITS) {
+                uint32_t v = u32((ntok << 4) | TK_DIGITS);
+                int ln = snprintf(numbuf, sizeof numbuf, "%u", v);
+                out.insert(out.end(), numbuf, numbuf + ln);
+                tl.push_back({TK_DIGITS, v, 0, 0});
+            } else if (tok == TK_DDELTA) {
+                int dv = u8((ntok << 4) | TK_DDELTA);
+                if (dv < 0) throw DecodeError("tok3 ddelta eof");
+                const Tok3Tok& pt = toks[pnum].at(ntok);
+                uint32_t v = pt.iv + (uint32_t)dv;
+                int ln = snprintf(numbuf, sizeof numbuf, "%u", v);
+                out.insert(out.end(), numbuf, numbuf + ln);
+                tl.push_back({TK_DIGITS, v, 0, 0});
+            } else if (tok == TK_NOP) {
+                tl.push_back({TK_NOP, 0, 0, 0});
+            } else if (tok == TK_MATCH) {
+                const Tok3Tok& pt = toks[pnum].at(ntok);
+                if (pt.type == TK_CHAR) {
+                    out.push_back((uint8_t)pt.iv);
+                } else if (pt.type == TK_ALPHA) {
+                    size_t at = out.size();
+                    out.resize(at + pt.sl);  // then copy: self-insert
+                    memcpy(out.data() + at, out.data() + pt.so, pt.sl);
+                } else if (pt.type == TK_DIGITS) {
+                    int ln = snprintf(numbuf, sizeof numbuf, "%u", pt.iv);
+                    out.insert(out.end(), numbuf, numbuf + ln);
+                } else if (pt.type == TK_DIGITS0) {
+                    int ln = snprintf(numbuf, sizeof numbuf, "%0*u",
+                                      (int)pt.sl, pt.iv);
+                    out.insert(out.end(), numbuf, numbuf + ln);
+                } else {
+                    throw DecodeError("tok3 bad match");
+                }
+                Tok3Tok cp = pt;
+                if (cp.type == TK_ALPHA) {
+                    // re-anchor the string into this name's span
+                    cp.so = (uint32_t)out.size() - cp.sl;
+                }
+                tl.push_back(cp);
+            } else {  // TK_END or exhausted type stream (elided END)
+                tl.push_back({TK_END, 0, 0, 0});
+                break;
+            }
+        }
+        out.push_back(0);
+        nm.push_back({so, (uint32_t)out.size() - 1 - so});
+        toks.push_back(std::move(tl));
+    }
+    (void)ulen;
+}
+
+// ---------------------------------------------------------------------------
 // blocks
 // ---------------------------------------------------------------------------
 
-enum { RAW = 0, M_GZIP = 1, M_BZIP2 = 2, M_LZMA = 3, M_RANS = 4 };
+enum { RAW = 0, M_GZIP = 1, M_BZIP2 = 2, M_LZMA = 3, M_RANS = 4,
+       M_RANS_PR = 5, M_ARITH = 6, M_FQZ = 7, M_TOK3 = 8 };
 enum { CT_FILE_HEADER = 0, CT_COMP_HEADER = 1, CT_SLICE_HEADER = 2,
        CT_EXTERNAL = 4, CT_CORE = 5 };
 
@@ -414,6 +953,16 @@ static size_t read_block(const uint8_t* buf, size_t n, size_t off, Block& b) {
         case M_RANS: {
             AccumTimer at(acc_rans_us);
             rans_decode(d, comp_size, b.data);
+            break;
+        }
+        case M_RANS_PR: {  // CRAM 3.1 rANS Nx16
+            AccumTimer at(acc_rans_us);
+            ransnx16_decode(d, comp_size, raw_size, b.data);
+            break;
+        }
+        case M_TOK3: {  // CRAM 3.1 name tokeniser
+            AccumTimer at(acc_rans_us);
+            tok3_decode(d, comp_size, b.data);
             break;
         }
         default: throw DecodeError("unsupported block method");  // bzip2/lzma
