@@ -336,9 +336,12 @@ def accumulate_pos_base(walk, t, is_alt, mapq_ok_obs, n_var):
 
 
 def extract_normal_chromosome_fast(nb, chrom, chrom_len, positions, variants,
-                                   ref_string, sv_counts, cfg):
+                                   ref_string, sv_counts, cfg, tables=None):
     """Native+vectorized ExtractNorData pass. Same contract as
-    somatic_caller.extract_normal_chromosome."""
+    somatic_caller.extract_normal_chromosome. ``tables`` lets the driver
+    share one build_somatic_tables result across the three passes that
+    need it (normal/tumor extract + tag) instead of rebuilding it
+    per pass."""
     from ..io.bam import region_bounds
 
     variant_base: dict[int, PosBase] = {}
@@ -351,7 +354,8 @@ def extract_normal_chromosome_fast(nb, chrom, chrom_len, positions, variants,
                        cfg.quality_threshold, False, cfg.tag_supplementary)
     if walk is None or not len(walk["category"]):
         return variant_base
-    t = build_somatic_tables(positions, variants)
+    t = tables if tables is not None \
+        else build_somatic_tables(positions, variants)
     n_var = len(positions)
     vi = walk["obs_var"]
     al = walk["obs_aln"]
@@ -448,7 +452,8 @@ def _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt, h2_cnt, h3_cnt,
     """Per-alignment ReadVarHpCount records + pos->read->hp map for the
     calling-stage filters (SomaticVarCaller.cpp:462-518)."""
     names = walk["names"]
-    noff = walk["name_off"]
+    noff = walk["name_off"].tolist()  # python ints: numpy-scalar slice
+                                      # indices cost ~1us each in the loop
     tsp_aln_b = np.zeros(A, bool)
     tsp_aln_b[al[tsp_idx]] = True
     aln_ids = np.flatnonzero(tsp_aln_b)
@@ -457,10 +462,14 @@ def _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt, h2_cnt, h3_cnt,
     # pos_hp_pairs source: voted observations presorted by (aln, pos, hp)
     # so each alignment's pair list comes out already sorted (the obs
     # stream is aln-major, so within an alignment this equals the old
-    # sorted() over its voted obs)
+    # sorted() over its voted obs). One composite-key stable radix argsort
+    # (numpy int64 stable sort) replaces the 3-pass lexsort.
     v_idx = np.flatnonzero(voted)
-    v_order = v_idx[np.lexsort((base_hp[v_idx], t["pos"][vi[v_idx]],
-                                al[v_idx]))]
+    v_pos = t["pos"][vi[v_idx]]
+    stride = int(v_pos.max(initial=0)) + 1 if len(v_pos) else 1
+    key = (al[v_idx].astype(np.int64) * stride + v_pos) * 4 \
+        + base_hp[v_idx]
+    v_order = v_idx[np.argsort(key, kind="stable")]
     v_ptr = np.searchsorted(al[v_order], np.arange(A + 1)).tolist()
     v_pos1 = (t["pos"][vi[v_order]] + 1).tolist()
     v_hp = base_hp[v_order].tolist()
@@ -475,6 +484,7 @@ def _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt, h2_cnt, h3_cnt,
     endq_l = walk["end_query_pos"][aln_ids].tolist()
     somatic_like = (RH_H1_1, RH_H2_1, RH_H3)
     germ_like = (RH_UNTAG, RH_H1, RH_H2)
+    ps_ptr, ps_psv, ps_cnt = ps_triples
     rid_by_aln: dict[int, str] = {}
     for j, a in enumerate(aln_ids.tolist()):
         read_id = names[noff[a]:noff[a + 1]]
@@ -483,9 +493,13 @@ def _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt, h2_cnt, h3_cnt,
             prev.read_id_count += 1
             read_id = f"{read_id}-{prev.read_id_count}"
         hp_res = hp_l[j]
+        plo = ps_ptr[a] if ps_psv else 0
+        phi = ps_ptr[a + 1] if ps_psv else 0
         r = ReadVarHpCount(
             hp1=h1_l[j], hp2=h2_l[j], hp3=h3_l[j],
-            hp4=0, nor_count_ps=nor_ps_dict(ps_triples, a),
+            hp4=0,
+            nor_count_ps=dict(zip(ps_psv[plo:phi], ps_cnt[plo:phi]))
+            if phi > plo else {},
             start_pos=start_l[j], end_pos=endr_l[j],
             read_length=endq_l[j], hp_result=hp_res)
         if hp_res in somatic_like or (h3_l[j] > 0 and hp_res in germ_like):
@@ -509,9 +523,10 @@ def _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt, h2_cnt, h3_cnt,
 
 
 def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
-                                  ref_string, cfg):
+                                  ref_string, cfg, tables=None):
     """Native+vectorized ExtractTumData pass. Same contract as
-    somatic_caller.extract_tumor_chromosome."""
+    somatic_caller.extract_tumor_chromosome. ``tables``: see
+    extract_normal_chromosome_fast."""
     from ..io.bam import region_bounds
 
     somatic_pos_info: dict[int, SomaticData] = {}
@@ -522,7 +537,8 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     last_var = positions[-1] if positions else None
     beg, end = region_bounds(cfg.region, chrom_len) if cfg.region \
         else (0, chrom_len)
-    t = build_somatic_tables(positions, variants)
+    t = tables if tables is not None \
+        else build_somatic_tables(positions, variants)
     n_var = len(positions)
     tvt_tab = t["tum_vt"]
     if getattr(cfg, "collect_offset_windows", True):

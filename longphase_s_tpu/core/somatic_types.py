@@ -29,7 +29,7 @@ READ_HP_STR = {
 }
 
 
-@dataclass
+@dataclass(slots=True)
 class PosBase:
     """Per-position base counters (HaplotagType.h:165-224)."""
 
@@ -125,7 +125,7 @@ def calculate_base_common_info(base: PosBase, tumor_alt: str, variant_type: int)
                             else total / base.depth)
 
 
-@dataclass
+@dataclass(slots=True)
 class SomaticData:
     """Per-tumor-SNP statistics (HaplotagType.h:226-294)."""
 
@@ -166,7 +166,7 @@ class SomaticData:
     allele_count: list = field(default_factory=lambda: [0, 0])
 
 
-@dataclass
+@dataclass(slots=True)
 class ReadVarHpCount:
     """Per-read haplotype tallies from the tumor extraction pass
     (SomaticVarCaller.h ReadVarHpCount)."""

@@ -144,6 +144,8 @@ class SomaticCallState:
         self.caller_distri = {}   # chr -> {pos: PosHpRecord} (callerReadHpDistri)
         self.tumor_purity = 0.0
         self.params = FilterParams()
+        self.tables = {}          # chr -> build_somatic_tables result
+                                  # (shared by both extract passes + tag)
 
 
 def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
@@ -171,11 +173,19 @@ def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
 
     # Prefetch reference windows serially: FastaFile shares one file handle,
     # so the overlapped passes below must not call fetch() concurrently.
+    # The per-variant judge tables are also built here, once, and shared by
+    # the normal pass, the tumor pass, and later the tag pass (read-only in
+    # all three; rebuilding them per pass costs more than a whole calling
+    # stage at WGS scale).
+    from ..core.somatic_fast import build_somatic_tables
+
     nor_refs: dict[str, str] = {}
     tum_refs: dict[str, str] = {}
     for chrom in loop_chroms:
         variants = chr_multi.get(chrom, {})
         positions = sorted(variants)
+        if positions:
+            state.tables[chrom] = build_somatic_tables(positions, variants)
         if chrom in fasta.index and positions:
             nor_refs[chrom] = fasta.fetch(
                 chrom, 0, _last_var_pos(positions, variants, NORMAL) + 6)
@@ -196,7 +206,8 @@ def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
                 from ..core.somatic_fast import extract_normal_chromosome_fast
                 state.nor_base[chrom] = extract_normal_chromosome_fast(
                     nor_nb, chrom, chr_length.get(chrom), positions,
-                    variants, nor_refs[chrom], sv_counts, cfg)
+                    variants, nor_refs[chrom], sv_counts, cfg,
+                    tables=state.tables.get(chrom))
             else:
                 state.nor_base[chrom] = extract_normal_chromosome(
                     cfg.bam_file, chrom, chr_length.get(chrom), positions,
@@ -218,7 +229,8 @@ def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
                 (state.somatic_info[chrom], state.read_hp_sets[chrom],
                  state.pos_read_corr[chrom]) = extract_tumor_chromosome_fast(
                     tum_nb, chrom, chr_length.get(chrom), positions,
-                    variants, tum_refs[chrom], cfg)
+                    variants, tum_refs[chrom], cfg,
+                    tables=state.tables.get(chrom))
             else:
                 (state.somatic_info[chrom], state.read_hp_sets[chrom],
                  state.pos_read_corr[chrom]) = extract_tumor_chromosome(
@@ -889,7 +901,8 @@ def _gather_tag_segments(segs, all_rec, all_mode, all_ps, all_pq, hp_strs,
 
 
 def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
-                      somatic_flags, nor_info, fasta, stats, my_chroms=None):
+                      somatic_flags, nor_info, fasta, stats, my_chroms=None,
+                      tables=None):
     """Vectorized tumor-BAM tagging (SomaticHaplotagChrProcessor +
     SomaticHaplotagStrategy, SomaticHaplotagProcess.cpp:310-536) over the
     native walk; writes HP:Z/PS:i/PQ:i with the native tag writer."""
@@ -933,7 +946,9 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
                                cfg.tag_supplementary)
         if walk is None:
             continue
-        t = build_somatic_tables(positions, variants)
+        t = tables.get(chrom) if tables else None
+        if t is None:
+            t = build_somatic_tables(positions, variants)
         flags = somatic_flags.get(chrom, {})
         n_var = len(positions)
         is_som = np.zeros(n_var, bool)
@@ -1332,7 +1347,8 @@ def run_somatic_haplotag(cfg: SomaticConfig) -> ReadStatistics:
         with timer("tag read"):
             _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
                               somatic_flags, nor_info, fasta, stats,
-                              my_chroms=my_chroms if shard else None)
+                              my_chroms=my_chroms if shard else None,
+                              tables=state.tables)
         _print_somatic_report(stats)
         return stats
 
