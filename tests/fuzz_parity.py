@@ -28,6 +28,13 @@ from longphase_s_tpu.testing.simulate import (make_fixture,  # noqa: E402
 REF = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".refbuild", "longphase-s")
 
+# --realism: run every fixture under testing.simulate.REALISM_PROFILE
+# (homopolymer-conditioned indel errors, SV-breakpoint split/supplementary
+# reads, chimeras) — VERDICT r4 #6's closest reachable proxy for real
+# read-error structure. modcall keeps the plain profile (its MM/ML fixture
+# builder is position-anchored).
+REALISM = "--realism" in sys.argv
+
 
 def vcf_rows(path):
     return [l for l in open(path) if not l.startswith("##")]
@@ -47,7 +54,7 @@ def run_case(mode, seed, work):
     rng_bits = (seed * 2654435761) & 0xFFFF
     if mode in ("pb", "ont", "indels"):
         fix = make_fixture(
-            os.path.join(work, "fix"), seed=seed,
+            os.path.join(work, "fix"), seed=seed, realism=REALISM,
             length=100000 + (rng_bits % 7) * 30000,
             coverage=8 + seed % 12, read_len=4000 + (rng_bits % 5) * 2500,
             snp_rate=0.0008 + (seed % 5) * 0.0004,
@@ -85,7 +92,7 @@ def run_case(mode, seed, work):
         return None
     if mode == "svmod":
         fix = make_fixture(
-            os.path.join(work, "fix"), seed=seed,
+            os.path.join(work, "fix"), seed=seed, realism=REALISM,
             length=120000 + (rng_bits % 5) * 30000,
             coverage=12 + seed % 10, read_len=6000 + (rng_bits % 4) * 2500,
             snp_rate=0.001 + (seed % 4) * 0.0004,
@@ -143,7 +150,7 @@ def run_case(mode, seed, work):
     if mode == "somatic":
         purity = 0.15 + (seed % 8) * 0.1
         fix = make_somatic_fixture(
-            os.path.join(work, "fix"), seed=seed,
+            os.path.join(work, "fix"), seed=seed, realism=REALISM,
             length=120000 + (rng_bits % 5) * 30000, purity=purity,
             n_somatic=8 + seed % 20, n_artifacts=seed % 8)
         phased = os.path.join(work, "phased")
@@ -197,8 +204,9 @@ def run_case(mode, seed, work):
 
 
 def main():
-    workdir = sys.argv[1]
-    n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    workdir = args[0]
+    n_seeds = int(args[1]) if len(args) > 1 else 50
     os.makedirs(workdir, exist_ok=True)
     modes = ["pb", "ont", "indels", "somatic", "svmod", "modcall"]
     fails = 0
