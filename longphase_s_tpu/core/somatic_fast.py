@@ -336,22 +336,30 @@ def accumulate_pos_base(walk, t, is_alt, mapq_ok_obs, n_var):
 
 
 def extract_normal_chromosome_fast(nb, chrom, chrom_len, positions, variants,
-                                   ref_string, sv_counts, cfg, tables=None):
+                                   ref_string, sv_counts, cfg, tables=None,
+                                   precomputed=None):
     """Native+vectorized ExtractNorData pass. Same contract as
     somatic_caller.extract_normal_chromosome. ``tables`` lets the driver
     share one build_somatic_tables result across the three passes that
-    need it (normal/tumor extract + tag) instead of rebuilding it
-    per pass."""
+    need it (normal/tumor extract + tag) instead of rebuilding it per
+    pass; ``precomputed`` is an optional (walk, dev_result) pair from the
+    driver's device-mesh batch (models.somatic._mesh_precompute) — the
+    walk is reused and the kernel reductions come back pre-reduced."""
     from ..io.bam import region_bounds
 
     variant_base: dict[int, PosBase] = {}
     if nb.tid(chrom) < 0:
         return variant_base
-    last_var = positions[-1] if positions else None
-    beg, end = region_bounds(cfg.region, chrom_len) if cfg.region \
-        else (0, chrom_len)
-    walk = nb.tag_walk(chrom, beg, end, positions, last_var, ref_string,
-                       cfg.quality_threshold, False, cfg.tag_supplementary)
+    walk = dev_pre = None
+    if precomputed is not None:
+        walk, dev_pre = precomputed
+    if walk is None:
+        last_var = positions[-1] if positions else None
+        beg, end = region_bounds(cfg.region, chrom_len) if cfg.region \
+            else (0, chrom_len)
+        walk = nb.tag_walk(chrom, beg, end, positions, last_var, ref_string,
+                           cfg.quality_threshold, False,
+                           cfg.tag_supplementary)
     if walk is None or not len(walk["category"]):
         return variant_base
     t = tables if tables is not None \
@@ -364,8 +372,9 @@ def extract_normal_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     mapq_ok_obs = mapq_ok_aln[al]
 
     from ..ops import tag_kernels
-    dev = None
-    if tag_kernels.engine(len(walk["obs_var"])) == "device":
+    dev = dev_pre
+    if dev is None and \
+            tag_kernels.engine(len(walk["obs_var"])) == "device":
         try:
             dev = tag_kernels.somatic_counts_device(
                 walk, t, "normal", gate=mapq_ok_obs, want_posbase=True,
@@ -522,11 +531,23 @@ def _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt, h2_cnt, h3_cnt,
         d[rid_by_aln[a]] = hv
 
 
+def tumor_want_window(cfg, t):
+    """Per-variant offset-window request mask for the tumor walk (None for
+    estimate_purity, where the windows feed only the DenseAlt filter)."""
+    if not getattr(cfg, "collect_offset_windows", True):
+        return None
+    tvt_tab = t["tum_vt"]
+    return (t["tum_has"] & (
+        (tvt_tab == VT_SNP) | (tvt_tab == VT_INSERTION)
+        | (tvt_tab == VT_DELETION))).astype(np.uint8)
+
+
 def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
-                                  ref_string, cfg, tables=None):
+                                  ref_string, cfg, tables=None,
+                                  precomputed=None):
     """Native+vectorized ExtractTumData pass. Same contract as
-    somatic_caller.extract_tumor_chromosome. ``tables``: see
-    extract_normal_chromosome_fast."""
+    somatic_caller.extract_tumor_chromosome. ``tables``/``precomputed``:
+    see extract_normal_chromosome_fast."""
     from ..io.bam import region_bounds
 
     somatic_pos_info: dict[int, SomaticData] = {}
@@ -534,22 +555,21 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     tumor_pos_read_corr: dict[int, dict[str, int]] = {}
     if nb.tid(chrom) < 0:
         return somatic_pos_info, read_hp_result_set, tumor_pos_read_corr
-    last_var = positions[-1] if positions else None
-    beg, end = region_bounds(cfg.region, chrom_len) if cfg.region \
-        else (0, chrom_len)
     t = tables if tables is not None \
         else build_somatic_tables(positions, variants)
     n_var = len(positions)
-    tvt_tab = t["tum_vt"]
-    if getattr(cfg, "collect_offset_windows", True):
-        want_window = (t["tum_has"] & (
-            (tvt_tab == VT_SNP) | (tvt_tab == VT_INSERTION)
-            | (tvt_tab == VT_DELETION))).astype(np.uint8)
-    else:  # estimate_purity: the windows feed only the DenseAlt filter
-        want_window = None
-    walk = nb.tag_walk(chrom, beg, end, positions, last_var, ref_string,
-                       cfg.quality_threshold, False, cfg.tag_supplementary,
-                       want_window=want_window, window=100)
+    walk = dev_pre = None
+    if precomputed is not None:
+        walk, dev_pre = precomputed
+    if walk is None:
+        last_var = positions[-1] if positions else None
+        beg, end = region_bounds(cfg.region, chrom_len) if cfg.region \
+            else (0, chrom_len)
+        walk = nb.tag_walk(chrom, beg, end, positions, last_var, ref_string,
+                           cfg.quality_threshold, False,
+                           cfg.tag_supplementary,
+                           want_window=tumor_want_window(cfg, t),
+                           window=100)
     if walk is None or not len(walk["category"]):
         return somatic_pos_info, read_hp_result_set, tumor_pos_read_corr
 
@@ -561,8 +581,9 @@ def extract_tumor_chromosome_fast(nb, chrom, chrom_len, positions, variants,
     mapq_ok_obs = mapq_ok_aln[al]
 
     from ..ops import tag_kernels
-    dev = None
-    if tag_kernels.engine(len(walk["obs_var"])) == "device":
+    dev = dev_pre
+    if dev is None and \
+            tag_kernels.engine(len(walk["obs_var"])) == "device":
         try:
             dev = tag_kernels.somatic_counts_device(
                 walk, t, "extract", gate=mapq_ok_obs, want_posbase=True)

@@ -148,6 +148,111 @@ class SomaticCallState:
                                   # (shared by both extract passes + tag)
 
 
+def _mesh_devices():
+    """Local devices when the somatic mesh batch is allowed (LPS_MULTICHIP
+    gate, mirrors models.phase._make_multichip_sink): >=2 local devices,
+    or LPS_MULTICHIP=1 forcing; LPS_MULTICHIP=0 disables."""
+    if os.environ.get("LPS_MULTICHIP", "") == "0":
+        return None
+    try:
+        import jax
+
+        devs = (jax.local_devices() if jax.process_count() > 1
+                else jax.devices())
+    except Exception:  # noqa: BLE001 — no usable backend
+        return None
+    if len(devs) > 1 or os.environ.get("LPS_MULTICHIP", "") == "1":
+        return devs
+    return None
+
+
+def _mesh_precompute(cfg, nor_nb, tum_nb, loop_chroms, chr_multi,
+                     chr_length, state, nor_refs, tum_refs, need_nor,
+                     need_tum):
+    """Batch every chromosome's normal/tumor extract reductions across the
+    device mesh (ops.tag_kernels.somatic_counts_device_mesh) — the
+    TPU-native analog of the reference's contig parallel-for over the
+    extraction passes (SomaticVarCaller.cpp:822/907-935). Returns two
+    dicts chrom -> (walk, dev_result_or_None); walks are reused by the
+    per-chromosome extract calls even when the reductions stay on host."""
+    import numpy as np
+
+    from ..core.somatic_fast import tumor_want_window
+    from ..io.bam import region_bounds
+    from ..ops import tag_kernels
+
+    devs = _mesh_devices()
+    if devs is None or nor_nb is None or tum_nb is None:
+        return {}, {}
+    pre_n: dict[str, tuple] = {}
+    pre_t: dict[str, tuple] = {}
+    items_n: list[tuple[str, dict]] = []
+    items_t: list[tuple[str, dict]] = []
+    total = 0
+    for chrom in loop_chroms:
+        variants = chr_multi.get(chrom, {})
+        positions = sorted(variants)
+        t = state.tables.get(chrom)
+        if t is None:
+            continue
+        chrom_len = chr_length.get(chrom)
+        beg, end = region_bounds(cfg.region, chrom_len) if cfg.region \
+            else (0, chrom_len)
+        last_var = positions[-1] if positions else None
+        if need_nor.get(chrom) and nor_nb.tid(chrom) >= 0:
+            w = nor_nb.tag_walk(chrom, beg, end, positions, last_var,
+                                nor_refs[chrom], cfg.quality_threshold,
+                                False, cfg.tag_supplementary)
+            if w is not None and len(w["category"]):
+                gate = (w["mapq"] >= cfg.quality_threshold)[w["obs_aln"]]
+                items_n.append((chrom, {"walk": w, "t": t,
+                                        "gate": gate.astype(np.uint8)},
+                                bool(nor_refs[chrom])))
+                total += len(w["obs_var"])
+                pre_n[chrom] = (w, None)
+        if need_tum.get(chrom) and tum_nb.tid(chrom) >= 0:
+            w = tum_nb.tag_walk(chrom, beg, end, positions, last_var,
+                                tum_refs[chrom], cfg.quality_threshold,
+                                False, cfg.tag_supplementary,
+                                want_window=tumor_want_window(cfg, t),
+                                window=100)
+            if w is not None and len(w["category"]):
+                gate = (w["mapq"] >= cfg.quality_threshold)[w["obs_aln"]]
+                items_t.append((chrom, {"walk": w, "t": t,
+                                        "gate": gate.astype(np.uint8)}))
+                total += len(w["obs_var"])
+                pre_t[chrom] = (w, None)
+    if tag_kernels.engine(total) != "device":
+        return pre_n, pre_t  # walks reused; reductions stay per-chromosome
+    try:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(devs)
+        # the 'normal' kernel specializes on ref_nonempty (static arg):
+        # batch each group separately
+        for refflag in (False, True):
+            grp = [(c, it) for c, it, rf in items_n if rf == refflag]
+            if not grp:
+                continue
+            res = tag_kernels.somatic_counts_device_mesh(
+                mesh, [it for _c, it in grp], "normal", want_posbase=True,
+                ref_nonempty=refflag)
+            for (c, _it), r in zip(grp, res):
+                pre_n[c] = (pre_n[c][0], r)
+        if items_t:
+            res = tag_kernels.somatic_counts_device_mesh(
+                mesh, [it for _c, it in items_t], "extract",
+                want_posbase=True)
+            for (c, _it), r in zip(items_t, res):
+                pre_t[c] = (pre_t[c][0], r)
+    except SystemExit:
+        raise
+    except Exception:  # noqa: BLE001 — reductions fall back per-chromosome
+        if tag_kernels.strict():
+            raise
+    return pre_n, pre_t
+
+
 def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
                     sv_counts, timer):
     """Both extraction BAM passes (SomaticVarCaller.cpp:907-935), with
@@ -194,6 +299,14 @@ def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
         else:
             nor_refs[chrom] = tum_refs[chrom] = ""
 
+    # device-mesh batch of the extract reductions across chromosomes
+    # (no-op on a single chip; see _mesh_precompute)
+    pre_nor, pre_tum = _mesh_precompute(
+        cfg, nor_nb, tum_nb, loop_chroms, chr_multi, chr_length, state,
+        nor_refs, tum_refs,
+        {c: nor_stored.get(c) is None for c in loop_chroms},
+        {c: tum_stored.get(c) is None for c in loop_chroms})
+
     def run_normal():
         for chrom in loop_chroms:
             stored = nor_stored.get(chrom)
@@ -207,7 +320,8 @@ def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
                 state.nor_base[chrom] = extract_normal_chromosome_fast(
                     nor_nb, chrom, chr_length.get(chrom), positions,
                     variants, nor_refs[chrom], sv_counts, cfg,
-                    tables=state.tables.get(chrom))
+                    tables=state.tables.get(chrom),
+                    precomputed=pre_nor.get(chrom))
             else:
                 state.nor_base[chrom] = extract_normal_chromosome(
                     cfg.bam_file, chrom, chr_length.get(chrom), positions,
@@ -230,7 +344,8 @@ def _run_extraction(cfg, state, loop_chroms, chr_multi, chr_length, fasta,
                  state.pos_read_corr[chrom]) = extract_tumor_chromosome_fast(
                     tum_nb, chrom, chr_length.get(chrom), positions,
                     variants, tum_refs[chrom], cfg,
-                    tables=state.tables.get(chrom))
+                    tables=state.tables.get(chrom),
+                    precomputed=pre_tum.get(chrom))
             else:
                 (state.somatic_info[chrom], state.read_hp_sets[chrom],
                  state.pos_read_corr[chrom]) = extract_tumor_chromosome(
@@ -929,6 +1044,13 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
     segs: list[tuple[int, int]] = []  # (chr_vec index, n records) per chrom
     loop = chr_vec if my_chroms is None else my_chroms
 
+    from ..ops import tag_kernels
+
+    # pass 1: walk every chromosome and stage the kernel inputs, so the
+    # reductions can batch across the device mesh (contig parallelism —
+    # the tag-pass analog of _mesh_precompute)
+    ctxs = []
+    total_obs = 0
     for chrom in loop:
         if chrom not in ref_ids:
             continue
@@ -957,13 +1079,36 @@ def _somatic_tag_fast(cfg, tum_nb, chr_vec, chr_length, chr_multi,
             if p in flags:
                 is_som[i] = True
                 derive[i] = flags[p]
+        ctxs.append({"chrom": chrom, "walk": walk, "t": t, "is_som": is_som,
+                     "derive": derive, "dev": None})
+        total_obs += len(walk["obs_var"])
 
+    if _mesh_devices() is not None and ctxs \
+            and tag_kernels.engine(total_obs) == "device":
+        try:
+            from ..parallel.mesh import make_mesh
+
+            res = tag_kernels.somatic_counts_device_mesh(
+                make_mesh(_mesh_devices()), ctxs, "haplotag",
+                want_derive=True)
+            for c, r in zip(ctxs, res):
+                c["dev"] = r
+        except SystemExit:
+            raise
+        except Exception:  # noqa: BLE001 — per-chromosome fallback below
+            if tag_kernels.strict():
+                raise
+
+    for ctx in ctxs:
+        chrom = ctx["chrom"]
+        walk, t = ctx["walk"], ctx["t"]
+        is_som, derive = ctx["is_som"], ctx["derive"]
         vi = walk["obs_var"]
         al = walk["obs_aln"]
         A = len(walk["category"])
-        from ..ops import tag_kernels
-        dev = None
-        if tag_kernels.engine(len(walk["obs_var"])) == "device":
+        dev = ctx["dev"]
+        if dev is None and tag_kernels.engine(len(walk["obs_var"])) \
+                == "device":
             try:
                 dev = tag_kernels.somatic_counts_device(
                     walk, t, "haplotag", is_som=is_som, derive=derive,
