@@ -106,6 +106,73 @@ def tags_digest(path):
     return h.hexdigest()
 
 
+PHASEMEM_CFG = dict(seed=53, length=250_000_000, coverage=20,
+                    read_len=12000, snp_rate=0.001, error_rate=0.03,
+                    qual=22)
+
+
+def get_phasemem_fixture(work):
+    """250 Mbp single chromosome — real-chr1 scale (VERDICT r4 #8)."""
+    marker = os.path.join(work, "fixture_phasemem.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("cfg") == {k: str(v) for k, v in PHASEMEM_CFG.items()}:
+            return meta
+    print("simulating 250 Mbp fixture (~1-2 h)...", flush=True)
+    from longphase_s_tpu.testing.simulate import make_fixture
+    fix = make_fixture(os.path.join(work, "fix_pm"), **PHASEMEM_CFG)
+    meta = {"bam": fix["bam"], "vcf": fix["vcf"], "fasta": fix["fasta"],
+            "chrom": fix["chrom"], "n_reads": len(fix["reads"]),
+            "n_sites": len(fix["variants"]),
+            "cfg": {k: str(v) for k, v in PHASEMEM_CFG.items()}}
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def run_phase_mem_soak(work, rows):
+    """Phase at real-chromosome scale with the RAM budget forced down
+    (VERDICT r4 #8): the streaming path must stay under 8 GB peak RSS with
+    a VCF identical to the whole-file path and the reference binary."""
+    import time
+
+    fix = get_phasemem_fixture(work)
+    spec = {"module": "longphase_s_tpu.models.phase", "fn": "run_phase",
+            "cfg_cls": "PhaseConfig",
+            "cfg": {"snp_file": fix["vcf"], "bam_files": [fix["bam"]],
+                    "fasta_file": fix["fasta"], "is_pb": True,
+                    "engine": "tpu"}}
+    whole = os.path.join(work, "pm_whole")
+    spec["cfg"]["result_prefix"] = whole
+    rows["phasemem_whole"] = run_child(
+        dict(spec), env_extra={"LPS_STRICT_DEVICE": "1"})
+    print("phasemem_whole:", rows["phasemem_whole"], flush=True)
+    stream = os.path.join(work, "pm_stream")
+    spec["cfg"]["result_prefix"] = stream
+    rows["phasemem_stream"] = run_child(
+        dict(spec), env_extra={"LPS_MAX_INMEM_BAM": str(256 << 20),
+                               "LPS_STRICT_DEVICE": "1"})
+    print("phasemem_stream:", rows["phasemem_stream"], flush=True)
+    rows["phasemem_stream_rss_under_8gb"] = (
+        rows["phasemem_stream"]["peak_rss_gb"] < 8.0)
+    if os.path.exists(REF_BIN):
+        golden = os.path.join(work, "pm_golden")
+        t0 = time.monotonic()
+        subprocess.run([REF_BIN, "phase", "--pb", "-s", fix["vcf"],
+                        "-b", fix["bam"], "-r", fix["fasta"], "-o", golden,
+                        "-t", str(os.cpu_count())],
+                       check=True, capture_output=True, timeout=14400)
+        rows["phasemem_ref"] = {"wall_s": round(time.monotonic() - t0, 2)}
+        rows["phasemem_ref_identical"] = (
+            strip_vcf(golden + ".vcf") == strip_vcf(stream + ".vcf"))
+        print("phasemem_ref:", rows["phasemem_ref"], flush=True)
+    rows["phasemem_stream_identical"] = (
+        strip_vcf(whole + ".vcf") == strip_vcf(stream + ".vcf"))
+    print("phasemem identical:", rows["phasemem_stream_identical"],
+          flush=True)
+
+
 SOMATIC_CFG = dict(seed=37, length=32_000_000, normal_coverage=25,
                    tumor_coverage=30, purity=0.6, n_somatic=2500,
                    n_artifacts=600, read_len=12000, snp_rate=0.0012,
@@ -180,6 +247,18 @@ def main():
     skip_wave = "--skip-wavefront" in sys.argv
     work = args[0] if args else os.path.join(ROOT, ".bench_cache", "wgs_soak")
     os.makedirs(work, exist_ok=True)
+    if "--phase-mem" in sys.argv:
+        rows = {}
+        run_phase_mem_soak(work, rows)
+        md_path = os.path.join(ROOT, "WGS_SOAK.md")
+        with open(md_path) as f:
+            body = f.read()
+        body += ("\n## Phase memory proof (250 Mbp chromosome)\n\n```json\n"
+                 + json.dumps(rows, indent=2) + "\n```\n")
+        with open(md_path, "w") as f:
+            f.write(body)
+        print("appended phase-mem soak to WGS_SOAK.md")
+        return 0 if rows["phasemem_stream_identical"] else 1
     if "--somatic-only" in sys.argv:
         rows = {}
         run_somatic_soak(work, rows)
