@@ -185,9 +185,31 @@ def build_parser():
     return parser
 
 
+_REMOTE_ATTRS = ("snp_file", "bam_file", "reference", "sv_file", "mod_file",
+                 "tumor_snv_file", "tumor_bam_file", "truth_vcf",
+                 "truth_bed")
+
+
+def _localize_inputs(args):
+    """http(s) input URLs -> cached local files (io/remote.py), the CLI
+    analog of the reference's hfile remote-open
+    (/root/reference/htslib/hfile_libcurl.c). Runs before FileValidator so
+    validation sees the fetched copy."""
+    from .io.remote import is_remote, localize
+
+    for attr in _REMOTE_ATTRS:
+        v = getattr(args, attr, None)
+        if isinstance(v, list):
+            if any(is_remote(x) for x in v):
+                setattr(args, attr, [localize(x) for x in v])
+        elif is_remote(v):
+            setattr(args, attr, localize(v))
+
+
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
+    _localize_inputs(args)
     if args.command == "phase":
         _validate_files("phase",
                         [("SNP file", args.snp_file),
