@@ -804,11 +804,25 @@ def calibrate_read_hp(somatic_pos_info, read_hp_result_set, tumor_pos_read_corr)
 
 
 def calculate_read_set_hp(read_hp_result_set, percentage_threshold):
-    """calculateReadSetHP (SomaticVarCaller.cpp:1418-1439)."""
-    for r in read_hp_result_set.values():
-        hp_count = {1: r.hp1, 2: r.hp2, 3: r.hp3, 4: r.hp4}
-        r.hp_result, _pq, _ns, _ts = judge_somatic_read_hap(
-            hp_count, r.nor_count_ps, percentage_threshold)
+    """calculateReadSetHP (SomaticVarCaller.cpp:1418-1439), vectorized:
+    the per-read judge consumes nor_count_ps only through len(...) > 1 and
+    hp4 is always 0 (findOtherSomaticSnpHP is dead in the reference), so
+    the batched judge_somatic_reads computes identical hp_result values
+    (equality locked by the somatic goldens and the device-parity tests)."""
+    rs = list(read_hp_result_set.values())
+    if not rs:
+        return
+    from .somatic_fast import judge_somatic_reads
+
+    n = len(rs)
+    h1 = np.fromiter((r.hp1 for r in rs), np.int64, n)
+    h2 = np.fromiter((r.hp2 for r in rs), np.int64, n)
+    h3 = np.fromiter((r.hp3 for r in rs), np.int64, n)
+    nps = np.fromiter((len(r.nor_count_ps) for r in rs), np.int64, n)
+    hp, _pq, _ns, _hs, _cross, _wo = judge_somatic_reads(
+        h1, h2, h3, nps, percentage_threshold)
+    for r, v in zip(rs, hp.tolist()):
+        r.hp_result = v
 
 
 def statistic_somatic_pos_read_hp(somatic_pos_info, tumor_pos_read_corr,

@@ -504,13 +504,14 @@ def _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt, h2_cnt, h3_cnt,
         hp_res = hp_l[j]
         plo = ps_ptr[a] if ps_psv else 0
         phi = ps_ptr[a + 1] if ps_psv else 0
-        r = ReadVarHpCount(
-            hp1=h1_l[j], hp2=h2_l[j], hp3=h3_l[j],
-            hp4=0,
-            nor_count_ps=dict(zip(ps_psv[plo:phi], ps_cnt[plo:phi]))
-            if phi > plo else {},
-            start_pos=start_l[j], end_pos=endr_l[j],
-            read_length=endq_l[j], hp_result=hp_res)
+        if phi == plo:
+            psd = {}
+        elif phi == plo + 1:  # the common case: one phase set on the read
+            psd = {ps_psv[plo]: ps_cnt[plo]}
+        else:
+            psd = dict(zip(ps_psv[plo:phi], ps_cnt[plo:phi]))
+        r = ReadVarHpCount(h1_l[j], h2_l[j], h3_l[j], 0, psd,
+                           start_l[j], endr_l[j], endq_l[j], hp_res)
         if hp_res in somatic_like or (h3_l[j] > 0 and hp_res in germ_like):
             lo, hi = v_ptr[a], v_ptr[a + 1]
             r.pos_hp_pairs = list(zip(v_pos1[lo:hi], v_hp[lo:hi]))
