@@ -759,12 +759,11 @@ def somatic_feature_filter(params: FilterParams, variants, somatic_pos_info,
         sd.filtered_by_variant_cluster = z_f
 
         dense_f = False
-        ref_offsets: dict[int, int] = {}
-        alt_offsets: dict[int, int] = {}
-        for off, _b in sd.offset_bases[0]:
-            ref_offsets[off] = ref_offsets.get(off, 0) + 1
-        for off, _b in sd.offset_bases[1]:
-            alt_offsets[off] = alt_offsets.get(off, 0) + 1
+        # C-speed counting: these two loops dominate the filter at WGS
+        # scale (30x depth -> dozens of offsets per variant)
+        from collections import Counter
+        ref_offsets = Counter(off for off, _b in sd.offset_bases[0])
+        alt_offsets = Counter(off for off, _b in sd.offset_bases[1])
         alt_count = sd.base.alt_count
         same_count = 0
         for off in sorted(alt_offsets):

@@ -34,7 +34,7 @@ VT_MNP = 4
 NONE_PHASED_SET = -1
 
 
-@dataclass
+@dataclass(slots=True)
 class VarData:
     ref: str = ""
     alt: str = ""
