@@ -241,7 +241,11 @@ def bench_phase(results):
     results.append(("phase", meta["n_reads"], ours_s, ref_s, ratios))
 
 
+WRITER_STATS: dict = {}
+
+
 def bench_haplotag(results):
+    from longphase_s_tpu import native
     from longphase_s_tpu.models.haplotag import HaplotagConfig, run_haplotag
 
     meta = get_phase_fixture()
@@ -257,6 +261,23 @@ def bench_haplotag(results):
          "-t", str(NTHREADS)],
         json.dumps(PHASE_CFG, sort_keys=True))
     results.append(("haplotag", meta["n_reads"], ours_s, ref_s, ratios))
+    # bam_writer_util inputs, captured HERE so writer stats (the last ours
+    # rep's native write) and the raw-deflate probe sample the same machine
+    # state — reading them after other pipelines ran measures a different
+    # write and a different load (and once produced util > 1)
+    try:
+        stats = native.last_tag_write_stats()
+        if stats and stats[0] > 0:
+            payload = native.bgzf_inflate_file(out + ".bam")
+            best_s = float("inf")
+            for _ in range(3):
+                t0 = time.monotonic()
+                native.bgzf_compress(payload, 3)
+                best_s = min(best_s, time.monotonic() - t0)
+            WRITER_STATS.update(wall_ms=stats[0], payload_n=stats[1],
+                                deflate_s=best_s)
+    except Exception as e:  # noqa: BLE001 — health metric only
+        print(f"bench writer stats failed: {e!r}", file=sys.stderr)
 
 
 def bench_haplotag_cram(results):
@@ -370,32 +391,22 @@ def writer_metrics(lines):
     """bam_writer_util (VERDICT r4 weak #7): the measured tag-writer wall
     (record assembly + parallel BGZF level-3 + ordered fwrite, recorded by
     the native writer itself during bench_haplotag's last ours rep) vs a
-    pure parallel libdeflate level-3 pass over the SAME uncompressed payload
-    on the same cores. util = deflate_wall / writer_wall; vs_baseline
-    carries the writer's payload MB/s."""
-    from longphase_s_tpu import native
-
-    stats = native.last_tag_write_stats()
-    out_bam = os.path.join(BENCH_DIR, "ours_haplotag.bam")
-    if not stats or stats[0] <= 0 or not os.path.exists(out_bam):
+    pure parallel libdeflate level-3 pass over the SAME uncompressed
+    payload on the same cores, both captured back-to-back inside
+    bench_haplotag. util = deflate_wall / writer_wall (the writer also
+    pays assembly + fwrite, so util < 1; ~0.9 = at the deflate roofline);
+    vs_baseline carries the writer's payload MB/s."""
+    if not WRITER_STATS:
         return
-    wall_ms, payload_n = stats
-    payload = native.bgzf_inflate_file(out_bam)
-    if not payload:
-        return
-    best_s = float("inf")
-    for _ in range(3):
-        t0 = time.monotonic()
-        native.bgzf_compress(payload, 3)
-        best_s = min(best_s, time.monotonic() - t0)
-    util = (best_s * 1e3) / wall_ms
-    writer_mb_s = payload_n / 1e6 / (wall_ms / 1e3)
+    wall_ms = WRITER_STATS["wall_ms"]
+    util = (WRITER_STATS["deflate_s"] * 1e3) / wall_ms
+    writer_mb_s = WRITER_STATS["payload_n"] / 1e6 / (wall_ms / 1e3)
     lines.append({"metric": "bam_writer_util", "value": round(util, 4),
                   "unit": "fraction_of_deflate_sol",
                   "vs_baseline": round(writer_mb_s, 1),
-                  "payload_mb": round(payload_n / 1e6, 1),
+                  "payload_mb": round(WRITER_STATS["payload_n"] / 1e6, 1),
                   "writer_ms": round(wall_ms, 1),
-                  "deflate_ms": round(best_s * 1e3, 1)})
+                  "deflate_ms": round(WRITER_STATS["deflate_s"] * 1e3, 1)})
 
 
 def device_metrics(lines):
