@@ -494,29 +494,63 @@ def _build_read_sets(walk, t, A, al, vi, hp, base_hp, h1_cnt, h2_cnt, h3_cnt,
     somatic_like = (RH_H1_1, RH_H2_1, RH_H3)
     germ_like = (RH_UNTAG, RH_H1, RH_H2)
     ps_ptr, ps_psv, ps_cnt = ps_triples
-    rid_by_aln: dict[int, str] = {}
-    for j, a in enumerate(aln_ids.tolist()):
-        read_id = names[noff[a]:noff[a + 1]]
-        prev = read_hp_result_set.get(read_id)
-        if prev is not None:
-            prev.read_id_count += 1
-            read_id = f"{read_id}-{prev.read_id_count}"
-        hp_res = hp_l[j]
-        plo = ps_ptr[a] if ps_psv else 0
-        phi = ps_ptr[a + 1] if ps_psv else 0
-        if phi == plo:
-            psd = {}
-        elif phi == plo + 1:  # the common case: one phase set on the read
-            psd = {ps_psv[plo]: ps_cnt[plo]}
+    aln_list = aln_ids.tolist()
+    ids = [names[noff[a]:noff[a + 1]] for a in aln_list]
+    if len(set(ids)) == len(ids):
+        # unique read names (no split/supplementary duplicates among tsp
+        # alignments — the common case): bulk construction. update(zip)
+        # preserves the exact insertion order of the sequential loop, and
+        # with unique ids the rename branch is provably dead.
+        from itertools import repeat
+
+        if ps_psv:
+            psds = []
+            for a in aln_list:
+                plo = ps_ptr[a]
+                phi = ps_ptr[a + 1]
+                psds.append(
+                    {} if phi == plo else
+                    {ps_psv[plo]: ps_cnt[plo]} if phi == plo + 1 else
+                    dict(zip(ps_psv[plo:phi], ps_cnt[plo:phi])))
         else:
-            psd = dict(zip(ps_psv[plo:phi], ps_cnt[plo:phi]))
-        r = ReadVarHpCount(h1_l[j], h2_l[j], h3_l[j], 0, psd,
-                           start_l[j], endr_l[j], endq_l[j], hp_res)
-        if hp_res in somatic_like or (h3_l[j] > 0 and hp_res in germ_like):
+            psds = [{} for _ in aln_list]
+        recs = list(map(ReadVarHpCount, h1_l, h2_l, h3_l, repeat(0), psds,
+                        start_l, endr_l, endq_l, hp_l))
+        hp_arr = hp[aln_ids]
+        qual = np.isin(hp_arr, np.asarray(somatic_like)) | \
+            ((h3_cnt[aln_ids] > 0)
+             & np.isin(hp_arr, np.asarray(germ_like)))
+        for j in np.flatnonzero(qual).tolist():
+            a = aln_list[j]
             lo, hi = v_ptr[a], v_ptr[a + 1]
-            r.pos_hp_pairs = list(zip(v_pos1[lo:hi], v_hp[lo:hi]))
-        read_hp_result_set[read_id] = r
-        rid_by_aln[a] = read_id
+            recs[j].pos_hp_pairs = list(zip(v_pos1[lo:hi], v_hp[lo:hi]))
+        read_hp_result_set.update(zip(ids, recs))
+        rid_by_aln = dict(zip(aln_list, ids))
+    else:
+        rid_by_aln = {}
+        for j, a in enumerate(aln_list):
+            read_id = ids[j]
+            prev = read_hp_result_set.get(read_id)
+            if prev is not None:
+                prev.read_id_count += 1
+                read_id = f"{read_id}-{prev.read_id_count}"
+            hp_res = hp_l[j]
+            plo = ps_ptr[a] if ps_psv else 0
+            phi = ps_ptr[a + 1] if ps_psv else 0
+            if phi == plo:
+                psd = {}
+            elif phi == plo + 1:  # common case: one phase set on the read
+                psd = {ps_psv[plo]: ps_cnt[plo]}
+            else:
+                psd = dict(zip(ps_psv[plo:phi], ps_cnt[plo:phi]))
+            r = ReadVarHpCount(h1_l[j], h2_l[j], h3_l[j], 0, psd,
+                               start_l[j], endr_l[j], endq_l[j], hp_res)
+            if hp_res in somatic_like or (h3_l[j] > 0
+                                          and hp_res in germ_like):
+                lo, hi = v_ptr[a], v_ptr[a + 1]
+                r.pos_hp_pairs = list(zip(v_pos1[lo:hi], v_hp[lo:hi]))
+            read_hp_result_set[read_id] = r
+            rid_by_aln[a] = read_id
 
     # tumor_pos_read_corr: grouped construction from the tsp observation
     # stream (consumers access it keyed / accumulate commutatively, so the
